@@ -1,38 +1,314 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+The pipeline under test: deterministic Common-Crawl-style ``pages``
+synthesis from the ``documents`` testdata table
+(ragflow_spark/corpus/gen.py), then the from-scratch readability +
+html-text extraction chain and RAGFlow template chunkers inside
+Arrow-vectorized mapInPandas (ragflow_spark/job/extract.py,
+ragflow_spark/extractlib/*).
+
+Oracle strategy: the corpus is constructed so every expected output is a
+closed-form ANSI-SQL function of (doc_id, text, lang) — the DuckDB oracle
+recomputes the expected bytes relationally while the Spark side runs the
+real DOM/scoring/rendering/merging code over real HTML bytes. A value-hash
+match therefore verifies the whole extraction chain end to end, including
+the greedy token-budget chunk fold (reproduced in SQL with a recursive
+CTE over the same deterministic token formula).
 """
 
 from __future__ import annotations
 
 from collections.abc import Callable
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+
+# --------------------------------------------------------------------------
+# shared DuckDB SQL fragments (mirror ragflow_spark/corpus/gen.py exactly)
+# --------------------------------------------------------------------------
+
+_SCORES = (
+    "list_transform(paras0, p -> CASE WHEN length(p) >= 25 "
+    "THEN 2.0 + least(length(p) / 100.0, 3.0) ELSE 0.0 END)"
+)
+
+# documents -> (url, title, family, np, paras) — the generator's derivations
+_ORACLE_BASE = f"""
+WITH doc AS (
+    SELECT doc_id, text, lang,
+           CAST(8 + (doc_id % 13) AS INT) AS k,
+           string_split(text, ' ') AS words
+    FROM documents
+), dim AS (
+    SELECT *, CAST(ceil(len(words) / CAST(k AS DOUBLE)) AS INT) AS np
+    FROM doc
+), par AS (
+    SELECT *, list_transform(range(np), i ->
+        array_to_string(words[i * k + 1 : i * k + k], ' ')) AS paras0
+    FROM dim
+), fam AS (
+    SELECT *,
+        CAST(CASE WHEN doc_id % 5 = 3 AND NOT (
+            CAST(list_aggregate({_SCORES}, 'sum') AS DOUBLE) / 2.0 >
+            CAST(list_aggregate({_SCORES}, 'max') AS DOUBLE)
+        ) THEN 0 ELSE doc_id % 5 END AS INT) AS family,
+        CASE WHEN lang = 'zh' THEN '文档 ' || doc_id
+             ELSE 'Document ' || doc_id END AS title,
+        'https://host' || (CASE WHEN doc_id % 5 = 0 THEN 0
+                                ELSE doc_id % 50 END)
+            || '.example.com/doc/' || doc_id AS url
+    FROM par
+), base AS (
+    SELECT *,
+        CASE WHEN family = 4 THEN list_transform(paras0,
+                 (p, i) -> 'Section ' || i || ' ' || p)
+             ELSE paras0 END AS paras
+    FROM fam
+)
+"""
+
+# deterministic token count of one word (matches extractlib.tokens for the
+# corpus vocabulary: ascii letter runs, digit runs, CJK chars)
+_WORD_TOKENS = (
+    "CASE WHEN regexp_matches(w, '^[A-Za-z]+$') "
+    "THEN CAST(ceil(length(w) / 4.0) AS BIGINT) "
+    "WHEN regexp_matches(w, '^[0-9]+$') "
+    "THEN CAST(ceil(length(w) / 3.0) AS BIGINT) "
+    "ELSE CAST(length(w) AS BIGINT) END"
+)
+
+_SEC_TOKENS = (
+    f"CAST(list_aggregate(list_transform(string_split(s, ' '), "
+    f"w -> {_WORD_TOKENS}), 'sum') AS BIGINT)"
+)
+
+# sections of the extracted text, in order: title first, then paragraphs
+_ORACLE_SECTIONS = _ORACLE_BASE + """
+, secs AS (
+    SELECT url, 1 AS i, title AS s FROM base
+    UNION ALL
+    SELECT url, item.i + 1 AS i, item.p AS s
+    FROM (
+        SELECT url, unnest(list_transform(paras,
+                   (p, i) -> {'p': p, 'i': i})) AS item
+        FROM base
+    )
+)
+"""
+
+
+def _sf(sf_dir: str) -> str:
+    return sf_dir
+
+
+# --------------------------------------------------------------------------
+# queries
+# --------------------------------------------------------------------------
+
+def _q_extract_html(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full extraction chain: find_codec -> DOM -> readability scoring ->
+    html-text rendering; byte-identical extracted text per url."""
+    from ragflow_spark.corpus.gen import build_pages
+    from ragflow_spark.job.extract import extract_pages
+
+    pages = build_pages(spark, sf_dir)
+    return extract_pages(pages).select(
+        "url", "title", "extracted_text", "n_sections"
+    )
+
+
+def _q_chunks_naive(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """naive template (rag/app/naive.py HTML branch): greedy 128-token
+    section fold; chunk text value-checked against the recursive-CTE
+    oracle (chunk ids are pytest-covered: xxh64 has no DuckDB analog)."""
+    from ragflow_spark.corpus.gen import build_pages
+    from ragflow_spark.job.extract import chunk_pages
+
+    pages = build_pages(spark, sf_dir)
+    return chunk_pages(pages, "naive").select(
+        "url", "chunk_seq", "chunk_text"
+    )
+
+
+def _q_chunk_one(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """one template (rag/app/one.py): whole doc -> single chunk, sections
+    joined by newline."""
+    from ragflow_spark.corpus.gen import build_pages
+    from ragflow_spark.job.extract import chunk_pages
+
+    pages = build_pages(spark, sf_dir)
+    return chunk_pages(pages, "one").select(
+        "url", "chunk_seq", "chunk_text"
+    )
+
+
+def _q_chunks_book(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """book template (rag/app/book.py HTML branch): hierarchical merge for
+    bulleted docs (family 4 'Section i' headings), naive-256 otherwise."""
+    from ragflow_spark.corpus.gen import build_pages
+    from ragflow_spark.job.extract import chunk_pages
+
+    pages = build_pages(spark, sf_dir)
+    return chunk_pages(pages, "book").select(
+        "url", "chunk_seq", "chunk_text", "merge_mode"
+    )
+
+
+def _q_pages_hosts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Host-skew profile of the corpus (drives the salting policy):
+    host0 carries ~20% of urls by construction."""
+    from ragflow_spark.corpus.gen import build_pages
+
+    pages = build_pages(spark, sf_dir)
+    host = F.regexp_extract("url", r"https://([^/]+)/", 1)
+    return (
+        pages.groupBy(host.alias("host"))
+        .agg(F.count("*").alias("n_pages"))
+    )
+
+
+def _q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup groups over documents (hash-groupBy family)."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return (
+        docs.groupBy("text")
+        .agg(F.count("*").alias("n_dups"),
+             F.min("doc_id").alias("keeper_doc_id"))
+        .select("n_dups", "keeper_doc_id")
+    )
+
+
+def _q_doc_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic token counts (extractlib.tokens in an Arrow batch UDF)
+    vs the closed-form SQL formula — parity gate for the chunk oracles."""
+    from ragflow_spark.operators.textstats import token_counts
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return token_counts(docs)
+
+
+def _q_doc_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document text statistics (JVM built-ins, codegen-friendly)."""
+    from ragflow_spark.operators.textstats import doc_stats
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return doc_stats(docs)
+
+
+def _q_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher/C4-style quality heuristics (stopword/shortword/diversity)."""
+    from ragflow_spark.operators.textstats import quality_score
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return quality_score(docs)
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: full byte-identity extraction at sf0.001."""
+    return _q_extract_html(spark, "/root/testdata/sf0.001")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {
+        "extract_html": _q_extract_html,
+        "chunks_naive": _q_chunks_naive,
+        "chunk_one": _q_chunk_one,
+        "chunks_book": _q_chunks_book,
+        "pages_hosts": _q_pages_hosts,
+        "dedup_exact": _q_dedup_exact,
+        "doc_tokens": _q_doc_tokens,
+        "doc_stats": _q_doc_stats,
+        "quality_score": _q_quality_score,
+    }
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    extract = _ORACLE_BASE + """
+SELECT url, title,
+       title || chr(10) ||
+       (CASE WHEN family IN (0, 1, 4)
+             THEN array_to_string(paras, chr(10) || chr(10))
+             ELSE array_to_string(paras, chr(10)) END) AS extracted_text,
+       np + 1 AS n_sections
+FROM base
+"""
+
+    chunk_one = _ORACLE_BASE + """
+SELECT url, 0 AS chunk_seq,
+       title || chr(10) || array_to_string(paras, chr(10)) AS chunk_text
+FROM base
+"""
+
+    chunks_naive = _ORACLE_SECTIONS + f"""
+, toks AS (
+    SELECT url, i, s, {_SEC_TOKENS} AS t FROM secs
+), fold AS (
+    SELECT url, i, 0 AS cidx, t AS cur FROM toks WHERE i = 1
+    UNION ALL
+    SELECT s.url, s.i,
+           CASE WHEN f.cur > 128 THEN f.cidx + 1 ELSE f.cidx END,
+           CASE WHEN f.cur > 128 THEN s.t ELSE f.cur + s.t END
+    FROM fold f JOIN toks s ON s.url = f.url AND s.i = f.i + 1
+)
+SELECT f.url, CAST(f.cidx AS INT) AS chunk_seq,
+       array_to_string(list(s.s ORDER BY s.i), '') AS chunk_text
+FROM fold f JOIN toks s ON s.url = f.url AND s.i = f.i
+GROUP BY f.url, f.cidx
+"""
+    # WITH RECURSIVE must lead the statement: rewrite the leading WITH
+    chunks_naive = chunks_naive.replace("WITH doc AS", "WITH RECURSIVE doc AS", 1)
+
+    pages_hosts = """
+SELECT 'host' || (CASE WHEN doc_id % 5 = 0 THEN 0 ELSE doc_id % 50 END)
+       || '.example.com' AS host,
+       count(*) AS n_pages
+FROM documents
+GROUP BY 1
+"""
+
+    dedup_exact = """
+SELECT count(*) AS n_dups, min(doc_id) AS keeper_doc_id
+FROM documents GROUP BY text
+"""
+
+    doc_tokens = f"""
+SELECT doc_id,
+       CAST(list_aggregate(list_transform(string_split(text, ' '),
+            w -> {_WORD_TOKENS}), 'sum') AS BIGINT) AS n_tokens
+FROM documents
+"""
+
+    doc_stats = """
+SELECT doc_id,
+       len(string_split(text, ' ')) AS n_words,
+       length(text) AS n_chars,
+       len(list_distinct(string_split(text, ' '))) AS n_distinct_words,
+       (length(text) - (len(string_split(text, ' ')) - 1))
+           / CAST(len(string_split(text, ' ')) AS DOUBLE) AS mean_word_len
+FROM documents
+"""
+
+    quality_score = """
+SELECT doc_id,
+       len(list_filter(string_split(text, ' '), w -> w IN
+           ('the', 'a', 'of', 'and', 'to', 'in', 'is')))
+           / CAST(len(string_split(text, ' ')) AS DOUBLE) AS stopword_ratio,
+       len(list_filter(string_split(text, ' '), w -> length(w) <= 2))
+           / CAST(len(string_split(text, ' ')) AS DOUBLE) AS shortword_ratio,
+       len(list_distinct(string_split(text, ' ')))
+           / CAST(len(string_split(text, ' ')) AS DOUBLE) AS lexical_diversity
+FROM documents
+"""
+
+    return {
+        "extract_html": extract,
+        "chunks_naive": chunks_naive,
+        "chunk_one": chunk_one,
+        # chunks_book: rows-only for now (hierarchical fold oracle lands
+        # in a later round)
+        "pages_hosts": pages_hosts,
+        "dedup_exact": dedup_exact,
+        "doc_tokens": doc_tokens,
+        "doc_stats": doc_stats,
+        "quality_score": quality_score,
+    }

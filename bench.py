@@ -1,0 +1,80 @@
+"""Benchmark harness — one JSON line on stdout.
+
+Runs the headline extraction + chunking + curation queries over the
+synthetic pages corpus built from $SPARK_GRAFT_SF_DIR (default
+/root/testdata/sf0.1, 5k docs -> replicated x4 = 20k pages) on
+local[$SPARK_GRAFT_CPUS].
+
+Scaling evidence for the north rule (N vs 4N executors) is produced by
+tools/bench_scaling.py, which runs the same extract job at local[8] and
+local[32] and writes BENCH/BASELINE.md.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+REPLICATE = int(os.environ.get("BENCH_REPLICATE", "4"))
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+
+    from ragflow_spark.corpus.gen import build_pages
+    from ragflow_spark.job.extract import chunk_pages, extract_pages
+    from ragflow_spark.job.session import get_spark
+    from ragflow_spark.operators.textstats import quality_score, token_counts
+
+    spark = get_spark(app="bench", master=f"local[{cpus}]",
+                      shuffle_partitions=int(cpus))
+    spark.sparkContext.setLogLevel("ERROR")
+
+    # materialize the corpus once (page synthesis is not the system under
+    # test); cache + count to force it
+    pages = build_pages(spark, sf_dir, replicate=REPLICATE).cache()
+    n_pages = pages.count()
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").cache()
+    docs.count()
+
+    timings: dict[str, float] = {}
+
+    def run(name: str, fn) -> None:
+        t0 = time.perf_counter()
+        fn()
+        timings[name] = round(time.perf_counter() - t0, 3)
+
+    run("extract_html", lambda: extract_pages(pages)
+        .write.format("noop").mode("overwrite").save())
+    run("chunks_naive", lambda: chunk_pages(pages, "naive")
+        .write.format("noop").mode("overwrite").save())
+    run("chunks_book", lambda: chunk_pages(pages, "book")
+        .write.format("noop").mode("overwrite").save())
+    run("chunk_one", lambda: chunk_pages(pages, "one")
+        .write.format("noop").mode("overwrite").save())
+    run("doc_tokens", lambda: token_counts(docs)
+        .write.format("noop").mode("overwrite").save())
+    run("quality_score", lambda: quality_score(docs)
+        .write.format("noop").mode("overwrite").save())
+
+    total = round(sum(timings.values()), 3)
+    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    print(json.dumps({
+        "metric": "pipeline_total_sec",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+        "n_pages": n_pages,
+        "extract_docs_per_sec": round(n_pages / timings["extract_html"], 1),
+    }))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,229 @@
+"""Build the `pages` input table (BASELINE.json input_hint schema:
+url STRING, warc_ts TIMESTAMP, html BINARY, text STRING, lang STRING)
+deterministically from the driver testdata ``documents`` table.
+
+Every derivation is a *relational* expression over (doc_id, text, lang), so
+the DuckDB oracle can reproduce both the construction and the expected
+extraction output in ANSI SQL — which is what makes the end-to-end
+extraction chain value-checkable (CORRECTNESS gate) without a second Python
+implementation leaking into the oracle.
+
+Document families (FIXTURES.md §2), keyed by ``doc_id % 5`` — each family
+exercises a different readability/html-text rule set, and each family's
+expected extracted text is a closed-form string function of (title, paras):
+
+  0 clean      <article> of <p>s                  -> paras joined "\n\n"
+  1 boiler     nav/sidebar/footer link-farm divs   -> boiler stripped,
+               around <div class="article-content">   paras joined "\n\n"
+  2 divs+br    one <div>, paragraphs split by      -> div->p transform,
+               <br><br>                               paras joined "\n"
+  3 table      1990s <table><tr><td> layout        -> paras joined "\n"
+               (only when np>=3: with fewer rows the best candidate is a
+               single <tr>, which would truncate the page — family falls
+               back to 0)
+  4 sections   <p>s prefixed "Section i "          -> paras joined "\n\n"
+               (drives bullets_category group 3 / book hierarchical merge)
+
+Titles: "文档 {doc_id}" for zh docs (exercises gb2312/gbk + utf-16 codec
+paths), else "Document {doc_id}".
+
+Encodings: zh & doc_id%2==0 -> gbk; doc_id%20==3 -> utf-16 (BOM); else
+utf-8. latin-1 is deliberately absent: the reference find_codec cascade
+(rag/nlp/__init__.py:53-71) mis-detects even-length latin-1 blobs as
+gbk/utf_16 before reaching latin_1, so no latin-1 page can round-trip —
+we mirror the cascade and therefore only feed it codecs it resolves.
+
+Host skew (FIXTURES.md §1): doc_id % 5 == 0 collapses onto host0
+(~20% of rows on one host), exercising the explicit salting path.
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame, functions as F
+
+PAGES_SCHEMA = ("url string, warc_ts timestamp, html binary, "
+                "text string, lang string")
+
+# Families whose paragraphs render with a blank line between them.
+DOUBLE_NEWLINE_FAMILIES = (0, 1, 4)
+
+_BOILER_NAV = (
+    '<div class="sidebar"><a href="/1">home page</a> <a href="/2">about us'
+    '</a> <a href="/3">contact form</a> <a href="/4">site map</a></div>'
+)
+_BOILER_FOOTER = (
+    '<div class="footer"><a href="/terms">terms of use</a> '
+    '<a href="/privacy">privacy policy</a></div>'
+)
+
+
+def _with_derived(docs: DataFrame) -> DataFrame:
+    """doc_id/text/lang -> url, title, k, np, family, paras."""
+    words = F.split(F.col("text"), " ")
+    k = (F.lit(8) + F.col("doc_id") % 13).cast("int")
+    np = F.ceil(F.size(words) / k.cast("double")).cast("int")
+    fam_raw = (F.col("doc_id") % 5).cast("int")
+    host = F.when(F.col("doc_id") % 5 == 0, F.lit(0)).otherwise(
+        F.col("doc_id") % 50
+    )
+    url = F.concat(
+        F.lit("https://host"), host.cast("string"),
+        F.lit(".example.com/doc/"), F.col("doc_id").cast("string"),
+    )
+    title = F.when(
+        F.col("lang") == "zh",
+        F.concat(F.lit("文档 "), F.col("doc_id").cast("string")),
+    ).otherwise(F.concat(F.lit("Document "), F.col("doc_id").cast("string")))
+    # i-th paragraph: words[i*k+1 .. i*k+k] joined by spaces; family 4
+    # prefixes "Section {i+1} " (bullet group 3 heading)
+    out = (
+        docs.withColumn("k", k)
+        .withColumn("np", np)
+        .withColumn("fam_raw", fam_raw)
+        .withColumn("url", url)
+        .withColumn("title", title)
+    )
+    # raw paragraphs (no Section prefix yet) to decide the table guard
+    out = out.withColumn(
+        "paras0",
+        F.expr(
+            "transform(sequence(0, np - 1), i -> "
+            "array_join(slice(split(text, ' '), i * k + 1, k), ' '))"
+        ),
+    )
+    # A <table> page extracts whole only if readability's best candidate is
+    # the table, not a single row: per-row score s_i = 2 + min(len/100, 3)
+    # when len >= 25 (1 base + 1 comma-split + length bonus; no commas in
+    # the corpus words, link density 0, tr/table tag base 0), table score =
+    # sum(s_i)/2. Family 3 is assigned only when the table STRICTLY beats
+    # every row (ties resolve to the first-inserted candidate, a row).
+    out = out.withColumn(
+        "tbl_wins",
+        F.expr(
+            "aggregate(transform(paras0, p -> CASE WHEN length(p) >= 25 "
+            "THEN 2.0D + least(cast(length(p) as double) / 100.0D, 3.0D) "
+            "ELSE 0.0D END), 0.0D, (a, x) -> a + x) / 2.0D > "
+            "array_max(transform(paras0, p -> CASE WHEN length(p) >= 25 "
+            "THEN 2.0D + least(cast(length(p) as double) / 100.0D, 3.0D) "
+            "ELSE 0.0D END))"
+        ),
+    )
+    out = out.withColumn(
+        "family",
+        F.expr("CASE WHEN fam_raw = 3 AND NOT tbl_wins THEN 0 "
+               "ELSE fam_raw END").cast("int"),
+    )
+    paras = F.expr(
+        "CASE WHEN family = 4 THEN transform(paras0, (p, i) -> "
+        "concat('Section ', i + 1, ' ', p)) ELSE paras0 END"
+    )
+    return out.withColumn("paras", paras)
+
+
+def _html_column() -> F.Column:
+    """Assemble the html document string per family."""
+    p_body = F.expr(
+        "array_join(transform(paras, p -> concat('<p>', p, '</p>')), '')"
+    )
+    tr_body = F.expr(
+        "array_join(transform(paras, p -> "
+        "concat('<tr><td>', p, '</td></tr>')), '')"
+    )
+    br_body = F.expr("array_join(paras, '<br><br>')")
+    body = (
+        F.when(F.col("family") == 1,
+               F.concat(F.lit(_BOILER_NAV),
+                        F.lit('<div class="article-content">'), p_body,
+                        F.lit("</div>"), F.lit(_BOILER_FOOTER)))
+        .when(F.col("family") == 2,
+              F.concat(F.lit("<div>"), br_body, F.lit("</div>")))
+        .when(F.col("family") == 3,
+              F.concat(F.lit("<table>"), tr_body, F.lit("</table>")))
+        .otherwise(F.concat(F.lit("<article>"), p_body, F.lit("</article>")))
+    )
+    return F.concat(
+        F.lit("<html><head><title>"), F.col("title"),
+        F.lit("</title></head><body>"), body, F.lit("</body></html>"),
+    )
+
+
+def _encode_batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """html_str -> bytes in the per-row charset (gbk unavailable to Spark's
+    ``encode()``, hence this vectorized pandas step)."""
+    for pdf in it:
+        def enc(row):
+            return row["html_str"].encode(row["charset"])
+
+        pdf["html"] = pdf.apply(enc, axis=1)
+        yield pdf[["url", "warc_ts", "html", "text", "lang"]]
+
+
+def build_pages(spark, sf_dir: str, replicate: int = 1,
+                partitions: int | None = None) -> DataFrame:
+    """documents.parquet -> pages DataFrame (input_hint schema).
+
+    ``replicate`` > 1 multiplies rows for bench runs (doc_id offset by
+    10**7 per copy so urls stay unique); correctness runs use 1.
+
+    ``partitions``: explicit fan-out. The testdata parquet is a single
+    small file -> one input split -> one task; a real CC-scale Iceberg
+    table arrives pre-split, so for local runs we repartition to keep all
+    cores busy (defaults to spark.default.parallelism when None).
+    """
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "text", "lang"
+    )
+    n_parts = partitions or spark.sparkContext.defaultParallelism
+    docs = docs.repartition(n_parts)
+    if replicate > 1:
+        reps = spark.range(replicate).select(F.col("id").alias("rep"))
+        docs = (
+            docs.crossJoin(F.broadcast(reps))
+            .withColumn("doc_id",
+                        F.col("doc_id") + F.col("rep") * F.lit(10_000_000))
+            .drop("rep")
+        )
+    d = _with_derived(docs)
+    d = d.withColumn("html_str", _html_column())
+    charset = (
+        F.when((F.col("lang") == "zh") & (F.col("doc_id") % 2 == 0),
+               F.lit("gbk"))
+        .when(F.col("doc_id") % 20 == 3, F.lit("utf-16"))
+        .otherwise(F.lit("utf-8"))
+    )
+    warc_ts = F.to_timestamp(F.lit("2025-01-01 00:00:00")) + F.make_dt_interval(
+        secs=(F.col("doc_id") * 37 % 2_592_000).cast("double")
+    )
+    # the CC-style pre-extracted `text` column: a deliberately *naive*
+    # rendering (title + raw words + boiler text) the pipeline must not use
+    naive_text = F.concat(F.col("title"), F.lit(" "), F.col("text"))
+    d = (
+        d.withColumn("charset", charset)
+        .withColumn("warc_ts", warc_ts)
+        .withColumn("text", naive_text)
+        .select("url", "warc_ts", "html_str", "charset", "text", "lang")
+    )
+    return d.mapInPandas(
+        _encode_batches,
+        schema=PAGES_SCHEMA,
+    )
+
+
+def expected_extracted(spark, sf_dir: str) -> DataFrame:
+    """Closed-form expected (url, title, extracted_text) — the golden the
+    pipeline must reproduce byte-identically (Spark-side twin of the
+    DuckDB oracle SQL in __spark_entry__.oracle_sql)."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "text", "lang"
+    )
+    d = _with_derived(docs)
+    extracted = F.expr(
+        "concat(title, '\\n', array_join(paras, "
+        "CASE WHEN family IN (0, 1, 4) THEN '\\n\\n' ELSE '\\n' END))"
+    )
+    return d.select(
+        "url", "title", extracted.alias("extracted_text")
+    )

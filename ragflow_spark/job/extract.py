@@ -1,0 +1,111 @@
+"""Vectorized extraction operators: pages -> extracted / chunks.
+
+The whole §2 operator chain (codec -> DOM -> readability -> html-text ->
+template merge) runs *inside* Arrow-batched ``mapInPandas`` UDFs — one
+Python invocation per batch of rows, no per-row Python UDFs, no driver-side
+loops (BASELINE.json input_hint). A document is the atomicity unit, exactly
+as in the reference where one task owns one page range
+(rag/svr/task_executor.py:217-246).
+
+Physical plan shape (SURVEY.md §4.2):
+
+    Scan parquet/iceberg (url, html[, lang])   <- column pruning: only the
+      -> [optional salted Repartition]            columns the UDF declares
+      -> MapInPandas(extract_and_chunk)
+      -> sink / compare
+
+The extraction is embarrassingly parallel: no shuffle is required at all
+unless the caller wants host-salted balancing (job/salting.py) — at 100 TB
+the scan partitioning (Iceberg split planning) is already the right unit,
+and AQE coalesces small post-shuffle partitions when a repartition is used.
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+
+EXTRACTED_SCHEMA = ("url string, title string, extracted_text string, "
+                    "n_sections int, parser string")
+
+CHUNKS_SCHEMA = ("url string, chunk_seq int, chunk_text string, "
+                 "chunk_id string")
+
+BOOK_CHUNKS_SCHEMA = CHUNKS_SCHEMA + ", merge_mode string"
+
+
+def _extract_batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    # imports inside the worker so the UDF pickles by reference cleanly
+    from ragflow_spark.extractlib.codec import decode_blob
+    from ragflow_spark.extractlib.htmlparse import parse_html_text
+
+    for pdf in it:
+        urls, titles, texts, nsec = [], [], [], []
+        for url, blob in zip(pdf["url"], pdf["html"]):
+            title, content = parse_html_text(decode_blob(bytes(blob)))
+            extracted = f"{title}\n{content}"
+            urls.append(url)
+            titles.append(title)
+            texts.append(extracted)
+            nsec.append(len([s for s in extracted.split("\n") if s]))
+        yield pd.DataFrame({
+            "url": urls, "title": titles, "extracted_text": texts,
+            "n_sections": nsec,
+            "parser": ["html"] * len(urls),
+        })
+
+
+def extract_pages(pages: DataFrame) -> DataFrame:
+    """pages(url, html, ...) -> (url, title, extracted_text, n_sections,
+    parser). The byte-identity invariant binds extracted_text per url."""
+    return pages.select("url", "html").mapInPandas(
+        _extract_batches, schema=EXTRACTED_SCHEMA
+    )
+
+
+def _chunk_batches_factory(template: str):
+    def chunk_batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from ragflow_spark.extractlib import templates as T
+
+        for pdf in it:
+            rows: dict[str, list] = {
+                "url": [], "chunk_seq": [], "chunk_text": [], "chunk_id": [],
+            }
+            modes: list[str] = []
+            for url, blob in zip(pdf["url"], pdf["html"]):
+                blob = bytes(blob)
+                if template == "naive":
+                    chunks = T.chunk_naive_html(blob)
+                    mode = "naive"
+                elif template == "book":
+                    chunks, mode = T.chunk_book_html(blob)
+                elif template == "one":
+                    chunks = T.chunk_one_html(blob)
+                    mode = "one"
+                else:  # pragma: no cover
+                    raise ValueError(template)
+                for seq, text, cid in T.chunks_with_ids(chunks, url):
+                    rows["url"].append(url)
+                    rows["chunk_seq"].append(seq)
+                    rows["chunk_text"].append(text)
+                    rows["chunk_id"].append(cid)
+                    modes.append(mode)
+            out = pd.DataFrame(rows)
+            if template == "book":
+                out["merge_mode"] = modes
+            yield out
+
+    return chunk_batches
+
+
+def chunk_pages(pages: DataFrame, template: str = "naive") -> DataFrame:
+    """pages -> exploded chunk rows for one template chunker.
+
+    chunk_seq is assigned inside the UDF (per-url order carried by the
+    column, no window function / global sort needed — SURVEY.md §2.9)."""
+    schema = BOOK_CHUNKS_SCHEMA if template == "book" else CHUNKS_SCHEMA
+    return pages.select("url", "html").mapInPandas(
+        _chunk_batches_factory(template), schema=schema
+    )

@@ -1,0 +1,45 @@
+"""html-text 0.6.2 rendering rules."""
+
+from ragflow_spark.extractlib.dom import parse_html
+from ragflow_spark.extractlib.htmltext import extract_text
+
+
+def test_block_newline_classes():
+    assert extract_text("<p>a</p><p>b</p>") == "a\n\nb"
+    assert extract_text("<div>a</div><div>b</div>") == "a\nb"
+    assert extract_text("<table><tr><td>a</td></tr><tr><td>b</td></tr>"
+                        "</table>") == "a\nb"
+    assert extract_text("<h1>a</h1><p>b</p>") == "a\n\nb"
+
+
+def test_consecutive_brs_collapse_to_one_newline():
+    assert extract_text("<div>a<br><br>b</div>") == "a\nb"
+
+
+def test_inline_space_guessing():
+    assert extract_text("<span>a</span><span>b</span>") == "a b"
+    # no space before binding punctuation
+    assert extract_text("<span>word</span><span>, next</span>") == \
+        "word, next"
+    # no space after open bracket
+    assert extract_text("<span>(</span><span>x</span>") == "(x"
+
+
+def test_whitespace_collapsed_within_fragment():
+    assert extract_text("<p>a   b\n\t c</p>") == "a b c"
+
+
+def test_script_style_skipped():
+    assert extract_text(
+        "<p>keep</p><script>var x=1;</script><style>p{}</style>"
+    ) == "keep"
+
+
+def test_never_more_than_one_blank_line():
+    assert extract_text("<p>a</p><div></div><p>b</p>") == "a\n\nb"
+
+
+def test_comment_dropped_at_parse():
+    root = parse_html("<p>a<!-- hidden -->b</p>")
+    assert "hidden" not in extract_text("<p>a<!-- hidden -->b</p>")
+    assert root is not None

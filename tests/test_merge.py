@@ -1,0 +1,109 @@
+"""Chunk-merge policy semantics (reference rag/nlp/__init__.py)."""
+
+from ragflow_spark.extractlib.merge import (
+    bullets_category,
+    hierarchical_merge,
+    is_chinese,
+    is_english,
+    make_colon_as_title,
+    naive_merge,
+    not_bullet,
+    remove_contents_table,
+)
+from ragflow_spark.extractlib.tokens import num_tokens_from_string
+
+
+def test_naive_merge_overshoot_by_one_section():
+    # quirk (rag/nlp/__init__.py:528): a chunk closes only when it already
+    # exceeds the budget BEFORE the next section arrives
+    secs = [("x " * 60).strip() for _ in range(4)]  # 60 tokens each
+    cks = naive_merge(secs, chunk_token_num=100)
+    # 60 -> not >100 add (120) -> >100 close; chunks of 2 sections each
+    assert len(cks) == 2
+    assert cks[0] == secs[0] + secs[1]
+
+
+def test_naive_merge_single_small_section():
+    assert naive_merge(["tiny"]) == ["tiny"]
+    assert naive_merge([]) == []
+
+
+def test_naive_merge_position_tag_rules():
+    # tags dropped for sections under 8 tokens; appended otherwise
+    small = [("tiny sec", "@@1\t0\t0\t0\t0##")]
+    out = naive_merge(small, chunk_token_num=128)
+    assert out == ["tiny sec"]
+    big = [("word " * 20, "@@1\t0\t0\t0\t0##")]
+    out = naive_merge(big, chunk_token_num=128)
+    assert out[0].endswith("##")
+
+
+def test_bullets_category_votes():
+    en = ["Chapter I Introduction", "Section 1 Basics", "Article 12 Rules"]
+    assert bullets_category(en) == 3
+    cn = ["第一章 总则", "第二条 定义", "第三条 范围"]
+    assert bullets_category(cn) == 0
+    assert bullets_category(["plain text", "no bullets"]) == -1
+
+
+def test_not_bullet_guards():
+    assert not_bullet("0")
+    assert not_bullet("12 3个")
+    assert not_bullet("1...")
+    assert not not_bullet("Section 1")
+
+
+def test_is_english_is_chinese():
+    assert is_english(["The quick", "brown fox", "jumps over", "the dog",
+                       "every day"])
+    assert not is_english(["第一", "第二", "第三", "第四", "第五"])
+    assert is_chinese("这是中文文本 with some ascii")
+    assert not is_chinese("pure english text")
+
+
+def test_remove_contents_table():
+    secs = ["contents", "Introduction .......... 1",
+            "Methods .......... 2",
+            "Introduction body starts here and goes on"]
+    remove_contents_table(secs, eng=True)
+    assert secs == ["Introduction body starts here and goes on"]
+
+
+def test_make_colon_as_title_is_noop_quirk():
+    # reference quirk (rag/nlp/__init__.py:381-385): the length gate reads
+    # arr[1], which re.split always fills with the 1-2 char *delimiter*
+    # capture, so the synthetic-title insert can never fire; replicated
+    lead = "A" * 40 + "。The following points are important:"
+    secs = [(lead, "")]
+    make_colon_as_title(secs)
+    assert secs == [(lead, "")]
+    # string-list input passes through unchanged
+    assert make_colon_as_title(["a:"]) == ["a:"]
+
+
+def test_hierarchical_merge_groups_under_headings():
+    secs = [
+        ("Document head", ""),
+        ("Section 1 first heading content words here", ""),
+        ("Section 2 second heading content words here", ""),
+    ]
+    out = hierarchical_merge(3, secs, 5)
+    assert out, "bull group 3 must produce chunks"
+    flat = ["\n".join(ck) for ck in out]
+    joined = "\n".join(flat)
+    assert "Section 1" in joined and "Section 2" in joined
+
+
+def test_hierarchical_merge_budget_remerges_singletons():
+    secs = [(f"Section {i} tiny", "") for i in range(1, 6)]
+    out = hierarchical_merge(3, secs, 5)
+    total_tokens = sum(
+        num_tokens_from_string(s) for ck in out for s in ck
+    )
+    assert total_tokens > 0
+    # all tiny singletons fit one 218-token budget bucket
+    assert len(out) == 1
+
+
+def test_no_bullets_returns_empty():
+    assert hierarchical_merge(-1, [("plain", "")], 5) == []

@@ -1,0 +1,93 @@
+"""Arc90 scoring behavior on small DOMs (readability-lxml 0.8.1 semantics)."""
+
+from ragflow_spark.extractlib.htmlparse import extract_html, parse_html_text
+
+LONG_P = ("This paragraph easily clears the twenty-five character scoring "
+          "minimum, has a comma, and enough length to accumulate points.")
+
+
+def _page(body: str, title: str = "T") -> bytes:
+    return (f"<html><head><title>{title}</title></head>"
+            f"<body>{body}</body></html>").encode()
+
+
+def test_title_extraction_and_prepend():
+    title, content = parse_html_text(
+        _page(f"<article><p>{LONG_P}</p></article>", "My  Spaced\nTitle")
+        .decode()
+    )
+    assert title == "My Spaced Title"  # whitespace-normalized
+    assert content.startswith("This paragraph")
+
+
+def test_missing_title_placeholder():
+    out = extract_html(b"<html><body><p>%s</p></body></html>"
+                       % LONG_P.encode())
+    assert out.startswith("[no-title]\n")
+
+
+def test_boilerplate_divs_removed_in_ruthless_pass():
+    body = (
+        '<div class="sidebar"><a href="/1">one</a> <a href="/2">two</a>'
+        "</div>"
+        f'<div class="article-content"><p>{LONG_P}</p><p>{LONG_P}</p></div>'
+        '<div class="footer"><a href="/t">terms</a></div>'
+    )
+    out = extract_html(_page(body))
+    assert "one" not in out and "terms" not in out
+    assert out.count("This paragraph") == 2
+
+
+def test_positive_class_not_removed():
+    # "main" matches okMaybeItsACandidateRe -> survives unlikely removal
+    body = (f'<div class="sidebar main"><p>{LONG_P}</p></div>')
+    out = extract_html(_page(body))
+    assert "This paragraph" in out
+
+
+def test_div_without_block_children_becomes_paragraph():
+    body = ("<div>plain text line one with enough characters to score "
+            "well, definitely<br><br>second line also long enough to "
+            "matter for the extraction, yes</div>")
+    out = extract_html(_page(body))
+    # br-separated lines inside the converted <p> render with single \n
+    assert "\n\n" not in out.split("\n", 1)[1]
+    assert "second line" in out
+
+
+def test_link_density_scales_score_down():
+    links = " ".join(f'<a href="/{i}">link text number {i} here</a>'
+                     for i in range(12))
+    body = (
+        f'<div id="linkfarm"><p>{links} short tail.</p></div>'
+        f'<div id="real"><p>{LONG_P}</p><p>{LONG_P}</p></div>'
+    )
+    out = extract_html(_page(body))
+    assert "link text number 3" not in out
+    assert "This paragraph" in out
+
+
+def test_table_page_extracts_all_rows_when_table_wins():
+    rows = "".join(
+        f"<tr><td>row {i} cell with plenty of characters to clear the "
+        f"scoring minimum easily, truly</td></tr>" for i in range(4)
+    )
+    out = extract_html(_page(f"<table>{rows}</table>"))
+    for i in range(4):
+        assert f"row {i} cell" in out
+
+
+def test_sibling_paragraph_pulled_in():
+    # sibling <p> with >80 chars and no links joins the article even
+    # without a candidate score
+    body = (
+        f"<article><p>{LONG_P}</p><p>{LONG_P}</p></article>"
+        f"<p>{LONG_P}</p>"
+    )
+    out = extract_html(_page(body))
+    assert out.count("This paragraph") == 3
+
+
+def test_short_page_retry_returns_body():
+    out = extract_html(_page("<p>tiny.</p>"))
+    assert out == "T\ntiny."

@@ -1,0 +1,104 @@
+"""Local stand-in for the driver's correctness gate: run every
+__spark_entry__ query on Spark and its oracle SQL on DuckDB at the given
+sf dir, compare row counts and order-insensitive value hashes.
+
+Usage: python tools/check_correctness.py [sf_dir]
+"""
+
+from __future__ import annotations
+
+import hashlib
+import sys
+
+import duckdb
+
+sys.path.insert(0, ".")
+
+TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
+          "lineitem", "events", "documents", "embeddings"]
+
+
+def value_hash(rows: list[tuple], cols: list[str]) -> str:
+    order = sorted(range(len(cols)), key=lambda i: cols[i])
+    canon = sorted(
+        tuple(_norm(r[i]) for i in order) for r in rows
+    )
+    h = hashlib.sha256()
+    for row in canon:
+        h.update(repr(row).encode())
+    return h.hexdigest()[:16]
+
+
+def _norm(v):
+    if isinstance(v, float):
+        return round(v, 6)
+    if hasattr(v, "__float__") and not isinstance(v, (int, bool)):
+        return round(float(v), 6)
+    return v
+
+
+def main() -> int:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    import __spark_entry__ as entrymod
+    from ragflow_spark.job.session import get_spark
+
+    spark = get_spark(master="local[8]", shuffle_partitions=8)
+    spark.sparkContext.setLogLevel("ERROR")
+
+    con = duckdb.connect()
+    for t in TABLES:
+        con.sql(
+            f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'"
+        )
+
+    qs = entrymod.queries()
+    oracles = entrymod.oracle_sql()
+    failures = 0
+    for name, fn in qs.items():
+        sdf = fn(spark, sf_dir)
+        scols = sorted(sdf.columns)
+        srows = [tuple(r) for r in sdf.collect()]
+        if name not in oracles:
+            print(f"{name:16s} rows={len(srows):6d}  (rows-only check)")
+            continue
+        ddf = con.sql(oracles[name])
+        dcols = sorted(ddf.columns)
+        drows = ddf.fetchall()
+        # reorder duck rows to its own column order, hash both
+        sh = value_hash(srows, list(sdf.columns))
+        dh = value_hash(drows, list(ddf.columns))
+        ok_schema = scols == dcols
+        ok_rows = len(srows) == len(drows)
+        ok_hash = sh == dh
+        status = "OK" if (ok_schema and ok_rows and ok_hash) else "FAIL"
+        if status == "FAIL":
+            failures += 1
+        print(f"{name:16s} rows={len(srows):6d}/{len(drows):6d} "
+              f"schema={'=' if ok_schema else scols} hash "
+              f"{'=' if ok_hash else (sh + ' vs ' + dh)}  {status}")
+        if not ok_hash and ok_rows:
+            # show a sample mismatch for debugging
+            ss = sorted(
+                tuple(_norm(r[i]) for i in
+                      sorted(range(len(sdf.columns)),
+                             key=lambda i: sdf.columns[i]))
+                for r in srows
+            )
+            dd = sorted(
+                tuple(_norm(r[i]) for i in
+                      sorted(range(len(ddf.columns)),
+                             key=lambda i: ddf.columns[i]))
+                for r in drows
+            )
+            for a, b in zip(ss, dd):
+                if a != b:
+                    print("  spark:", repr(a)[:300])
+                    print("  duck :", repr(b)[:300])
+                    break
+    spark.stop()
+    print("FAILURES:", failures)
+    return 1 if failures else 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
