@@ -203,6 +203,80 @@ def _q_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     return quality_score(docs)
 
 
+def _q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash(128) + LSH(32x4) candidate pairs, exact-Jaccard verified
+    (>=0.8 on word-trigram sets) over documents + injected near-dups.
+    The verify stage makes the output exact, so the O(n^2) DuckDB oracle
+    agrees (LSH miss probability <= 5e-8 at the threshold)."""
+    from ragflow_spark.operators.dedup import minhash_lsh_pairs
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return minhash_lsh_pairs(docs)
+
+
+def _q_dedup_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact word-bigram Jaccard pairs (>=0.5) via inverted shingle
+    index self-join (set-similarity join shape)."""
+    from ragflow_spark.operators.dedup import ngram_jaccard_pairs
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return ngram_jaccard_pairs(docs)
+
+
+def _q_simhash_sigs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """30-bit SimHash signatures from a polynomial word hash —
+    bit-for-bit reproduced by the DuckDB oracle."""
+    from ragflow_spark.operators.dedup import simhash_sigs
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return simhash_sigs(docs)
+
+
+def _q_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash pairs with hamming <= 2 via lossless pigeonhole block
+    join (3 blocks of 10 bits) + bit_count verify."""
+    from ragflow_spark.operators.dedup import simhash_pairs
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return simhash_pairs(docs)
+
+
+def _q_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force cosine top-5 for 10 broadcast query vectors with
+    partition-local top-k then merge (shuffle carries P*k rows, not the
+    score set)."""
+    from ragflow_spark.operators.similarity import ann_topk
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    return ann_topk(emb)
+
+
+def _q_embed_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding near-dup pairs (cosine >= 0.99) via sign-pattern LSH
+    buckets + exact verify, over embeddings + injected perturbed copies."""
+    from ragflow_spark.operators.similarity import embedding_neardup_pairs
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    return embedding_neardup_pairs(emb)
+
+
+def _q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heuristic language ID (CJK ratio + stopword votes), codegen-only."""
+    from ragflow_spark.operators.textstats import lang_id
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return lang_id(docs)
+
+
+def _q_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling polynomial document fingerprints (full-text + min over
+    word-5-gram hashes, the winnowing primitive)."""
+    from ragflow_spark.operators.textstats import fingerprints
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return fingerprints(docs)
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: full byte-identity extraction at sf0.001."""
     return _q_extract_html(spark, "/root/testdata/sf0.001")
@@ -219,7 +293,55 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_tokens": _q_doc_tokens,
         "doc_stats": _q_doc_stats,
         "quality_score": _q_quality_score,
+        "dedup_minhash": _q_dedup_minhash,
+        "dedup_ngram": _q_dedup_ngram,
+        "simhash_sigs": _q_simhash_sigs,
+        "simhash_pairs": _q_simhash_pairs,
+        "ann_topk": _q_ann_topk,
+        "embed_neardup": _q_embed_neardup,
+        "lang_id": _q_lang_id,
+        "fingerprints": _q_fingerprints,
     }
+
+
+# shared near-dup corpus augmentation (mirrors operators.dedup.with_near_dups)
+_CORPUS_SQL = """
+corpus AS (
+    SELECT doc_id, text FROM documents
+    UNION ALL
+    SELECT doc_id + 10000000 AS doc_id,
+           array_to_string(
+               string_split(text, ' ')[1 : len(string_split(text, ' ')) - 3],
+               ' ') AS text
+    FROM documents
+    WHERE doc_id % 7 = 2 AND len(string_split(text, ' ')) > 6
+)
+"""
+
+# polynomial word hash (mirrors operators.dedup._WORD_HASH)
+_POLY_W = ("list_reduce(list_prepend(CAST(0 AS BIGINT), "
+           "list_transform(range(1, length({w}) + 1), "
+           "i -> CAST(ord({w}[i]) AS BIGINT))), "
+           "(a, c) -> (a * 31 + c) % 1000000007)")
+
+_POLY131 = ("list_reduce(list_prepend(CAST(0 AS BIGINT), "
+            "list_transform(range(1, length({s}) + 1), "
+            "i -> CAST(ord({s}[i]) AS BIGINT))), "
+            "(a, c) -> (a * 131 + c) % 1000000007)")
+
+_SIMHASH_SQL = (
+    "list_sum(list_transform(range(30), i -> "
+    "CASE WHEN list_sum(list_transform(whs, v -> "
+    "CASE WHEN (v >> i) & 1 = 1 THEN 1 ELSE -1 END)) > 0 "
+    "THEN (CAST(1 AS BIGINT) << i) ELSE CAST(0 AS BIGINT) END))"
+)
+
+# double-precision left folds (mirror operators.similarity._DOT/_NORM)
+_DUCK_NORM = ("sqrt(list_reduce(list_prepend(CAST(0.0 AS DOUBLE), "
+              "list_transform({v}, x -> x * x)), (a, b) -> a + b))")
+_DUCK_DOT = ("list_reduce(list_prepend(CAST(0.0 AS DOUBLE), "
+             "list_transform(range(len({a})), i -> {a}[i + 1] * "
+             "{b}[i + 1])), (s, x) -> s + x)")
 
 
 def oracle_sql() -> dict[str, str]:
@@ -300,6 +422,143 @@ SELECT doc_id,
 FROM documents
 """
 
+    dedup_minhash = f"""
+WITH {_CORPUS_SQL},
+sh AS (
+    SELECT doc_id, list_distinct(list_transform(range(len(words) - 2),
+        i -> array_to_string(words[i + 1 : i + 3], ' '))) AS s
+    FROM (SELECT doc_id, string_split(text, ' ') AS words FROM corpus)
+    WHERE len(words) >= 3
+)
+SELECT doc_a, doc_b, jaccard FROM (
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           round(len(list_intersect(a.s, b.s)) /
+                 CAST(len(list_distinct(a.s || b.s)) AS DOUBLE),
+                 6) AS jaccard
+    FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+) WHERE jaccard >= 0.8
+"""
+
+    dedup_ngram = f"""
+WITH {_CORPUS_SQL},
+sh AS (
+    SELECT doc_id, list_distinct(list_transform(range(len(words) - 1),
+        i -> array_to_string(words[i + 1 : i + 2], ' '))) AS s
+    FROM (SELECT doc_id, string_split(text, ' ') AS words FROM corpus)
+    WHERE len(words) >= 2
+)
+SELECT doc_a, doc_b, jaccard FROM (
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           round(len(list_intersect(a.s, b.s)) /
+                 CAST(len(list_distinct(a.s || b.s)) AS DOUBLE),
+                 6) AS jaccard
+    FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+) WHERE jaccard >= 0.5
+"""
+
+    wh = _POLY_W.format(w="w")
+    simhash_base = f"""
+WITH h AS (
+    SELECT doc_id, list_transform(string_split(text, ' '),
+                                  w -> {wh}) AS whs
+    FROM documents
+), s AS (
+    SELECT doc_id, {_SIMHASH_SQL} AS simhash FROM h
+)
+"""
+    simhash_sigs_sql = simhash_base + "SELECT doc_id, simhash FROM s"
+
+    simhash_pairs_sql = simhash_base + """
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       bit_count(CAST(xor(a.simhash, b.simhash) AS BIGINT)) AS hamming
+FROM s a JOIN s b ON a.doc_id < b.doc_id
+WHERE bit_count(CAST(xor(a.simhash, b.simhash) AS BIGINT)) <= 2
+"""
+
+    nrm = _DUCK_NORM.format(v="v")
+    dot_ab = _DUCK_DOT.format(a="a.v", b="b.v")
+    dot_qv = _DUCK_DOT.format(a="q.v", b="n.v")
+    ann_topk_sql = f"""
+WITH e AS (
+    SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+    FROM embeddings
+), n AS (
+    SELECT vec_id, v, {nrm} AS nrm FROM e
+), q AS (
+    SELECT vec_id AS qid, v, nrm FROM n WHERE vec_id < 10
+), scored AS (
+    SELECT q.qid, n.vec_id,
+           {dot_qv} / (q.nrm * n.nrm) AS sc
+    FROM q JOIN n ON n.vec_id != q.qid
+)
+SELECT qid, CAST(rank AS INT) AS rank, vec_id, round(sc, 6) AS score
+FROM (
+    SELECT *, row_number() OVER (PARTITION BY qid
+                                 ORDER BY sc DESC, vec_id) AS rank
+    FROM scored
+) WHERE rank <= 5
+"""
+
+    embed_neardup_sql = f"""
+WITH e AS (
+    SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+    FROM embeddings
+), c AS (
+    SELECT vec_id, v FROM e
+    UNION ALL
+    SELECT vec_id + 1000000,
+           list_transform(range(len(v)), i ->
+               CASE WHEN i = 0 THEN v[i + 1] + 0.05 ELSE v[i + 1] END)
+    FROM e WHERE vec_id % 5 = 0
+), n AS (
+    SELECT vec_id, v, {nrm} AS nrm FROM c
+)
+SELECT vec_a, vec_b, cosine FROM (
+    SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+           round({dot_ab} / (a.nrm * b.nrm), 6) AS cosine
+    FROM n a JOIN n b ON a.vec_id < b.vec_id
+) WHERE cosine >= 0.99
+"""
+
+    def hits(words: tuple) -> str:
+        inlist = ", ".join(f"'{w}'" for w in words)
+        return (f"len(list_filter(string_split(text, ' '), "
+                f"w -> w IN ({inlist})))")
+
+    from ragflow_spark.operators.textstats import STOPWORDS, _CJK
+    hit_cols = ",\n           ".join(
+        f"{hits(ws)} AS {lang}_hits" for lang, ws in STOPWORDS.items())
+    best = "greatest(en_hits, de_hits, fr_hits, es_hits)"
+    pred_chain = " ".join(
+        f"WHEN {lang}_hits = {best} THEN '{lang}'" for lang in STOPWORDS)
+    lang_id_sql = f"""
+WITH base AS (
+    SELECT doc_id,
+           round(CASE WHEN length(text) > 0 THEN
+               length(regexp_replace(text, '[^{_CJK}]', '', 'g')) /
+               CAST(length(text) AS DOUBLE) ELSE 0.0 END, 6) AS cjk_ratio,
+           {hit_cols}
+    FROM documents
+)
+SELECT doc_id, cjk_ratio, en_hits, de_hits, fr_hits, es_hits,
+       CASE WHEN cjk_ratio >= 0.2 THEN 'zh'
+            WHEN {best} = 0 THEN 'und'
+            {pred_chain} END AS pred_lang
+FROM base
+"""
+
+    fp_full = _POLY131.format(s="text")
+    fp_g = _POLY131.format(s="g")
+    fingerprints_sql = f"""
+SELECT doc_id, {fp_full} AS fp_full,
+       list_min(list_transform(
+           list_transform(range(greatest(len(words) - 4, 1)),
+               i -> array_to_string(words[i + 1 : i + 5], ' ')),
+           g -> {fp_g})) AS fp_min
+FROM (SELECT doc_id, text, string_split(text, ' ') AS words
+      FROM documents)
+"""
+
     return {
         "extract_html": extract,
         "chunks_naive": chunks_naive,
@@ -311,4 +570,12 @@ FROM documents
         "doc_tokens": doc_tokens,
         "doc_stats": doc_stats,
         "quality_score": quality_score,
+        "dedup_minhash": dedup_minhash,
+        "dedup_ngram": dedup_ngram,
+        "simhash_sigs": simhash_sigs_sql,
+        "simhash_pairs": simhash_pairs_sql,
+        "ann_topk": ann_topk_sql,
+        "embed_neardup": embed_neardup_sql,
+        "lang_id": lang_id_sql,
+        "fingerprints": fingerprints_sql,
     }

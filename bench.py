@@ -37,10 +37,20 @@ def main() -> None:
 
     # materialize the corpus once (page synthesis is not the system under
     # test); cache + count to force it
-    pages = build_pages(spark, sf_dir, replicate=REPLICATE).cache()
+    # 4 partitions per core: classic straggler insurance — the slowest
+    # task bounds the stage, and finer tasks cost nothing map-side
+    pages = build_pages(spark, sf_dir, replicate=REPLICATE,
+                        partitions=int(cpus) * 4).cache()
     n_pages = pages.count()
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet").cache()
     docs.count()
+
+    # Warm up one python worker per core before timing: daemon fork +
+    # module import costs are per-worker (so they grow with the level and
+    # would contaminate the N-vs-4N scaling comparison; a real cluster
+    # amortizes them over hours of work).
+    warm = pages.limit(int(cpus) * 64).repartition(int(cpus))
+    extract_pages(warm).write.format("noop").mode("overwrite").save()
 
     timings: dict[str, float] = {}
 

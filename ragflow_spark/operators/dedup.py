@@ -1,13 +1,208 @@
 """Deduplication operators for web-corpus curation.
 
-Exact dedup is a hash group-by (map-side partial aggregation, one shuffle
-on the hash key — the canonical scalable shape). Near-dup families
-(MinHash-LSH, SimHash) follow in ``similarity.py`` / later rounds.
+Four families, each the canonical scalable Spark shape:
+
+- **exact** — hash group-by: map-side partial agg, one shuffle of 8-byte
+  keys (never the documents themselves).
+- **MinHash + LSH** — word-shingle sets -> 128-perm minhash signature ->
+  32 bands x 4 rows -> band-hash bucket self-join -> exact-Jaccard verify.
+  All signature math is JVM-side higher-order functions (``xxhash64(sh,
+  s)`` varies the seed by hashing the band/permutation index with the
+  shingle), so signature computation is a narrow map; the only shuffles
+  are the band-bucket join (key = 16 bytes) and the verify join.
+- **SimHash** — 30-bit signatures from a deterministic polynomial word
+  hash (reproducible in ANSI SQL, which is what lets the DuckDB oracle
+  value-check the bits), pigeonhole block join for hamming <= 2.
+- **n-gram Jaccard** — exact set-similarity join via an inverted shingle
+  index (explode -> self-join on shingle -> count = |intersection|), the
+  PPJoin-family shape; prefix filtering is the documented scale upgrade.
+
+LSH recall: with J >= 0.8 and 32 bands of 4, P(miss) = (1 - J^4)^32
+<= 5e-8 — the verify stage then makes the *output* exact, so results are
+deterministic and oracle-comparable.
+
+The driver ``documents`` table has no near-duplicates, so pair operators
+run over ``with_near_dups`` — a relational corpus augmentation (drop the
+last 3 words of every doc_id % 7 == 2 document) that both Spark and the
+DuckDB oracle derive identically.
+
+Reference parity note: the reference dedups at chunk granularity via
+content-addressed xxh64 ids (/root/reference/rag/svr/task_executor.py:266)
+and task digests (api/db/services/task_service.py:349-360); corpus-level
+near-dup has no reference analog — it is part of the training-data
+curation surface this engine adds.
 """
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, functions as F
+from pyspark.sql import Column, DataFrame, functions as F
+
+MOD = 1_000_000_007
+
+# distinct word n-gram shingles of a `words` array column
+_SHINGLES = ("array_distinct(transform(sequence(0, size(words) - {n}), "
+             "i -> array_join(slice(words, i + 1, {n}), ' ')))")
+
+# polynomial word hash, reproducible in ANSI SQL (ASCII corpus): fold
+# chars left-to-right, (h * 31 + code) mod 1e9+7 — bounded, no overflow
+_WORD_HASH = ("aggregate(sequence(1, length({w})), cast(0 as bigint), "
+              "(a, i) -> (a * 31 + ascii(substring({w}, i, 1))) % "
+              f"{MOD})")
+
+
+def with_near_dups(docs: DataFrame) -> DataFrame:
+    """documents ∪ truncated copies (deterministic near-dup injection)."""
+    words = F.split(F.col("text"), " ")
+    mut = (
+        docs.where((F.col("doc_id") % 7 == 2) & (F.size(words) > 6))
+        .select(
+            (F.col("doc_id") + F.lit(10_000_000)).alias("doc_id"),
+            F.expr("array_join(slice(split(text, ' '), 1, "
+                   "size(split(text, ' ')) - 3), ' ')").alias("text"),
+        )
+    )
+    return docs.select("doc_id", "text").unionByName(mut)
+
+
+def _shingle_sets(corpus: DataFrame, n: int) -> DataFrame:
+    """(doc_id, shingles array<string>, n_sh) — docs with >= n words."""
+    return (
+        corpus.withColumn("words", F.split("text", " "))
+        .where(F.size("words") >= n)
+        .select("doc_id",
+                F.expr(_SHINGLES.format(n=n)).alias("shingles"))
+        .withColumn("n_sh", F.size("shingles"))
+    )
+
+
+def _verify_jaccard(cand: DataFrame, sh: DataFrame,
+                    threshold: float) -> DataFrame:
+    """Exact Jaccard over candidate (doc_a, doc_b) pairs."""
+    a = sh.select(F.col("doc_id").alias("doc_a"),
+                  F.col("shingles").alias("sh_a"))
+    b = sh.select(F.col("doc_id").alias("doc_b"),
+                  F.col("shingles").alias("sh_b"))
+    inter = F.size(F.array_intersect("sh_a", "sh_b"))
+    union = F.size(F.array_union("sh_a", "sh_b"))
+    jac = inter / union.cast("double")
+    return (
+        cand.join(a, "doc_a").join(b, "doc_b")
+        .select("doc_a", "doc_b", F.round(jac, 6).alias("jaccard"))
+        .where(F.col("jaccard") >= threshold)
+    )
+
+
+def minhash_lsh_pairs(docs: DataFrame, threshold: float = 0.8,
+                      n_gram: int = 3, n_perms: int = 128,
+                      bands: int = 32) -> DataFrame:
+    """Near-dup pairs (doc_a, doc_b, jaccard) via MinHash-LSH + verify."""
+    rows = n_perms // bands
+    sh = _shingle_sets(with_near_dups(docs), n_gram)
+    sig = sh.withColumn(
+        "sig",
+        F.expr(
+            f"transform(sequence(0, {n_perms - 1}), s -> "
+            "aggregate(shingles, cast(9223372036854775807 as bigint), "
+            "(acc, g) -> least(acc, xxhash64(g, s))))"
+        ),
+    )
+    band = sig.select(
+        "doc_id",
+        F.posexplode(
+            F.expr(f"transform(sequence(0, {bands - 1}), b -> "
+                   f"xxhash64(slice(sig, b * {rows} + 1, {rows})))")
+        ).alias("band", "bh"),
+    )
+    a = band.select(F.col("doc_id").alias("doc_a"), "band", "bh")
+    b = band.select(F.col("doc_id").alias("doc_b"), "band", "bh")
+    cand = (
+        a.join(b, ["band", "bh"])
+        .where(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b").distinct()
+    )
+    return _verify_jaccard(cand, sh, threshold)
+
+
+def ngram_jaccard_pairs(docs: DataFrame, n_gram: int = 2,
+                        threshold: float = 0.5) -> DataFrame:
+    """Exact n-gram Jaccard pairs via inverted shingle index.
+
+    |intersection| comes from counting shared shingles in a self-join on
+    the exploded index; |union| = n_a + n_b - |intersection|. At CC scale
+    the index join takes a prefix filter (only the globally rarest
+    ceil((1-t)·n)+1 shingles per doc need indexing) — noted, not needed
+    at test scale.
+    """
+    sh = _shingle_sets(with_near_dups(docs), n_gram)
+    inv = sh.select("doc_id", "n_sh",
+                    F.explode("shingles").alias("g"))
+    a = inv.select(F.col("doc_id").alias("doc_a"),
+                   F.col("n_sh").alias("na"), "g")
+    b = inv.select(F.col("doc_id").alias("doc_b"),
+                   F.col("n_sh").alias("nb"), "g")
+    inter = (
+        a.join(b, "g").where(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b", "na", "nb")
+        .agg(F.count("*").alias("ix"))
+    )
+    jac = F.col("ix") / (F.col("na") + F.col("nb") - F.col("ix")).cast(
+        "double")
+    return (
+        inter.select("doc_a", "doc_b", F.round(jac, 6).alias("jaccard"))
+        .where(F.col("jaccard") >= threshold)
+    )
+
+
+def simhash_col() -> Column:
+    """30-bit simhash of a `words` array column (poly word hashes)."""
+    wh = _WORD_HASH.format(w="w")
+    return F.expr(
+        "aggregate(sequence(0, 29), cast(0 as bigint), (acc, i) -> acc + "
+        "CASE WHEN aggregate(whs, 0, (a, v) -> a + "
+        "CASE WHEN shiftright(v, i) % 2 = 1 THEN 1 ELSE -1 END) > 0 "
+        "THEN shiftleft(cast(1 as bigint), i) ELSE cast(0 as bigint) END)"
+    )
+
+
+def simhash_sigs(docs: DataFrame) -> DataFrame:
+    """(doc_id, simhash): bit i set iff the +1/-1 vote of word-hash bit i
+    over all word occurrences (tf-weighted) is positive."""
+    wh = _WORD_HASH.format(w="w")
+    return (
+        docs.withColumn("words", F.split("text", " "))
+        .withColumn("whs", F.expr(f"transform(words, w -> {wh})"))
+        .select("doc_id", simhash_col().alias("simhash"))
+    )
+
+
+def simhash_pairs(docs: DataFrame, max_ham: int = 2) -> DataFrame:
+    """Pairs with simhash hamming distance <= max_ham.
+
+    Pigeonhole LSH: 30 bits in 3 blocks of 10 — hamming <= 2 guarantees
+    at least one identical block, so the block-equality self-join is a
+    *lossless* candidate generator and the bit_count verify makes the
+    result exact (hence oracle-comparable, unlike probabilistic LSH).
+    """
+    sig = simhash_sigs(docs)
+    blk = sig.select(
+        "doc_id", "simhash",
+        F.posexplode(
+            F.expr("transform(sequence(0, 2), b -> "
+                   "shiftright(simhash, b * 10) % 1024)")
+        ).alias("blk", "bv"),
+    )
+    a = blk.select(F.col("doc_id").alias("doc_a"),
+                   F.col("simhash").alias("sh_a"), "blk", "bv")
+    b = blk.select(F.col("doc_id").alias("doc_b"),
+                   F.col("simhash").alias("sh_b"), "blk", "bv")
+    ham = F.expr("bit_count(sh_a ^ sh_b)")
+    return (
+        a.join(b, ["blk", "bv"])
+        .where(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b", ham.alias("hamming"))
+        .where(F.col("hamming") <= max_ham)
+        .distinct()
+    )
 
 
 def exact_dup_groups(docs: DataFrame, col: str = "text") -> DataFrame:

@@ -1,0 +1,125 @@
+"""Curation operator suite: dedup families, similarity search, text ID."""
+
+import pytest
+from pyspark.sql import functions as F
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    df = spark.read.parquet(f"{SF}/documents.parquet").cache()
+    df.count()
+    return df
+
+
+@pytest.fixture(scope="module")
+def emb(spark):
+    df = spark.read.parquet(f"{SF}/embeddings.parquet").cache()
+    df.count()
+    return df
+
+
+def test_minhash_lsh_finds_injected_near_dups(docs):
+    from ragflow_spark.operators.dedup import (minhash_lsh_pairs,
+                                               with_near_dups)
+
+    pairs = minhash_lsh_pairs(docs).collect()
+    found = {(r.doc_a, r.doc_b) for r in pairs}
+    assert all(0.8 <= r.jaccard <= 1.0 for r in pairs)
+    # every injected near-dup whose true jaccard clears the gate is found
+    corpus = with_near_dups(docs)
+    n_injected = corpus.where(F.col("doc_id") >= 10_000_000).count()
+    injected_found = {a for a, b in found if b == a + 10_000_000}
+    assert n_injected > 0
+    assert len(injected_found) > 0.5 * n_injected  # short docs fall below 0.8
+
+
+def test_ngram_jaccard_pairs_exact(docs):
+    from ragflow_spark.operators.dedup import ngram_jaccard_pairs
+
+    pairs = ngram_jaccard_pairs(docs).collect()
+    assert pairs
+    assert all(0.5 <= r.jaccard <= 1.0 for r in pairs)
+    assert all(r.doc_a < r.doc_b for r in pairs)
+
+
+def test_simhash_sigs_deterministic_30bit(docs):
+    from ragflow_spark.operators.dedup import simhash_sigs
+
+    a = {r.doc_id: r.simhash for r in simhash_sigs(docs).collect()}
+    b = {r.doc_id: r.simhash
+         for r in simhash_sigs(docs.repartition(7)).collect()}
+    assert a == b
+    assert all(0 <= v < 2 ** 30 for v in a.values())
+
+
+def test_simhash_pairs_block_join_is_lossless(docs):
+    """Block-LSH pairs == brute-force hamming<=2 pairs (pigeonhole)."""
+    from ragflow_spark.operators.dedup import simhash_pairs, simhash_sigs
+
+    got = {(r.doc_a, r.doc_b, r.hamming)
+           for r in simhash_pairs(docs).collect()}
+    sigs = simhash_sigs(docs).collect()
+    brute = set()
+    for i, a in enumerate(sigs):
+        for b in sigs[i + 1:]:
+            h = bin(a.simhash ^ b.simhash).count("1")
+            if h <= 2:
+                x, y = sorted((a.doc_id, b.doc_id))
+                brute.add((x, y, h))
+    assert got == brute
+
+
+def test_ann_topk_matches_brute_force(emb):
+    import numpy as np
+
+    from ragflow_spark.operators.similarity import ann_topk
+
+    got = ann_topk(emb, n_queries=5, k=3).collect()
+    rows = emb.select("vec_id", "embedding").collect()
+    vecs = {r.vec_id: np.asarray(r.embedding, dtype=np.float64)
+            for r in rows}
+    for qid in range(5):
+        q = vecs[qid]
+        scores = sorted(
+            ((float(q @ v / (np.linalg.norm(q) * np.linalg.norm(v))), vid)
+             for vid, v in vecs.items() if vid != qid),
+            key=lambda t: (-t[0], t[1]))
+        want = [vid for _, vid in scores[:3]]
+        mine = [r.vec_id for r in sorted(
+            (r for r in got if r.qid == qid), key=lambda r: r.rank)]
+        assert mine == want, f"qid {qid}"
+
+
+def test_embed_neardup_finds_only_injected(emb):
+    from ragflow_spark.operators.similarity import embedding_neardup_pairs
+
+    pairs = embedding_neardup_pairs(emb).collect()
+    n_injected = emb.where(F.col("vec_id") % 5 == 0).count()
+    assert len(pairs) == n_injected
+    assert all(r.vec_b == r.vec_a + 1_000_000 for r in pairs)
+    assert all(r.cosine >= 0.99 for r in pairs)
+
+
+def test_lang_id_deterministic_and_sane(docs):
+    from ragflow_spark.operators.textstats import lang_id
+
+    rows = lang_id(docs).collect()
+    assert len(rows) == docs.count()
+    assert all(r.pred_lang in ("zh", "en", "de", "fr", "es", "und")
+               for r in rows)
+    # corpus vocabulary contains 'the'/'a'/... -> en wins everywhere
+    assert all(r.pred_lang == "en" for r in rows if r.en_hits > 0)
+
+
+def test_fingerprints_stable_and_bounded(docs):
+    from ragflow_spark.operators.textstats import fingerprints
+
+    a = {r.doc_id: (r.fp_full, r.fp_min)
+         for r in fingerprints(docs).collect()}
+    b = {r.doc_id: (r.fp_full, r.fp_min)
+         for r in fingerprints(docs.repartition(5)).collect()}
+    assert a == b
+    assert all(0 <= f < 1_000_000_007 and 0 <= m < 1_000_000_007
+               for f, m in a.values())
