@@ -277,6 +277,29 @@ def _q_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     return fingerprints(docs)
 
 
+def _q_extract_pdf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PDF path: from-scratch content-stream extraction -> DeepDOC box
+    rule chain (layout tag, TOC filter, Y-first sort, vertical merge,
+    position tags) -> byte-identical extracted text per url."""
+    from ragflow_spark.corpus.gen import build_pdf_pages
+    from ragflow_spark.job.extract import extract_pages
+
+    pages = build_pdf_pages(spark, sf_dir)
+    return extract_pages(pages).select(
+        "url", "title", "extracted_text", "n_sections")
+
+
+def _q_chunks_paper(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """paper template (rag/app/paper.py:186-208): bullets_category ->
+    title_frequency pivot -> merge sections between pivots."""
+    from ragflow_spark.corpus.gen import build_pdf_pages
+    from ragflow_spark.job.extract import chunk_pages
+
+    pages = build_pdf_pages(spark, sf_dir)
+    return chunk_pages(pages, "paper").select(
+        "url", "chunk_seq", "chunk_text")
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: full byte-identity extraction at sf0.001."""
     return _q_extract_html(spark, "/root/testdata/sf0.001")
@@ -301,7 +324,33 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embed_neardup": _q_embed_neardup,
         "lang_id": _q_lang_id,
         "fingerprints": _q_fingerprints,
+        "extract_pdf": _q_extract_pdf,
+        "chunks_paper": _q_chunks_paper,
     }
+
+
+# PDF corpus derivations (mirror corpus.gen.build_pdf_pages exactly)
+_PDF_BASE_SQL = """
+WITH doc AS (
+    SELECT doc_id, text, lang,
+           CAST(8 + (doc_id % 13) AS INT) AS k,
+           string_split(text, ' ') AS words
+    FROM documents
+), dim AS (
+    SELECT *, CAST(ceil(len(words) / CAST(k AS DOUBLE)) AS INT) AS np
+    FROM doc
+), par AS (
+    SELECT *, list_transform(range(np), i ->
+        array_to_string(words[i * k + 1 : i * k + k], ' ')) AS paras
+    FROM dim
+), base AS (
+    SELECT *, 'Paper ' || doc_id AS title,
+        'https://host' || (CASE WHEN doc_id % 5 = 0 THEN 0
+                                ELSE doc_id % 50 END)
+            || '.example.com/pdf/' || doc_id AS url
+    FROM par
+)
+"""
 
 
 # shared near-dup corpus augmentation (mirrors operators.dedup.with_near_dups)
@@ -559,6 +608,27 @@ FROM (SELECT doc_id, text, string_split(text, ' ') AS words
       FROM documents)
 """
 
+    extract_pdf_sql = _PDF_BASE_SQL + """
+SELECT url, title,
+       title || chr(10) || array_to_string(list_transform(range(np),
+           i -> (i + 1) || ' Part ' || (i + 1) || chr(10) ||
+                paras[i + 1]), chr(10)) AS extracted_text,
+       1 + 2 * np AS n_sections
+FROM base
+"""
+
+    chunks_paper_sql = _PDF_BASE_SQL + """
+SELECT url, 0 AS chunk_seq, title AS chunk_text FROM base
+UNION ALL
+SELECT url, CAST(item.i AS INT) AS chunk_seq,
+       item.i || ' Part ' || item.i || chr(10) || item.p AS chunk_text
+FROM (
+    SELECT url, unnest(list_transform(paras,
+               (p, i) -> {'p': p, 'i': i})) AS item
+    FROM base
+)
+"""
+
     return {
         "extract_html": extract,
         "chunks_naive": chunks_naive,
@@ -578,4 +648,6 @@ FROM (SELECT doc_id, text, string_split(text, ' ') AS words
         "embed_neardup": embed_neardup_sql,
         "lang_id": lang_id_sql,
         "fingerprints": fingerprints_sql,
+        "extract_pdf": extract_pdf_sql,
+        "chunks_paper": chunks_paper_sql,
     }

@@ -1,0 +1,99 @@
+"""Deterministic minimal PDF writer for the synthetic corpus.
+
+Emits valid single-font, uncompressed-content-stream PDFs (one ``BT /F1
+size Tf x y Td (text) Tj ET`` block per rendered line) so the from-scratch
+extractor (pdfplain.py) exercises real PDF byte parsing without any PDF
+library. Page breaks happen only at paragraph boundaries, which keeps the
+extracted text a closed-form function of the input paragraphs (the DuckDB
+oracle never needs the layout arithmetic).
+
+Layout constants mirror a single-column paper: US Letter media box,
+title 18pt, section headings 14pt, body 10pt with 14pt leading.
+"""
+
+from __future__ import annotations
+
+PAGE_W, PAGE_H = 612, 792
+MARGIN_X, TOP_Y, BOTTOM_Y = 72, 720, 72
+TITLE_SIZE, HEAD_SIZE, BODY_SIZE = 18, 14, 10
+BODY_LEAD, HEAD_GAP = 14, 22
+WORDS_PER_LINE = 8
+
+
+def _esc(s: str) -> str:
+    return s.replace("\\", r"\\").replace("(", r"\(").replace(")", r"\)")
+
+
+def _line(size: int, x: float, y: float, text: str) -> str:
+    return f"BT /F1 {size} Tf {x} {y} Td ({_esc(text)}) Tj ET\n"
+
+
+def layout_paper(title: str, sections: list[tuple[str, str]]):
+    """(title, [(heading, body)]) -> list of per-page content streams.
+
+    A section = heading line + body lines (WORDS_PER_LINE words each).
+    A section that does not fit the remaining page space entirely moves
+    to the next page (paragraph-atomic pagination).
+    """
+    pages: list[list[str]] = [[]]
+    y = TOP_Y
+    pages[0].append(_line(TITLE_SIZE, MARGIN_X, y, title))
+    y -= HEAD_GAP + TITLE_SIZE
+
+    for heading, body in sections:
+        words = body.split(" ")
+        lines = [" ".join(words[i:i + WORDS_PER_LINE])
+                 for i in range(0, len(words), WORDS_PER_LINE)]
+        need = HEAD_SIZE + HEAD_GAP + len(lines) * BODY_LEAD
+        if y - need < BOTTOM_Y and pages[-1]:
+            pages.append([])
+            y = TOP_Y
+        pages[-1].append(_line(HEAD_SIZE, MARGIN_X, y, heading))
+        y -= HEAD_GAP
+        for li, ln in enumerate(lines):
+            # non-final lines carry their word separator: the DeepDOC
+            # vertical merge concatenates texts with no separator
+            # (pdf_parser.py:466), so the space lives in the line itself
+            sep = " " if li < len(lines) - 1 else ""
+            pages[-1].append(_line(BODY_SIZE, MARGIN_X, y, ln + sep))
+            y -= BODY_LEAD
+        y -= HEAD_GAP
+    return ["".join(p) for p in pages]
+
+
+def build_pdf(title: str, sections: list[tuple[str, str]]) -> bytes:
+    """Assemble a complete PDF document (xref table included)."""
+    streams = layout_paper(title, sections)
+    n_pages = len(streams)
+    # object numbering: 1 catalog, 2 pages, 3..2+n page objs,
+    # 3+n..2+2n content streams, 3+2n font
+    font_obj = 3 + 2 * n_pages
+    objs: list[bytes] = []
+    objs.append(b"<< /Type /Catalog /Pages 2 0 R >>")
+    kids = " ".join(f"{3 + i} 0 R" for i in range(n_pages))
+    objs.append(
+        f"<< /Type /Pages /Kids [{kids}] /Count {n_pages} >>".encode())
+    for i in range(n_pages):
+        objs.append(
+            (f"<< /Type /Page /Parent 2 0 R /MediaBox [0 0 {PAGE_W} "
+             f"{PAGE_H}] /Contents {3 + n_pages + i} 0 R /Resources "
+             f"<< /Font << /F1 {font_obj} 0 R >> >> >>").encode())
+    for s in streams:
+        data = s.encode("latin-1")
+        objs.append(b"<< /Length " + str(len(data)).encode() +
+                    b" >>\nstream\n" + data + b"endstream")
+    objs.append(b"<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica >>")
+
+    out = bytearray(b"%PDF-1.4\n")
+    offsets = [0]
+    for i, body in enumerate(objs, start=1):
+        offsets.append(len(out))
+        out += f"{i} 0 obj\n".encode() + body + b"\nendobj\n"
+    xref_at = len(out)
+    out += f"xref\n0 {len(objs) + 1}\n".encode()
+    out += b"0000000000 65535 f \n"
+    for off in offsets[1:]:
+        out += f"{off:010d} 00000 n \n".encode()
+    out += (f"trailer\n<< /Size {len(objs) + 1} /Root 1 0 R >>\n"
+            f"startxref\n{xref_at}\n%%EOF\n").encode()
+    return bytes(out)

@@ -72,3 +72,68 @@ def chunks_with_ids(chunks: list[str], url: str) -> list[tuple[int, str, str]]:
             continue
         out.append((seq, text, chunk_id(text, url)))
     return out
+
+
+def chunk_paper_pdf(binary: bytes) -> list[str]:
+    """paper template, Plain-PDF path (rag/app/paper.py:186-208): pivot on
+    the most frequent title level, merge sections between pivots, join by
+    newline; position tags stripped for the chunk text exactly as
+    tokenize_chunks does via pdf_parser.remove_tag
+    (rag/nlp/__init__.py:258-277)."""
+    from .merge import title_frequency
+    from .pdfrules import pdf_to_sections, remove_tag
+
+    sections = pdf_to_sections(binary)
+    if not sections:
+        return []
+    bull = bullets_category([t for t, _ in sections])
+    most_level, levels = title_frequency(bull, sections)
+    sec_ids = []
+    sid = 0
+    for i, lvl in enumerate(levels):
+        if lvl <= most_level and i > 0 and lvl != levels[i - 1]:
+            sid += 1
+        sec_ids.append(sid)
+    chunks: list[str] = []
+    last_sid = -2
+    for (txt, _), sec_id in zip(sections, sec_ids):
+        if sec_id == last_sid:
+            if chunks:
+                chunks[-1] += "\n" + txt
+                continue
+        chunks.append(txt)
+        last_sid = sec_id
+    return [remove_tag(c) for c in chunks]
+
+
+def extract_pdf_text(binary: bytes) -> tuple[str, str, int]:
+    """PDF bytes -> (title, extracted_text, n_sections): the byte-identity
+    surface for the PDF path (title = first section by construction of
+    the rule chain; text = tag-stripped sections joined by newline)."""
+    from .pdfrules import pdf_to_sections, remove_tag
+
+    sections = [remove_tag(t) for t, _ in pdf_to_sections(binary)]
+    sections = [s for s in sections if s]
+    if not sections:
+        return "", "", 0
+    return sections[0], "\n".join(sections), len(sections)
+
+
+def chunk_naive_pdf(binary: bytes, chunk_token_num: int = 128) -> list[str]:
+    """naive template over the PDF rule-chain sections (rag/app/naive.py
+    PDF branch shape: sections with position tags -> naive_merge ->
+    tag-strip at tokenize_chunks time)."""
+    from .pdfrules import pdf_to_sections, remove_tag
+
+    sections = [(t, "") for t, _ in pdf_to_sections(binary)]
+    return [remove_tag(c) for c in naive_merge(sections, chunk_token_num)
+            if remove_tag(c).strip()]
+
+
+def chunk_one_pdf(binary: bytes) -> list[str]:
+    """one template, PDF branch: whole doc joined by newlines."""
+    from .pdfrules import pdf_to_sections, remove_tag
+
+    secs = [remove_tag(t) for t, _ in pdf_to_sections(binary)]
+    secs = [s for s in secs if s]
+    return ["\n".join(secs)] if secs else []

@@ -40,20 +40,32 @@ def _extract_batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
     # imports inside the worker so the UDF pickles by reference cleanly
     from ragflow_spark.extractlib.codec import decode_blob
     from ragflow_spark.extractlib.htmlparse import parse_html_text
+    from ragflow_spark.extractlib.templates import extract_pdf_text
 
     for pdf in it:
-        urls, titles, texts, nsec = [], [], [], []
+        urls, titles, texts, nsec, parsers = [], [], [], [], []
         for url, blob in zip(pdf["url"], pdf["html"]):
-            title, content = parse_html_text(decode_blob(bytes(blob)))
-            extracted = f"{title}\n{content}"
+            blob = bytes(blob)
+            # content sniffing replaces the reference's filename-regex
+            # dispatch (rag/app/naive.py:335-464) — a CC-style table has
+            # no filenames, only bytes
+            if blob.startswith(b"%PDF-"):
+                title, extracted, n = extract_pdf_text(blob)
+                parser = "pdf"
+            else:
+                title, content = parse_html_text(decode_blob(blob))
+                extracted = f"{title}\n{content}"
+                n = len([s for s in extracted.split("\n") if s])
+                parser = "html"
             urls.append(url)
             titles.append(title)
             texts.append(extracted)
-            nsec.append(len([s for s in extracted.split("\n") if s]))
+            nsec.append(n)
+            parsers.append(parser)
         yield pd.DataFrame({
             "url": urls, "title": titles, "extracted_text": texts,
             "n_sections": nsec,
-            "parser": ["html"] * len(urls),
+            "parser": parsers,
         })
 
 
@@ -76,13 +88,26 @@ def _chunk_batches_factory(template: str):
             modes: list[str] = []
             for url, blob in zip(pdf["url"], pdf["html"]):
                 blob = bytes(blob)
-                if template == "naive":
-                    chunks = T.chunk_naive_html(blob)
+                is_pdf = blob.startswith(b"%PDF-")
+                if template == "paper":
+                    # reference paper.chunk supports pdf only
+                    # (rag/app/paper.py:160-162): non-pdf rows skipped
+                    if not is_pdf:
+                        continue
+                    chunks = T.chunk_paper_pdf(blob)
+                    mode = "paper"
+                elif template == "naive":
+                    chunks = (T.chunk_naive_pdf(blob) if is_pdf
+                              else T.chunk_naive_html(blob))
                     mode = "naive"
                 elif template == "book":
-                    chunks, mode = T.chunk_book_html(blob)
+                    if is_pdf:
+                        chunks, mode = T.chunk_naive_pdf(blob, 256), "naive"
+                    else:
+                        chunks, mode = T.chunk_book_html(blob)
                 elif template == "one":
-                    chunks = T.chunk_one_html(blob)
+                    chunks = (T.chunk_one_pdf(blob) if is_pdf
+                              else T.chunk_one_html(blob))
                     mode = "one"
                 else:  # pragma: no cover
                     raise ValueError(template)

@@ -1,0 +1,126 @@
+"""PDF path: content-stream extractor, geometry rules, paper template."""
+
+import pytest
+
+from ragflow_spark.extractlib.pdfgen import build_pdf
+from ragflow_spark.extractlib.pdfplain import (parse_pdf_boxes,
+                                               total_page_number)
+from ragflow_spark.extractlib.pdfrules import (filter_forpages, line_tag,
+                                               merge_with_same_bullet,
+                                               parse_positions, pdf_to_sections,
+                                               remove_tag, sort_y_firstly)
+from ragflow_spark.extractlib.templates import (chunk_naive_pdf,
+                                                chunk_one_pdf,
+                                                chunk_paper_pdf,
+                                                extract_pdf_text)
+
+VOCAB = ("key agg row scan slow fast table value part hash merge batch "
+         "spark line sort window the a").split()
+
+
+def _doc(n_paras=6, words=40, title="Paper 9"):
+    paras = [" ".join(VOCAB[(i + j) % len(VOCAB)] for j in range(words))
+             for i in range(n_paras)]
+    sections = [(f"{i + 1} Part {i + 1}", p) for i, p in enumerate(paras)]
+    return build_pdf(title, sections), title, paras
+
+
+def test_pdf_boxes_have_geometry():
+    blob, _, _ = _doc()
+    boxes = parse_pdf_boxes(blob)
+    assert boxes
+    assert all(b["x1"] > b["x0"] and b["bottom"] > b["top"] for b in boxes)
+    # cumulative Y: strictly increasing in reading order per construction
+    tops = [b["top"] for b in boxes]
+    assert tops == sorted(tops)
+
+
+def test_multi_page_byte_identity():
+    blob, title, paras = _doc(n_paras=25, words=60)
+    assert total_page_number(blob) > 1
+    t, text, n = extract_pdf_text(blob)
+    expected = title + "\n" + "\n".join(
+        f"{i + 1} Part {i + 1}\n{p}" for i, p in enumerate(paras))
+    assert t == title
+    assert text == expected
+    assert n == 1 + 2 * len(paras)
+
+
+def test_paper_chunks_one_per_section():
+    blob, title, paras = _doc()
+    chunks = chunk_paper_pdf(blob)
+    assert chunks == [title] + [
+        f"{i + 1} Part {i + 1}\n{p}" for i, p in enumerate(paras)]
+
+
+def test_naive_and_one_pdf_cover_all_text():
+    blob, title, paras = _doc()
+    sections = [title] + [x for i, p in enumerate(paras)
+                          for x in (f"{i + 1} Part {i + 1}", p)]
+    assert chunk_one_pdf(blob) == ["\n".join(sections)]
+    assert "".join(chunk_naive_pdf(blob)) == "".join(sections)
+
+
+def test_line_tag_roundtrip():
+    bx = {"page_number": 2, "x0": 72.0, "x1": 300.5, "top": 900.0,
+          "bottom": 912.0}
+    tag = line_tag(bx, [792.0, 792.0])
+    assert tag.startswith("@@2\t72.0\t300.5\t108.0\t120.0##")
+    [(pages, x0, x1, top, bottom)] = parse_positions("hello" + tag)
+    assert pages == [2] and x0 == 72.0 and x1 == 300.5
+    assert remove_tag("hello" + tag) == "hello"
+
+
+def test_line_tag_multi_page_span():
+    bx = {"page_number": 1, "x0": 0.0, "x1": 10.0, "top": 700.0,
+          "bottom": 850.0}
+    tag = line_tag(bx, [792.0, 792.0])
+    [(pages, *_)] = parse_positions(tag)
+    assert pages == [1, 2]
+
+
+def test_sort_y_firstly_fuzzy_threshold():
+    a = {"top": 100.0, "x0": 200.0}
+    b = {"top": 101.0, "x0": 50.0}
+    c = {"top": 130.0, "x0": 0.0}
+    assert sort_y_firstly([a, b, c], 5.0) == [b, a, c]
+    assert sort_y_firstly([a, b, c], 0.5) == [a, b, c]
+
+
+def test_filter_forpages_removes_toc_run():
+    boxes = [
+        {"text": "Contents", "page_number": 1},
+        {"text": "1 Part 1 ........ 2", "page_number": 1},
+        {"text": "2 Part 2 ........ 3", "page_number": 1},
+        {"text": "1 Part 1 body starts", "page_number": 2},
+    ]
+    out = filter_forpages(boxes)
+    assert [b["text"] for b in out] == ["1 Part 1 body starts"]
+
+
+def test_merge_with_same_bullet():
+    boxes = [
+        {"text": "• alpha", "x0": 0, "x1": 10, "top": 0, "bottom": 10},
+        {"text": "• beta", "x0": 0, "x1": 10, "top": 12, "bottom": 22},
+        {"text": "gamma", "x0": 0, "x1": 10, "top": 24, "bottom": 34},
+    ]
+    out = merge_with_same_bullet(boxes)
+    assert [b["text"] for b in out] == ["• alpha\n• beta", "gamma"]
+
+
+def test_hostile_pdf_inputs_never_raise():
+    for blob in (b"", b"%PDF-", b"%PDF-1.4 garbage", bytes(range(256)),
+                 b"%PDF-1.4\n1 0 obj\n<< /Kids [9 0 R] >>\nendobj\n"):
+        parse_pdf_boxes(blob)
+        total_page_number(blob)
+        extract_pdf_text(blob)
+        chunk_paper_pdf(blob)
+        chunk_naive_pdf(blob)
+
+
+@pytest.mark.parametrize("n_paras,words", [(1, 3), (2, 8), (12, 80)])
+def test_byte_identity_across_shapes(n_paras, words):
+    blob, title, paras = _doc(n_paras=n_paras, words=words)
+    _, text, _ = extract_pdf_text(blob)
+    assert text == title + "\n" + "\n".join(
+        f"{i + 1} Part {i + 1}\n{p}" for i, p in enumerate(paras))
