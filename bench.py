@@ -26,10 +26,15 @@ def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
 
-    from ragflow_spark.corpus.gen import build_pages
+    from ragflow_spark.corpus.gen import build_pages, build_pdf_pages
     from ragflow_spark.job.extract import chunk_pages, extract_pages
     from ragflow_spark.job.session import get_spark
-    from ragflow_spark.operators.textstats import quality_score, token_counts
+    from ragflow_spark.operators.dedup import (minhash_lsh_pairs,
+                                               simhash_pairs)
+    from ragflow_spark.operators.similarity import ann_topk
+    from ragflow_spark.operators.textstats import (fingerprints,
+                                                   quality_score,
+                                                   token_counts)
 
     spark = get_spark(app="bench", master=f"local[{cpus}]",
                       shuffle_partitions=int(cpus))
@@ -70,6 +75,27 @@ def main() -> None:
     run("doc_tokens", lambda: token_counts(docs)
         .write.format("noop").mode("overwrite").save())
     run("quality_score", lambda: quality_score(docs)
+        .write.format("noop").mode("overwrite").save())
+
+    # PDF path (corpus built once, cached, not part of the timing)
+    pdf_pages = build_pdf_pages(spark, sf_dir, replicate=max(
+        1, REPLICATE // 4), partitions=int(cpus) * 4).cache()
+    n_pdf = pdf_pages.count()
+    run("extract_pdf", lambda: extract_pages(pdf_pages)
+        .write.format("noop").mode("overwrite").save())
+    run("chunks_paper", lambda: chunk_pages(pdf_pages, "paper")
+        .write.format("noop").mode("overwrite").save())
+
+    # curation operators
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").cache()
+    emb.count()
+    run("dedup_minhash", lambda: minhash_lsh_pairs(docs)
+        .write.format("noop").mode("overwrite").save())
+    run("simhash_pairs", lambda: simhash_pairs(docs)
+        .write.format("noop").mode("overwrite").save())
+    run("ann_topk", lambda: ann_topk(emb)
+        .write.format("noop").mode("overwrite").save())
+    run("fingerprints", lambda: fingerprints(docs)
         .write.format("noop").mode("overwrite").save())
 
     total = round(sum(timings.values()), 3)
