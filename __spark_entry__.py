@@ -300,6 +300,25 @@ def _q_chunks_paper(spark: SparkSession, sf_dir: str) -> DataFrame:
         "url", "chunk_seq", "chunk_text")
 
 
+def _q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Image feature extraction over binary media columns (stub codec —
+    deterministic but not SQL-expressible, hence rows-only check)."""
+    from ragflow_spark.operators.multimodal import (build_media_table,
+                                                    image_features)
+
+    return image_features(build_media_table(spark, sf_dir))
+
+
+def _q_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Video frame sampling: in-UDF explode, frame bytes never shuffle
+    (rows-only check: stub codec)."""
+    from ragflow_spark.operators.multimodal import (build_media_table,
+                                                    frame_sample)
+
+    return frame_sample(build_media_table(spark, sf_dir)).select(
+        "url", "frame_idx", "ts_ms")
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: full byte-identity extraction at sf0.001."""
     return _q_extract_html(spark, "/root/testdata/sf0.001")
@@ -326,6 +345,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fingerprints": _q_fingerprints,
         "extract_pdf": _q_extract_pdf,
         "chunks_paper": _q_chunks_paper,
+        "media_features": _q_media_features,
+        "frame_sample": _q_frame_sample,
     }
 
 
@@ -428,6 +449,47 @@ GROUP BY f.url, f.cidx
 """
     # WITH RECURSIVE must lead the statement: rewrite the leading WITH
     chunks_naive = chunks_naive.replace("WITH doc AS", "WITH RECURSIVE doc AS", 1)
+
+    # book template (rag/app/book.py HTML branch): family-4 docs carry
+    # 'Section i' bullet headings -> bullets_category group 3 ->
+    # hierarchical_merge, whose chunks here are all singletons, so the
+    # re-merge is a strict-< 218-token fold joined by newline
+    # (rag/nlp/__init__.py:480-507); all other docs take naive_merge(256)
+    # (overshoot-by-one fold joined by ''). One recurrence covers both.
+    chunks_book = _ORACLE_BASE + f"""
+, secs AS (
+    SELECT url, family, 1 AS i, title AS s FROM base
+    UNION ALL
+    SELECT url, family, item.i + 1 AS i, item.p AS s
+    FROM (
+        SELECT url, family, unnest(list_transform(paras,
+                   (p, i) -> {{'p': p, 'i': i}})) AS item
+        FROM base
+    )
+), toks AS (
+    SELECT url, family, i, s, {_SEC_TOKENS} AS t FROM secs
+), fold AS (
+    SELECT url, family, i, 0 AS cidx, t AS cur FROM toks WHERE i = 1
+    UNION ALL
+    SELECT s.url, s.family, s.i,
+           CASE WHEN (f.family = 4 AND s.t + f.cur >= 218)
+                  OR (f.family != 4 AND f.cur > 256)
+                THEN f.cidx + 1 ELSE f.cidx END,
+           CASE WHEN (f.family = 4 AND s.t + f.cur >= 218)
+                  OR (f.family != 4 AND f.cur > 256)
+                THEN s.t ELSE f.cur + s.t END
+    FROM fold f JOIN toks s ON s.url = f.url AND s.i = f.i + 1
+)
+SELECT f.url, CAST(f.cidx AS INT) AS chunk_seq,
+       replace(array_to_string(list(s.s ORDER BY s.i), chr(31)), chr(31),
+           CASE WHEN f.family = 4 THEN chr(10) ELSE '' END) AS chunk_text,
+       CASE WHEN f.family = 4 THEN 'hierarchical' ELSE 'naive' END
+           AS merge_mode
+FROM fold f JOIN toks s ON s.url = f.url AND s.i = f.i
+GROUP BY f.url, f.cidx, f.family
+"""
+    chunks_book = chunks_book.replace("WITH doc AS",
+                                      "WITH RECURSIVE doc AS", 1)
 
     pages_hosts = """
 SELECT 'host' || (CASE WHEN doc_id % 5 = 0 THEN 0 ELSE doc_id % 50 END)
@@ -633,8 +695,7 @@ FROM (
         "extract_html": extract,
         "chunks_naive": chunks_naive,
         "chunk_one": chunk_one,
-        # chunks_book: rows-only for now (hierarchical fold oracle lands
-        # in a later round)
+        "chunks_book": chunks_book,
         "pages_hosts": pages_hosts,
         "dedup_exact": dedup_exact,
         "doc_tokens": doc_tokens,
