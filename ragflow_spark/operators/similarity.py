@@ -5,10 +5,10 @@ hot path; dot products fold left-to-right in double precision, which is
 what lets the DuckDB oracle reproduce scores bit-for-bit):
 
 - **ann_topk** — brute-force cosine top-k for a broadcast query set. The
-  scalable shape: scores never shuffle; each partition keeps only its
-  local top-k (groupBy over (query, partition)), then a second tiny agg
-  merges P·k candidates per query. At 100 TB the broadcast side is the
-  query set and the scan side streams once.
+  scalable shape: the full score set never shuffles; an Arrow-batch
+  local top-k reduces each batch to k rows per query *before* the
+  exchange, then one tiny agg merges the candidates. At 100 TB the
+  broadcast side is the query set and the scan side streams once.
 - **embedding_neardup_pairs** — near-duplicate vector pairs via
   sign-pattern bucketing (16 sign bits of dims 33..48) + exact cosine
   verify. Near-identical vectors agree on the sign pattern of
@@ -41,8 +41,9 @@ def ann_topk(embeddings: DataFrame, n_queries: int = 10,
     """(qid, rank, vec_id, score): cosine top-k per broadcast query.
 
     Plan: Scan -> Project(norm) -> BroadcastNestedLoopJoin(queries) ->
-    partial top-k per (qid, partition) -> merge top-k -> posexplode.
-    The shuffle carries at most P·k rows per query, never the score set.
+    Arrow-batch local top-k -> Exchange(qid) -> merge top-k ->
+    posexplode. The exchange carries at most k rows per (query, batch),
+    never the score set.
     """
     base = _as_double(embeddings).select(
         "vec_id", "v").withColumn("nrm", F.expr(_NORM.format(a="v")))
@@ -57,16 +58,25 @@ def ann_topk(embeddings: DataFrame, n_queries: int = 10,
         .select("qid", "vec_id",
                 (dot / (F.col("qn") * F.col("nrm"))).alias("score"))
     )
+
+    def local_topk(it):
+        # pre-shuffle reduction: each Arrow batch keeps only its own
+        # top-k per query, so the exchange carries O(batches * k) rows
+        # per query instead of the full score set (collect_list partial
+        # aggregation would ship everything — its partial state IS the
+        # list)
+        import pandas as pd
+        for pdf in it:
+            yield (pdf.sort_values(["qid", "score", "vec_id"],
+                                   ascending=[True, False, True])
+                   .groupby("qid", sort=False).head(k))
+
+    reduced = scored.mapInPandas(
+        local_topk, schema="qid long, vec_id long, score double")
     item = F.struct(F.col("score"), (-F.col("vec_id")).alias("nid"))
-    local = (
-        scored.groupBy("qid", F.spark_partition_id().alias("pid"))
-        .agg(F.slice(F.sort_array(F.collect_list(item), asc=False),
-                     1, k).alias("cands"))
-    )
     merged = (
-        local.select("qid", F.explode("cands").alias("c"))
-        .groupBy("qid")
-        .agg(F.slice(F.sort_array(F.collect_list("c"), asc=False),
+        reduced.groupBy("qid")
+        .agg(F.slice(F.sort_array(F.collect_list(item), asc=False),
                      1, k).alias("top"))
     )
     return (
