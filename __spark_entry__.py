@@ -300,6 +300,33 @@ def _q_chunks_paper(spark: SparkSession, sf_dir: str) -> DataFrame:
         "url", "chunk_seq", "chunk_text")
 
 
+def _q_chunks_txt(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RAGFlowTxtParser: backtick-quoted space delimiter, 32-token greedy
+    overshoot fold (deepdoc/parser/txt_parser.py:23-64)."""
+    from ragflow_spark.operators.structured import txt_chunks
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return txt_chunks(docs)
+
+
+def _q_chunks_json(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RAGFlowJsonParser: recursive splitter round-trips the per-doc
+    object at corpus sizes (deepdoc/parser/json_parser.py:25-133)."""
+    from ragflow_spark.operators.structured import json_chunks
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return json_chunks(docs)
+
+
+def _q_parse_md(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Markdown parser: bordered-table extraction + heading chain-glue
+    (markdown_parser.py:24-77, naive.py:296-307)."""
+    from ragflow_spark.operators.structured import md_parse
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return md_parse(docs)
+
+
 def _q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Image feature extraction over binary media columns (stub codec —
     deterministic but not SQL-expressible, hence rows-only check)."""
@@ -345,6 +372,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fingerprints": _q_fingerprints,
         "extract_pdf": _q_extract_pdf,
         "chunks_paper": _q_chunks_paper,
+        "chunks_txt": _q_chunks_txt,
+        "chunks_json": _q_chunks_json,
+        "parse_md": _q_parse_md,
         "media_features": _q_media_features,
         "frame_sample": _q_frame_sample,
     }
@@ -691,6 +721,50 @@ FROM (
 )
 """
 
+    chunks_txt_sql = f"""
+WITH RECURSIVE doc AS (
+    SELECT doc_id, string_split(text, ' ') AS words FROM documents
+), wrd AS (
+    SELECT doc_id, item.i AS i, item.w AS w
+    FROM (
+        SELECT doc_id, unnest(list_transform(words,
+                   (w, i) -> {{'w': w, 'i': i}})) AS item
+        FROM doc
+    )
+), toks AS (
+    SELECT doc_id, i, w, {_WORD_TOKENS} AS t FROM wrd
+), fold AS (
+    SELECT doc_id, i, 0 AS cidx, t AS cur FROM toks WHERE i = 1
+    UNION ALL
+    SELECT s.doc_id, s.i,
+           CASE WHEN f.cur > 32 THEN f.cidx + 1 ELSE f.cidx END,
+           CASE WHEN f.cur > 32 THEN s.t ELSE f.cur + s.t END
+    FROM fold f JOIN toks s ON s.doc_id = f.doc_id AND s.i = f.i + 1
+)
+SELECT f.doc_id, CAST(f.cidx AS INT) AS chunk_seq,
+       array_to_string(list(s.w ORDER BY s.i), '') AS chunk_text
+FROM fold f JOIN toks s ON s.doc_id = f.doc_id AND s.i = f.i
+GROUP BY f.doc_id, f.cidx
+"""
+
+    chunks_json_sql = """
+SELECT doc_id, 0 AS chunk_seq,
+       '{"id": ' || doc_id || ', "text": "' || text || '", "lang": "'
+           || lang || '"}' AS chunk_text
+FROM documents
+"""
+
+    parse_md_sql = """
+SELECT doc_id, 1 AS n_sections,
+       '# Doc ' || doc_id || chr(10) || chr(10) || text || chr(10)
+           AS section_text,
+       CASE WHEN doc_id % 4 = 0 THEN 1 ELSE 0 END AS n_tables,
+       CASE WHEN doc_id % 4 = 0 THEN chr(10) || '| k | v |' || chr(10)
+            || '|---|---|' || chr(10) || '| a | ' || doc_id || ' |'
+            || chr(10) ELSE '' END AS table_text
+FROM documents
+"""
+
     return {
         "extract_html": extract,
         "chunks_naive": chunks_naive,
@@ -711,4 +785,7 @@ FROM (
         "fingerprints": fingerprints_sql,
         "extract_pdf": extract_pdf_sql,
         "chunks_paper": chunks_paper_sql,
+        "chunks_txt": chunks_txt_sql,
+        "chunks_json": chunks_json_sql,
+        "parse_md": parse_md_sql,
     }

@@ -1,0 +1,96 @@
+"""Structured-text parser operators: txt / markdown / json over documents.
+
+Each derives a deterministic structured payload from the ``documents``
+table inside the Arrow batch (txt bytes, a markdown rendering, a JSON
+object), runs the corresponding extractlib parser on the *bytes*, and
+emits relational results — so the DuckDB oracle can recompute the
+expected output in closed form and value-check the parser end to end
+(same construction-twin strategy as the HTML/PDF corpora).
+"""
+
+from __future__ import annotations
+
+import json
+from typing import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+
+
+def txt_chunks(docs: DataFrame, chunk_token_num: int = 32) -> DataFrame:
+    """RAGFlowTxtParser over text bytes with a backtick-quoted space
+    delimiter: pieces are single words, the greedy overshoot fold packs
+    them under the token budget, delimiters stay out of chunks
+    (txt_parser.py:23-64 semantics; fold parity with the recursive-CTE
+    oracle)."""
+    def gen(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from ragflow_spark.extractlib.txtparse import txt_sections
+
+        for pdf in it:
+            out = {"doc_id": [], "chunk_seq": [], "chunk_text": []}
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                chunks = txt_sections(text.encode("utf-8"),
+                                      chunk_token_num, "` `")
+                for seq, (ck, _) in enumerate(chunks):
+                    out["doc_id"].append(doc_id)
+                    out["chunk_seq"].append(seq)
+                    out["chunk_text"].append(ck)
+            yield pd.DataFrame(out)
+
+    return docs.select("doc_id", "text").mapInPandas(
+        gen, schema="doc_id long, chunk_seq int, chunk_text string")
+
+
+def json_chunks(docs: DataFrame) -> DataFrame:
+    """RAGFlowJsonParser over a per-doc JSON object; at corpus sizes the
+    splitter keeps one chunk whose serialization round-trips the input
+    (json_parser.py:37-43)."""
+    def gen(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from ragflow_spark.extractlib.jsonparse import json_sections
+
+        for pdf in it:
+            out = {"doc_id": [], "chunk_seq": [], "chunk_text": []}
+            for doc_id, text, lang in zip(pdf["doc_id"], pdf["text"],
+                                          pdf["lang"]):
+                blob = json.dumps(
+                    {"id": int(doc_id), "text": text, "lang": lang},
+                    ensure_ascii=False).encode("utf-8")
+                for seq, ck in enumerate(json_sections(blob)):
+                    out["doc_id"].append(doc_id)
+                    out["chunk_seq"].append(seq)
+                    out["chunk_text"].append(ck)
+            yield pd.DataFrame(out)
+
+    return docs.select("doc_id", "text", "lang").mapInPandas(
+        gen, schema="doc_id long, chunk_seq int, chunk_text string")
+
+
+def md_parse(docs: DataFrame) -> DataFrame:
+    """Markdown parser over a rendered per-doc markdown document
+    ('# Doc N' heading, body, a bordered table for doc_id % 4 == 0):
+    verifies table extraction and the heading chain-glue
+    (markdown_parser.py:24-77, naive.py:296-307). The glue quirk makes a
+    leading-heading doc collapse to one section — replicated."""
+    def gen(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from ragflow_spark.extractlib.mdparse import markdown_sections
+
+        for pdf in it:
+            out = {"doc_id": [], "n_sections": [], "section_text": [],
+                   "n_tables": [], "table_text": []}
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                md = f"# Doc {int(doc_id)}\n\n{text}"
+                if int(doc_id) % 4 == 0:
+                    md += (f"\n| k | v |\n|---|---|\n"
+                           f"| a | {int(doc_id)} |\n")
+                sections, tables = markdown_sections(md.encode("utf-8"))
+                out["doc_id"].append(doc_id)
+                out["n_sections"].append(len(sections))
+                out["section_text"].append(
+                    sections[0][0] if sections else "")
+                out["n_tables"].append(len(tables))
+                out["table_text"].append(tables[0] if tables else "")
+            yield pd.DataFrame(out)
+
+    return docs.select("doc_id", "text").mapInPandas(
+        gen, schema=("doc_id long, n_sections int, section_text string, "
+                     "n_tables int, table_text string"))
