@@ -300,6 +300,18 @@ def _q_chunks_paper(spark: SparkSession, sf_dir: str) -> DataFrame:
         "url", "chunk_seq", "chunk_text")
 
 
+def _q_chunks_laws(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """laws template (rag/app/laws.py:198-208): hierarchical merge only —
+    docs with no bullet class produce no chunks (family-4 docs chunk,
+    the rest vanish)."""
+    from ragflow_spark.corpus.gen import build_pages
+    from ragflow_spark.job.extract import chunk_pages
+
+    pages = build_pages(spark, sf_dir)
+    return chunk_pages(pages, "laws").select(
+        "url", "chunk_seq", "chunk_text")
+
+
 def _q_chunks_txt(spark: SparkSession, sf_dir: str) -> DataFrame:
     """RAGFlowTxtParser: backtick-quoted space delimiter, 32-token greedy
     overshoot fold (deepdoc/parser/txt_parser.py:23-64)."""
@@ -372,6 +384,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fingerprints": _q_fingerprints,
         "extract_pdf": _q_extract_pdf,
         "chunks_paper": _q_chunks_paper,
+        "chunks_laws": _q_chunks_laws,
         "chunks_txt": _q_chunks_txt,
         "chunks_json": _q_chunks_json,
         "parse_md": _q_parse_md,
@@ -721,6 +734,19 @@ FROM (
 )
 """
 
+    # laws = the hierarchical branch of the book fold, restricted to
+    # bullet docs (family 4); non-bullet docs emit nothing
+    chunks_laws_sql = chunks_book.replace(
+        "GROUP BY f.url, f.cidx, f.family", """
+WHERE f.family = 4
+GROUP BY f.url, f.cidx, f.family
+""").replace(
+        """ AS chunk_text,
+       CASE WHEN f.family = 4 THEN 'hierarchical' ELSE 'naive' END
+           AS merge_mode
+""", " AS chunk_text\n")
+    assert "merge_mode" not in chunks_laws_sql
+
     chunks_txt_sql = f"""
 WITH RECURSIVE doc AS (
     SELECT doc_id, string_split(text, ' ') AS words FROM documents
@@ -785,6 +811,7 @@ FROM documents
         "fingerprints": fingerprints_sql,
         "extract_pdf": extract_pdf_sql,
         "chunks_paper": chunks_paper_sql,
+        "chunks_laws": chunks_laws_sql,
         "chunks_txt": chunks_txt_sql,
         "chunks_json": chunks_json_sql,
         "parse_md": parse_md_sql,

@@ -137,3 +137,29 @@ def chunk_one_pdf(binary: bytes) -> list[str]:
     secs = [remove_tag(t) for t, _ in pdf_to_sections(binary)]
     secs = [s for s in secs if s]
     return ["\n".join(secs)] if secs else []
+
+
+def chunk_laws_html(binary: bytes) -> list[str]:
+    """laws template, HTML branch (rag/app/laws.py:179-208): TOC removal,
+    colon-title split, bullet vote, hierarchical_merge(depth 5), chunks
+    joined by newline. No naive fallback — a doc with no bullet class
+    yields no chunks (hierarchical_merge returns [] for bull == -1)."""
+    sections = [s for s in html_sections(binary) if s]
+    remove_contents_table(sections, eng=is_english(sections))
+    make_colon_as_title(sections)
+    bull = bullets_category(sections)
+    return ["\n".join(ck) for ck in hierarchical_merge(bull, sections, 5)]
+
+
+def chunk_laws_pdf(binary: bytes) -> list[str]:
+    """laws template, PDF branch (laws.py:165-169,198-208): rule-chain
+    sections with position tags, same hierarchical merge, tags stripped
+    at tokenize_chunks time."""
+    from .pdfrules import pdf_to_sections, remove_tag
+
+    sections = [t for t, _ in pdf_to_sections(binary)]
+    remove_contents_table(sections, eng=is_english(sections))
+    make_colon_as_title(sections)
+    bull = bullets_category(sections)
+    return [remove_tag("\n".join(ck))
+            for ck in hierarchical_merge(bull, sections, 5)]

@@ -109,6 +109,10 @@ def _chunk_batches_factory(template: str):
                     chunks = (T.chunk_one_pdf(blob) if is_pdf
                               else T.chunk_one_html(blob))
                     mode = "one"
+                elif template == "laws":
+                    chunks = (T.chunk_laws_pdf(blob) if is_pdf
+                              else T.chunk_laws_html(blob))
+                    mode = "laws"
                 else:  # pragma: no cover
                     raise ValueError(template)
                 for seq, text, cid in T.chunks_with_ids(chunks, url):

@@ -129,7 +129,7 @@ def main() -> None:
     ap.add_argument("--input", required=True)
     ap.add_argument("--output", required=True)
     ap.add_argument("--template", default="naive",
-                    choices=["naive", "book", "one", "paper"])
+                    choices=["naive", "book", "one", "paper", "laws"])
     ap.add_argument("--buckets", type=int, default=64)
     ap.add_argument("--waves", type=int, default=8)
     ap.add_argument("--salt-buckets", type=int, default=8)

@@ -1,0 +1,85 @@
+"""Property tests (SURVEY.md §5.2 item 3): invariants under arbitrary
+inputs, pure-Python layer (fast, no Spark)."""
+
+import json
+import string
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from ragflow_spark.extractlib.codec import decode_blob, find_codec
+from ragflow_spark.extractlib.htmlparse import extract_html
+from ragflow_spark.extractlib.jsonparse import split_json
+from ragflow_spark.extractlib.merge import naive_merge
+from ragflow_spark.extractlib.templates import (chunk_book_html,
+                                                chunk_laws_html,
+                                                chunk_naive_html,
+                                                chunk_one_html)
+from ragflow_spark.extractlib.tokens import num_tokens_from_string
+from ragflow_spark.extractlib.txtparse import parser_txt
+from ragflow_spark.extractlib.xxh64 import xxh64_hexdigest
+
+words = st.text(alphabet=string.ascii_letters + string.digits,
+                min_size=1, max_size=12)
+texts = st.lists(words, min_size=0, max_size=30).map(" ".join)
+
+
+@settings(max_examples=50, deadline=None)
+@given(st.lists(texts, min_size=1, max_size=20),
+       st.integers(min_value=1, max_value=64))
+def test_naive_merge_concat_invariant(sections, budget):
+    """Chunk concatenation == section concatenation, chunks non-empty
+    except possibly the seed chunk."""
+    cks = naive_merge([(s, "") for s in sections], budget)
+    assert "".join(cks) == "".join(sections)
+
+
+@settings(max_examples=50, deadline=None)
+@given(texts, st.integers(min_value=0, max_value=32))
+def test_parser_txt_loses_only_delimiters(txt, budget):
+    out = parser_txt(txt, budget, "` `")
+    assert "".join(c for c, _ in out) == txt.replace(" ", "")
+
+
+@settings(max_examples=100, deadline=None)
+@given(st.binary(max_size=512))
+def test_codec_and_extract_never_raise(blob):
+    codec = find_codec(blob)
+    assert isinstance(codec, str)
+    decode_blob(blob)
+    extract_html(blob)
+    for fn in (chunk_naive_html, chunk_one_html, chunk_laws_html):
+        fn(blob)
+    chunk_book_html(blob)
+
+
+@settings(max_examples=50, deadline=None)
+@given(st.dictionaries(words, st.one_of(st.integers(), words,
+                                        st.lists(st.integers(),
+                                                 max_size=5)),
+                       max_size=20),
+       st.integers(min_value=60, max_value=500))
+def test_json_split_preserves_top_level_keys(data, max_size):
+    chunks = split_json(data, max_chunk_size=max_size)
+    got = [k for c in chunks for k in c]
+    assert sorted(got) == sorted(data)
+    # chunks re-serialize losslessly
+    for c in chunks:
+        json.dumps(c)
+
+
+@settings(max_examples=100, deadline=None)
+@given(st.binary(max_size=256))
+def test_xxh64_deterministic_and_sensitive(data):
+    h = xxh64_hexdigest(data)
+    assert len(h) == 16 and h == xxh64_hexdigest(data)
+    assert xxh64_hexdigest(data + b"x") != h
+
+
+@settings(max_examples=50, deadline=None)
+@given(texts)
+def test_token_count_monotone_under_concat(t):
+    a = num_tokens_from_string(t)
+    b = num_tokens_from_string(t + " extra")
+    assert b >= a
+    assert num_tokens_from_string("") == 0
