@@ -339,6 +339,54 @@ def _q_parse_md(spark: SparkSession, sf_dir: str) -> DataFrame:
     return md_parse(docs)
 
 
+def _q_tokenize_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """rag_tokenizer-lite output columns (title_tks / content_ltks):
+    Q2B fold, lowercase, per-char CJK, script-run split (SURVEY §2.7 —
+    token columns sit outside the byte-identity invariant)."""
+    import pandas as pd
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+    def gen(it):
+        from ragflow_spark.extractlib.ragtok import tokenize
+
+        for pdf in it:
+            titles, ltks = [], []
+            for doc_id, text, lang in zip(pdf["doc_id"], pdf["text"],
+                                          pdf["lang"]):
+                title = (f"文档 {int(doc_id)}" if lang == "zh"
+                         else f"Document {int(doc_id)}")
+                titles.append(tokenize(title))
+                ltks.append(tokenize(text))
+            yield pd.DataFrame({"doc_id": pdf["doc_id"],
+                                "title_tks": titles,
+                                "content_ltks": ltks})
+
+    return docs.select("doc_id", "text", "lang").mapInPandas(
+        gen, schema="doc_id long, title_tks string, content_ltks string")
+
+
+def _q_events_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily rollup per event type over a ts-filtered scan (pushed
+    predicate + map-side partial aggregation — the lineage/metrics agg
+    shape of SURVEY §2.9)."""
+    events = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return (
+        events.where(F.col("ts") >= "2024-01-10")
+        .groupBy(F.col("ts").cast("date").alias("day"), "event_type")
+        .agg(F.count("*").alias("n_events"),
+             F.round(F.sum("value"), 4).alias("sum_value"))
+    )
+
+
+def _q_events_props(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured props extraction (get_json_object, JVM-side)."""
+    events = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return events.select(
+        "event_id",
+        F.get_json_object("props", "$.k").cast("int").alias("k"))
+
+
 def _q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Image feature extraction over binary media columns (stub codec —
     deterministic but not SQL-expressible, hence rows-only check)."""
@@ -385,6 +433,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "extract_pdf": _q_extract_pdf,
         "chunks_paper": _q_chunks_paper,
         "chunks_laws": _q_chunks_laws,
+        "tokenize_docs": _q_tokenize_docs,
+        "events_rollup": _q_events_rollup,
+        "events_props": _q_events_props,
         "chunks_txt": _q_chunks_txt,
         "chunks_json": _q_chunks_json,
         "parse_md": _q_parse_md,
@@ -773,6 +824,30 @@ FROM fold f JOIN toks s ON s.doc_id = f.doc_id AND s.i = f.i
 GROUP BY f.doc_id, f.cidx
 """
 
+    # corpus text is already lowercase single-spaced ascii words, so the
+    # content tokenization is the identity; titles exercise the
+    # lowercase + per-char-CJK paths
+    tokenize_docs_sql = """
+SELECT doc_id,
+       CASE WHEN lang = 'zh' THEN '文 档 ' || doc_id
+            ELSE 'document ' || doc_id END AS title_tks,
+       text AS content_ltks
+FROM documents
+"""
+
+    events_rollup_sql = """
+SELECT CAST(ts AS DATE) AS day, event_type,
+       count(*) AS n_events, round(sum(value), 4) AS sum_value
+FROM events
+WHERE ts >= TIMESTAMP '2024-01-10 00:00:00'
+GROUP BY 1, 2
+"""
+
+    events_props_sql = """
+SELECT event_id, CAST(json_extract_string(props, '$.k') AS INT) AS k
+FROM events
+"""
+
     chunks_json_sql = """
 SELECT doc_id, 0 AS chunk_seq,
        '{"id": ' || doc_id || ', "text": "' || text || '", "lang": "'
@@ -812,6 +887,9 @@ FROM documents
         "extract_pdf": extract_pdf_sql,
         "chunks_paper": chunks_paper_sql,
         "chunks_laws": chunks_laws_sql,
+        "tokenize_docs": tokenize_docs_sql,
+        "events_rollup": events_rollup_sql,
+        "events_props": events_props_sql,
         "chunks_txt": chunks_txt_sql,
         "chunks_json": chunks_json_sql,
         "parse_md": parse_md_sql,

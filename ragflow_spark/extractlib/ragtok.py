@@ -1,0 +1,57 @@
+"""Deterministic tokenizer for output token columns (*_tks).
+
+Simplified equivalent of rag_tokenizer
+(/root/reference/rag/nlp/rag_tokenizer.py:291-401): full-to-half width
+folding (_strQ2B, :101-114), lowercasing, script-run splitting with
+per-character CJK emission, and fine-grained sub-segmentation of long
+tokens. Documented divergences (SURVEY.md §2.7): the reference's
+trie-based Chinese segmentation needs the downloaded huqie.txt dictionary
+and its English path needs NLTK stem/lemmatize corpora — neither ships in
+this environment, so CJK runs emit per-character and English tokens pass
+through unstemmed. Token columns are explicitly OUTSIDE the
+byte-identity invariant (extracted_text), matching the survey's plan.
+"""
+
+from __future__ import annotations
+
+import re
+
+_CJK = ("一", "鿿")
+
+
+def str_q2b(s: str) -> str:
+    """Full-width -> half-width (rag_tokenizer.py:101-114)."""
+    out = []
+    for ch in s:
+        code = ord(ch)
+        if code == 0x3000:
+            code = 0x20
+        elif 0xFF01 <= code <= 0xFF5E:
+            code -= 0xFEE0
+        out.append(chr(code))
+    return "".join(out)
+
+
+def tokenize(text: str) -> str:
+    """Space-joined token string (the content_ltks surface)."""
+    t = str_q2b(text).lower()
+    tokens: list[str] = []
+    for run in re.findall(r"[0-9a-z]+|[一-鿿]+", t):
+        if _CJK[0] <= run[0] <= _CJK[1]:
+            tokens.extend(run)  # per-char (trie-less segmentation)
+        else:
+            tokens.append(run)
+    return " ".join(tokens)
+
+
+def fine_grained_tokenize(tks: str) -> str:
+    """Sub-segmentation of long tokens (rag_tokenizer.py:363-401
+    shape): alnum tokens longer than 8 chars split into 4-char groups;
+    everything else passes through."""
+    out = []
+    for tk in tks.split(" "):
+        if len(tk) > 8 and re.match(r"[0-9a-z]+$", tk):
+            out.extend(tk[i:i + 4] for i in range(0, len(tk), 4))
+        else:
+            out.append(tk)
+    return " ".join(t for t in out if t)
