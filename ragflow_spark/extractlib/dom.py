@@ -82,11 +82,19 @@ class Node:
         return self.children.index(child)
 
     def iter(self, tag: Optional[str] = None) -> Iterator["Node"]:
-        """Depth-first, self included (document order), like lxml .iter()."""
-        if tag is None or self.tag == tag:
-            yield self
-        for c in list(self.children):
-            yield from c.iter(tag)
+        """Depth-first, self included (document order), like lxml .iter().
+
+        Iterative (explicit stack): generator recursion costs O(depth)
+        per yielded node and dominated the extraction profile. Children
+        are snapshotted at visit time, same as the recursive form, so
+        callers may detach the yielded node mid-iteration."""
+        stack = [self]
+        while stack:
+            n = stack.pop()
+            if tag is None or n.tag == tag:
+                yield n
+            if n.children:
+                stack.extend(reversed(n.children))
 
     def iter_tags(self, tags) -> Iterator["Node"]:
         tags = frozenset(tags)

@@ -70,11 +70,21 @@ _DIV_TO_P_BLOCKERS = frozenset(
 )
 
 
+_CLEAN_LONG = re.compile(r"\s{255,}")
+_CLEAN_NL = re.compile(r"\s*\n\s*")
+_CLEAN_TAB = re.compile(r"\t|[ \t]{2,}")
+# any input all three subs would touch (a 255+ whitespace run necessarily
+# contains a double space / newline / tab)
+_CLEAN_NEEDED = re.compile(r"[\n\t]|\s\s")
+
+
 def _clean(text: str) -> str:
     """Whitespace normalization used for all scoring lengths."""
-    text = re.sub(r"\s{255,}", " " * 255, text)
-    text = re.sub(r"\s*\n\s*", "\n", text)
-    text = re.sub(r"\t|[ \t]{2,}", " ", text)
+    if _CLEAN_NEEDED.search(text) is None:
+        return text.strip()
+    text = _CLEAN_LONG.sub(" " * 255, text)
+    text = _CLEAN_NL.sub("\n", text)
+    text = _CLEAN_TAB.sub(" ", text)
     return text.strip()
 
 
@@ -100,10 +110,24 @@ class Document:
         self.source = source
         self.min_text_length = min_text_length
         self.retry_length = retry_length
+        # one parsed tree is shared between title() and the first
+        # summary pass (title only reads; summary consumes + mutates) —
+        # halves the dominant per-doc cost (stdlib HTMLParser walk)
+        self._fresh_root: Node | None = None
+
+    def _take_root(self) -> Node:
+        root = self._fresh_root
+        if root is not None:
+            self._fresh_root = None
+            return root
+        return parse_html(self.source)
 
     # ------------------------------------------------------------------
     def title(self) -> str:
-        root = parse_html(self.source)
+        root = self._fresh_root
+        if root is None:
+            root = parse_html(self.source)
+            self._fresh_root = root
         t = find_first(root, "title")
         if t is None:
             return "[no-title]"
@@ -114,7 +138,7 @@ class Document:
     def summary_node(self, html_partial: bool = True) -> Node:
         ruthless = True
         while True:
-            root = parse_html(self.source)
+            root = self._take_root()
             drop_tags(root, ("script", "style", "link"))
             if ruthless:
                 self._remove_unlikely_candidates(root)
