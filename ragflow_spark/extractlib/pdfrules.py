@@ -262,3 +262,364 @@ def pdf_to_sections(blob: bytes) -> list[tuple[str, str]]:
         (b["text"].rstrip() + line_tag(b), b["layout_type"])
         for b in boxes if b["text"].strip()
     ]
+
+
+# ---------------------------------------------------------------------------
+# box <-> region assignment primitives (recognizer.py:113-281) and the
+# column-aware page sort used by 2-column papers (pdf_parser.py:182-195)
+# ---------------------------------------------------------------------------
+
+def overlapped_area(a: dict, b: dict, ratio: bool = True) -> float:
+    """Intersection area, optionally as a fraction of a's area
+    (recognizer.py:113-132)."""
+    tp, btm, x0, x1 = a["top"], a["bottom"], a["x0"], a["x1"]
+    if b["x0"] > x1 or b["x1"] < x0:
+        return 0
+    if b["bottom"] < tp or b["top"] > btm:
+        return 0
+    x0_, x1_ = max(b["x0"], x0), min(b["x1"], x1)
+    tp_, btm_ = max(b["top"], tp), min(b["bottom"], btm)
+    ov = ((btm_ - tp_) * (x1_ - x0_)
+          if x1 - x0 != 0 and btm - tp != 0 else 0)
+    if ov > 0 and ratio:
+        ov /= (x1 - x0) * (btm - tp)
+    return ov
+
+
+def _not_overlapped(a: dict, b: dict) -> bool:
+    return any([a["x1"] < b["x0"], a["x0"] > b["x1"],
+                a["bottom"] < b["top"], a["top"] > b["bottom"]])
+
+
+def layouts_cleanup(boxes: list[dict], layouts: list[dict], far: int = 2,
+                    thr: float = 0.7) -> list[dict]:
+    """Near-duplicate layout suppression by mutual overlap: keep the
+    higher score, else the region covering more text area
+    (recognizer.py:134-176)."""
+    i = 0
+    while i + 1 < len(layouts):
+        j = i + 1
+        while j < min(i + far, len(layouts)) and (
+                layouts[i].get("type", "") != layouts[j].get("type", "")
+                or _not_overlapped(layouts[i], layouts[j])):
+            j += 1
+        if j >= min(i + far, len(layouts)):
+            i += 1
+            continue
+        if overlapped_area(layouts[i], layouts[j]) < thr \
+                and overlapped_area(layouts[j], layouts[i]) < thr:
+            i += 1
+            continue
+        if layouts[i].get("score") and layouts[j].get("score"):
+            layouts.pop(j if layouts[i]["score"] > layouts[j]["score"]
+                        else i)
+            continue
+        area_i = sum(overlapped_area(b, layouts[i], False) for b in boxes
+                     if not _not_overlapped(b, layouts[i]))
+        area_j = sum(overlapped_area(b, layouts[j], False) for b in boxes
+                     if not _not_overlapped(b, layouts[j]))
+        layouts.pop(j if area_i > area_j else i)
+    return layouts
+
+
+def find_overlapped(box: dict, boxes_sorted_by_y: list[dict],
+                    naive: bool = False):
+    """Index of the most-overlapping box, y-binary-search narrowed
+    (recognizer.py:217-249; the one-shot while loops at :233-240 are a
+    reference quirk kept as-is: they adjust the range at most once)."""
+    if not boxes_sorted_by_y:
+        return None
+    bxs = boxes_sorted_by_y
+    s, e, ii = 0, len(bxs), 0
+    while s < e and not naive:
+        ii = (e + s) // 2
+        pv = bxs[ii]
+        if box["bottom"] < pv["top"]:
+            e = ii
+            continue
+        if box["top"] > pv["bottom"]:
+            s = ii + 1
+            continue
+        break
+    while s < ii:
+        if box["top"] > bxs[s]["bottom"]:
+            s += 1
+        break
+    while e - 1 > ii:
+        if box["bottom"] < bxs[e - 1]["top"]:
+            e -= 1
+        break
+    best_i, best = None, 0
+    for i in range(s, e):
+        ov = overlapped_area(bxs[i], box)
+        if ov <= best:
+            continue
+        best_i, best = i, ov
+    return best_i
+
+
+def find_overlapped_with_threshold(box: dict, boxes: list[dict],
+                                   thr: float = 0.3):
+    """recognizer.py:266-281 (tuple-compare update rule kept)."""
+    if not boxes:
+        return None
+    best_i, best, _best = None, thr, 0
+    for i in range(len(boxes)):
+        ov = overlapped_area(box, boxes[i])
+        _ov = overlapped_area(boxes[i], box)
+        if (ov, _ov) < (best, _best):
+            continue
+        best_i, best, _best = i, ov, _ov
+    return best_i
+
+
+def find_horizontally_tightest_fit(box: dict, boxes: list[dict]):
+    """recognizer.py:251-263: nearest box of the same layout region by
+    min of left-edge / right-edge / center distance."""
+    if not boxes:
+        return None
+    min_dis, min_i = 1000000, None
+    for i, b in enumerate(boxes):
+        if box.get("layoutno", "0") != b.get("layoutno", "0"):
+            continue
+        dis = min(abs(box["x0"] - b["x0"]), abs(box["x1"] - b["x1"]),
+                  abs(box["x0"] + box["x1"] - b["x1"] - b["x0"]) / 2)
+        if dis < min_dis:
+            min_i, min_dis = i, dis
+    return min_i
+
+
+def sort_x_by_page(arr: list[dict], threshold: float) -> list[dict]:
+    """Column-aware re-sort for 2-column pages (pdf_parser.py:182-195):
+    (page, x0, top) sort then bubble boxes of the same column
+    (|x0 diff| < threshold) back into top order."""
+    arr = sorted(arr, key=lambda r: (r["page_number"], r["x0"], r["top"]))
+    for i in range(len(arr) - 1):
+        for j in range(i, -1, -1):
+            if abs(arr[j + 1]["x0"] - arr[j]["x0"]) < threshold \
+                    and arr[j + 1]["top"] < arr[j]["top"] \
+                    and arr[j + 1]["page_number"] == arr[j]["page_number"]:
+                arr[j], arr[j + 1] = arr[j + 1], arr[j]
+    return arr
+
+
+# ---------------------------------------------------------------------------
+# cross-row concat chain (pdf_parser.py:95-180, 472-579) with the xgb
+# decision seam replaced by a deterministic rule fallback
+# ---------------------------------------------------------------------------
+
+PROJ_PATTERNS = [
+    r"第[零一二三四五六七八九十百]+章",
+    r"第[零一二三四五六七八九十百]+[条节]",
+    r"[零一二三四五六七八九十百]+[、是 　]",
+    r"[\(（][零一二三四五六七八九十百]+[）\)]",
+    r"[\(（][0-9]+[）\)]",
+    r"[0-9]+(、|\.[　 ]|）|\.[^0-9./a-zA-Z_%><-]{4,})",
+    r"[0-9]+\.[0-9.]+(、|\.[ 　])",
+    r"[⚫•➢①② ]",
+]
+
+
+def char_width(c: dict) -> float:
+    """pdf_parser.py:97-98 (floor division kept)."""
+    return (c["x1"] - c["x0"]) // max(len(c["text"]), 1)
+
+
+def box_height(c: dict) -> float:
+    return c["bottom"] - c["top"]
+
+
+def x_dis(a: dict, b: dict) -> float:
+    return min(abs(a["x1"] - b["x0"]), abs(a["x0"] - b["x1"]),
+               abs(a["x0"] + a["x1"] - b["x0"] - b["x1"]) / 2)
+
+
+def y_dis(a: dict, b: dict) -> float:
+    return (b["top"] + b["bottom"] - a["top"] - a["bottom"]) / 2
+
+
+def match_proj(b: dict) -> bool:
+    """Bullet/heading projection patterns (pdf_parser.py:112-124)."""
+    return any(re.match(p, b["text"]) for p in PROJ_PATTERNS)
+
+
+def updown_concat_features(up: dict, down: dict) -> list:
+    """The 32-feature concat vector (pdf_parser.py:125-180).
+
+    Tokenizer-dependent entries use ragtok (SURVEY §2.7 divergence); the
+    two trailing name-tag features are always False (the reference's
+    ``rag_tokenizer.tag`` needs the downloaded trie dictionary).
+    """
+    from .ragtok import tokenize
+
+    w = max(char_width(up), char_width(down))
+    h = max(box_height(up), box_height(down))
+    ydis = y_dis(up, down)
+    LEN = 6
+    tks_down = tokenize(down["text"][:LEN]).split()
+    tks_up = tokenize(up["text"][-LEN:]).split()
+    tks_all = (up["text"][-LEN:].strip()
+               + (" " if re.match(r"[a-zA-Z0-9]+",
+                                  up["text"][-1] + down["text"][0])
+                  else "")
+               + down["text"][:LEN].strip())
+    tks_all = tokenize(tks_all).split()
+    return [
+        up.get("R", -1) == down.get("R", -1),
+        ydis / max(h, 1e-6),
+        down["page_number"] - up["page_number"],
+        up.get("layout_type") == down.get("layout_type"),
+        up.get("layout_type") == "text",
+        down.get("layout_type") == "text",
+        up.get("layout_type") == "table",
+        down.get("layout_type") == "table",
+        bool(re.search(r"([。？！；!?;+)）]|[a-z]\.)$", up["text"])),
+        bool(re.search(r"[，：‘“、0-9（+-]$", up["text"])),
+        bool(re.search(r"(^.?[/,?;:\]，。；：’”？！》】）-])", down["text"])),
+        bool(re.match(r"[\(（][^\(\)（）]+[）\)]$", up["text"])),
+        bool(re.search(r"[，,][^。.]+$", up["text"])),
+        bool(re.search(r"[，,][^。.]+$", up["text"])),  # quirk: duplicated
+        bool(re.search(r"[\(（][^\)）]+$", up["text"])
+             and re.search(r"[\)）]", down["text"])),
+        match_proj(down),
+        bool(re.match(r"[A-Z]", down["text"])),
+        bool(re.match(r"[A-Z]", up["text"][-1])),
+        bool(re.match(r"[a-z0-9]", up["text"][-1])),
+        bool(re.match(r"[0-9.%,-]+$", down["text"])),
+        (up["text"].strip()[-2:] == down["text"].strip()[-2:]
+         if len(up["text"].strip()) > 1 and len(down["text"].strip()) > 1
+         else False),
+        up["x0"] > down["x1"],
+        abs(box_height(up) - box_height(down))
+        / max(min(box_height(up), box_height(down)), 1e-6),
+        x_dis(up, down) / max(w, 0.000001),
+        (len(up["text"]) - len(down["text"]))
+        / max(len(up["text"]), len(down["text"])),
+        len(tks_all) - len(tks_up) - len(tks_down),
+        len(tks_down) - len(tks_up),
+        tks_down[-1] == tks_up[-1] if tks_down and tks_up else False,
+        max(down.get("in_row", 0), up.get("in_row", 0)),
+        abs(down.get("in_row", 0) - up.get("in_row", 0)),
+        False,  # name-tag(down) — trie unavailable, SURVEY §2.7
+        False,  # name-tag(up)
+    ]
+
+
+def rule_concat_decision(fea: list) -> bool:
+    """Deterministic stand-in for the xgb model at pdf_parser.py:540-542
+    (the weights are model parameters, not rules — SURVEY §2.4 keeps the
+    seam and substitutes thresholds): concat when the up-line does not
+    end a sentence, the pair shares a text layout, the vertical gap is
+    under two line heights, and the down-line is not a fresh bullet."""
+    sentence_end = fea[8]
+    same_layout, up_text, down_text = fea[3], fea[4], fea[5]
+    ydis_h = fea[1]
+    down_bullet = fea[15]
+    return (not sentence_end and same_layout and up_text and down_text
+            and 0 <= ydis_h < 2 and not down_bullet)
+
+
+def concat_downward(boxes: list[dict], mh: list[float], mw: list[float],
+                    concat_between_pages: bool = True,
+                    decide=rule_concat_decision) -> list[dict]:
+    """DFS chain-building concat (pdf_parser.py:472-579): in_row counts,
+    layout gate for near candidates, ``decide`` for far ones, then
+    intra-block join with space insertion between alnum edges."""
+    import copy
+
+    boxes = [dict(b) for b in boxes]
+    for i in range(len(boxes)):
+        pmh = mh[boxes[i]["page_number"] - 1] if mh else 10.0
+        boxes[i]["in_row"] = 0
+        j = max(0, i - 12)
+        while j < min(i + 12, len(boxes)):
+            if j == i:
+                j += 1
+                continue
+            ydis = y_dis(boxes[i], boxes[j]) / max(pmh, 1e-6)
+            if abs(ydis) < 1:
+                boxes[i]["in_row"] += 1
+            elif ydis > 0:
+                break
+            j += 1
+
+    blocks: list[list[dict]] = []
+    while boxes:
+        chunks: list[dict] = []
+
+        def dfs(up, dp):
+            chunks.append(up)
+            i = dp
+            while i < min(dp + 12, len(boxes)):
+                ydis = y_dis(up, boxes[i])
+                smpg = up["page_number"] == boxes[i]["page_number"]
+                pmh = mh[up["page_number"] - 1] if mh else 10.0
+                pmw = mw[up["page_number"] - 1] if mw else 10.0
+                if smpg and ydis > pmh * 4:
+                    break
+                if not smpg and ydis > pmh * 16:
+                    break
+                down = boxes[i]
+                if not concat_between_pages and \
+                        down["page_number"] > up["page_number"]:
+                    break
+                if up.get("R", "") != down.get("R", "") \
+                        and up["text"][-1] != "，":
+                    i += 1
+                    continue
+                if re.match(r"[0-9]{2,3}/[0-9]{3}$", up["text"]) \
+                        or re.match(r"[0-9]{2,3}/[0-9]{3}$",
+                                    down["text"]) \
+                        or not down["text"].strip():
+                    i += 1
+                    continue
+                if not down["text"].strip() or not up["text"].strip():
+                    i += 1
+                    continue
+                if up["x1"] < down["x0"] - 10 * pmw \
+                        or up["x0"] > down["x1"] + 10 * pmw:
+                    i += 1
+                    continue
+                if i - dp < 5 and up.get("layout_type") == "text":
+                    if up.get("layoutno", "1") == down.get("layoutno",
+                                                           "2"):
+                        dfs(down, i + 1)
+                        boxes.pop(i)
+                        return
+                    i += 1
+                    continue
+                if not decide(updown_concat_features(up, down)):
+                    i += 1
+                    continue
+                dfs(down, i + 1)
+                boxes.pop(i)
+                return
+
+        dfs(boxes[0], 1)
+        boxes.pop(0)
+        if chunks:
+            blocks.append(chunks)
+
+    out: list[dict] = []
+    for blk in blocks:
+        if len(blk) == 1:
+            out.append(blk[0])
+            continue
+        t = blk[0]
+        for c in blk[1:]:
+            t["text"] = t["text"].strip()
+            c["text"] = c["text"].strip()
+            if not c["text"]:
+                continue
+            if t["text"] and re.match(r"[0-9\.a-zA-Z]+$",
+                                      t["text"][-1] + c["text"][-1]):
+                t["text"] += " "
+            t["text"] += c["text"]
+            t["x0"] = min(t["x0"], c["x0"])
+            t["x1"] = max(t["x1"], c["x1"])
+            t["page_number"] = min(t["page_number"], c["page_number"])
+            t["bottom"] = c["bottom"]
+            if not t.get("layout_type") and c.get("layout_type"):
+                t["layout_type"] = c["layout_type"]
+        out.append(t)
+    return sort_y_firstly(out, 0)

@@ -28,7 +28,9 @@ LEVELS = (4, 16)
 def run_level(cpus: int, replicate: int) -> dict:
     env = dict(os.environ,
                SPARK_GRAFT_CPUS=str(cpus),
-               BENCH_REPLICATE=str(replicate))
+               BENCH_REPLICATE=str(replicate),
+               BENCH_EXTRACT_REPEAT=os.environ.get(
+                   "BENCH_EXTRACT_REPEAT", "4"))
     out = subprocess.run(
         [sys.executable, "bench.py"], env=env, capture_output=True,
         text=True, check=True, cwd=os.path.dirname(
@@ -68,6 +70,10 @@ because each level L runs L JVM task threads + L Python/Arrow workers
 machine's 32 physical cores, so the ratio measures parallel scaling, not
 core oversubscription (which a real N->4N executor cluster would not have;
 measured pure-multiprocessing ceiling here: 8->32 procs = 0.81).
+The timed extraction runs BENCH_EXTRACT_REPEAT=4 passes over the cached
+corpus (docs/sec counts all passes): amortizes per-job fixed overhead
+without growing the corpus past what both levels can cache (a spilling
+local[4] run fakes super-linear scaling).
 
 | level | extract wall (s) | docs/sec | pipeline total (s) |
 |---|---|---|---|
