@@ -289,6 +289,35 @@ def _q_extract_pdf(spark: SparkSession, sf_dir: str) -> DataFrame:
         "url", "title", "extracted_text", "n_sections")
 
 
+def _q_extract_pdf_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PDF path through the _concat_downward DFS chain (rule fallback at
+    the xgb seam) instead of the vertical merge — byte-identical on
+    single-column documents, so it shares the extract_pdf oracle."""
+    import pandas as pd
+
+    from ragflow_spark.corpus.gen import build_pdf_pages
+
+    pages = build_pdf_pages(spark, sf_dir)
+
+    def gen(it):
+        from ragflow_spark.extractlib.templates import extract_pdf_text
+
+        for pdf in it:
+            rows = {"url": [], "title": [], "extracted_text": [],
+                    "n_sections": []}
+            for url, blob in zip(pdf["url"], pdf["html"]):
+                title, text, n = extract_pdf_text(bytes(blob), "chain")
+                rows["url"].append(url)
+                rows["title"].append(title)
+                rows["extracted_text"].append(text)
+                rows["n_sections"].append(n)
+            yield pd.DataFrame(rows)
+
+    return pages.select("url", "html").mapInPandas(
+        gen, schema=("url string, title string, extracted_text string, "
+                     "n_sections int"))
+
+
 def _q_chunks_paper(spark: SparkSession, sf_dir: str) -> DataFrame:
     """paper template (rag/app/paper.py:186-208): bullets_category ->
     title_frequency pivot -> merge sections between pivots."""
@@ -337,6 +366,18 @@ def _q_parse_md(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
     return md_parse(docs)
+
+
+def _q_chunk_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chunk spans (char offsets into the per-url chunk stream) — the
+    north rule's span output, computed inside the chunk UDF; the oracle
+    re-derives them with a window sum over the fold's chunk lengths."""
+    from ragflow_spark.corpus.gen import build_pages
+    from ragflow_spark.job.extract import chunk_pages
+
+    pages = build_pages(spark, sf_dir)
+    return chunk_pages(pages, "naive").select(
+        "url", "chunk_seq", "span_start", "span_end")
 
 
 def _q_tokenize_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -431,8 +472,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lang_id": _q_lang_id,
         "fingerprints": _q_fingerprints,
         "extract_pdf": _q_extract_pdf,
+        "extract_pdf_chain": _q_extract_pdf_chain,
         "chunks_paper": _q_chunks_paper,
         "chunks_laws": _q_chunks_laws,
+        "chunk_spans": _q_chunk_spans,
         "tokenize_docs": _q_tokenize_docs,
         "events_rollup": _q_events_rollup,
         "events_props": _q_events_props,
@@ -848,6 +891,18 @@ SELECT event_id, CAST(json_extract_string(props, '$.k') AS INT) AS k
 FROM events
 """
 
+    chunk_spans_sql = "SELECT url, chunk_seq" + """,
+       CAST(coalesce(sum(length(chunk_text)) OVER (
+           PARTITION BY url ORDER BY chunk_seq
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+           AS BIGINT) AS span_start,
+       CAST(sum(length(chunk_text)) OVER (
+           PARTITION BY url ORDER BY chunk_seq
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS BIGINT) AS span_end
+FROM (
+""" + chunks_naive + ") chunks"
+
     chunks_json_sql = """
 SELECT doc_id, 0 AS chunk_seq,
        '{"id": ' || doc_id || ', "text": "' || text || '", "lang": "'
@@ -885,8 +940,10 @@ FROM documents
         "lang_id": lang_id_sql,
         "fingerprints": fingerprints_sql,
         "extract_pdf": extract_pdf_sql,
+        "extract_pdf_chain": extract_pdf_sql,
         "chunks_paper": chunks_paper_sql,
         "chunks_laws": chunks_laws_sql,
+        "chunk_spans": chunk_spans_sql,
         "tokenize_docs": tokenize_docs_sql,
         "events_rollup": events_rollup_sql,
         "events_props": events_props_sql,

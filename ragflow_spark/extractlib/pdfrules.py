@@ -241,12 +241,18 @@ def parse_positions(txt: str) -> list[tuple[list[int], float, float,
     return out
 
 
-def pdf_to_sections(blob: bytes) -> list[tuple[str, str]]:
+def pdf_to_sections(blob: bytes,
+                    merge: str = "vertical") -> list[tuple[str, str]]:
     """Full rule chain: PDF bytes -> [(text_with_tag, layout_type)].
 
     Mirrors the DeepDOC pipeline shape (pdf_parser.__call__ minus models):
-    parse boxes -> layout tagging -> TOC filter -> vertical merge ->
-    position-tag append.
+    parse boxes -> layout tagging -> TOC filter -> merge pass ->
+    position-tag append. ``merge`` picks the pass: "vertical" =
+    _naive_vertical_merge (the book/plain path, pdf_parser.py:421-470);
+    "chain" = _concat_downward DFS (the DeepDOC naive path,
+    pdf_parser.py:472-579, rule fallback for the xgb seam). Both produce
+    identical bytes on well-formed single-column documents — the chain
+    query reuses the vertical oracle on that basis.
     """
     from .pdfplain import parse_pdf_boxes, total_page_number
 
@@ -257,7 +263,10 @@ def pdf_to_sections(blob: bytes) -> list[tuple[str, str]]:
     boxes = tag_layouts(boxes)
     boxes = filter_forpages(boxes)
     mh = mean_heights(boxes, n_pages)
-    boxes = naive_vertical_merge(boxes, mh)
+    if merge == "chain":
+        boxes = concat_downward(boxes, mh, [10.0] * len(mh))
+    else:
+        boxes = naive_vertical_merge(boxes, mh)
     return [
         (b["text"].rstrip() + line_tag(b), b["layout_type"])
         for b in boxes if b["text"].strip()

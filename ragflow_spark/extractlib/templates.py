@@ -74,7 +74,8 @@ def chunks_with_ids(chunks: list[str], url: str) -> list[tuple[int, str, str]]:
     return out
 
 
-def chunk_paper_pdf(binary: bytes) -> list[str]:
+def chunk_paper_pdf(binary: bytes,
+                    keep_tags: bool = False) -> list[str]:
     """paper template, Plain-PDF path (rag/app/paper.py:186-208): pivot on
     the most frequent title level, merge sections between pivots, join by
     newline; position tags stripped for the chunk text exactly as
@@ -103,31 +104,38 @@ def chunk_paper_pdf(binary: bytes) -> list[str]:
                 continue
         chunks.append(txt)
         last_sid = sec_id
+    if keep_tags:
+        return chunks
     return [remove_tag(c) for c in chunks]
 
 
-def extract_pdf_text(binary: bytes) -> tuple[str, str, int]:
+def extract_pdf_text(binary: bytes,
+                     merge: str = "vertical") -> tuple[str, str, int]:
     """PDF bytes -> (title, extracted_text, n_sections): the byte-identity
     surface for the PDF path (title = first section by construction of
-    the rule chain; text = tag-stripped sections joined by newline)."""
+    the rule chain; text = tag-stripped sections joined by newline).
+    ``merge`` selects the box-merge pass (see pdfrules.pdf_to_sections)."""
     from .pdfrules import pdf_to_sections, remove_tag
 
-    sections = [remove_tag(t) for t, _ in pdf_to_sections(binary)]
+    sections = [remove_tag(t) for t, _ in pdf_to_sections(binary, merge)]
     sections = [s for s in sections if s]
     if not sections:
         return "", "", 0
     return sections[0], "\n".join(sections), len(sections)
 
 
-def chunk_naive_pdf(binary: bytes, chunk_token_num: int = 128) -> list[str]:
+def chunk_naive_pdf(binary: bytes, chunk_token_num: int = 128,
+                    keep_tags: bool = False) -> list[str]:
     """naive template over the PDF rule-chain sections (rag/app/naive.py
     PDF branch shape: sections with position tags -> naive_merge ->
     tag-strip at tokenize_chunks time)."""
     from .pdfrules import pdf_to_sections, remove_tag
 
     sections = [(t, "") for t, _ in pdf_to_sections(binary)]
-    return [remove_tag(c) for c in naive_merge(sections, chunk_token_num)
-            if remove_tag(c).strip()]
+    cks = naive_merge(sections, chunk_token_num)
+    if keep_tags:
+        return [c for c in cks if remove_tag(c).strip()]
+    return [remove_tag(c) for c in cks if remove_tag(c).strip()]
 
 
 def chunk_one_pdf(binary: bytes) -> list[str]:
@@ -163,3 +171,8 @@ def chunk_laws_pdf(binary: bytes) -> list[str]:
     bull = bullets_category(sections)
     return [remove_tag("\n".join(ck))
             for ck in hierarchical_merge(bull, sections, 5)]
+
+
+def chunk_id_of(text: str, url: str) -> str:
+    """Content-addressed id of a (tag-stripped) chunk text."""
+    return chunk_id(text, url)

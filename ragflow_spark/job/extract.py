@@ -31,7 +31,8 @@ EXTRACTED_SCHEMA = ("url string, title string, extracted_text string, "
                     "n_sections int, parser string")
 
 CHUNKS_SCHEMA = ("url string, chunk_seq int, chunk_text string, "
-                 "chunk_id string")
+                 "chunk_id string, span_start long, span_end long, "
+                 "page_nums array<int>")
 
 BOOK_CHUNKS_SCHEMA = CHUNKS_SCHEMA + ", merge_mode string"
 
@@ -80,47 +81,67 @@ def extract_pages(pages: DataFrame) -> DataFrame:
 def _chunk_batches_factory(template: str):
     def chunk_batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         from ragflow_spark.extractlib import templates as T
+        from ragflow_spark.extractlib.pdfrules import (parse_positions,
+                                                       remove_tag)
 
         for pdf in it:
             rows: dict[str, list] = {
-                "url": [], "chunk_seq": [], "chunk_text": [], "chunk_id": [],
+                "url": [], "chunk_seq": [], "chunk_text": [],
+                "chunk_id": [], "span_start": [], "span_end": [],
+                "page_nums": [],
             }
             modes: list[str] = []
             for url, blob in zip(pdf["url"], pdf["html"]):
                 blob = bytes(blob)
                 is_pdf = blob.startswith(b"%PDF-")
+                # raw chunks keep @@..## tags where the path produces
+                # them; positions parse out, tags strip for chunk_text
                 if template == "paper":
                     # reference paper.chunk supports pdf only
                     # (rag/app/paper.py:160-162): non-pdf rows skipped
                     if not is_pdf:
                         continue
-                    chunks = T.chunk_paper_pdf(blob)
+                    raw = T.chunk_paper_pdf(blob, keep_tags=True)
                     mode = "paper"
                 elif template == "naive":
-                    chunks = (T.chunk_naive_pdf(blob) if is_pdf
-                              else T.chunk_naive_html(blob))
+                    raw = (T.chunk_naive_pdf(blob, keep_tags=True)
+                           if is_pdf else T.chunk_naive_html(blob))
                     mode = "naive"
                 elif template == "book":
                     if is_pdf:
-                        chunks, mode = T.chunk_naive_pdf(blob, 256), "naive"
+                        raw = T.chunk_naive_pdf(blob, 256, keep_tags=True)
+                        mode = "naive"
                     else:
-                        chunks, mode = T.chunk_book_html(blob)
+                        raw, mode = T.chunk_book_html(blob)
                 elif template == "one":
-                    chunks = (T.chunk_one_pdf(blob) if is_pdf
-                              else T.chunk_one_html(blob))
+                    raw = (T.chunk_one_pdf(blob) if is_pdf
+                           else T.chunk_one_html(blob))
                     mode = "one"
                 elif template == "laws":
-                    chunks = (T.chunk_laws_pdf(blob) if is_pdf
-                              else T.chunk_laws_html(blob))
+                    raw = (T.chunk_laws_pdf(blob) if is_pdf
+                           else T.chunk_laws_html(blob))
                     mode = "laws"
                 else:  # pragma: no cover
                     raise ValueError(template)
-                for seq, text, cid in T.chunks_with_ids(chunks, url):
+                # chunk spans: character offsets into the concatenated
+                # chunk stream of this url (the north rule's span
+                # output); PDF chunks additionally carry page numbers
+                # parsed from the position tags (rag/nlp/__init__.py:
+                # 321-333 add_positions semantics)
+                offset = 0
+                for seq, tagged, _ in T.chunks_with_ids(raw, url):
+                    text = remove_tag(tagged)
+                    pages = sorted({p for pos in parse_positions(tagged)
+                                    for p in pos[0]})
                     rows["url"].append(url)
                     rows["chunk_seq"].append(seq)
                     rows["chunk_text"].append(text)
-                    rows["chunk_id"].append(cid)
+                    rows["chunk_id"].append(T.chunk_id_of(text, url))
+                    rows["span_start"].append(offset)
+                    rows["span_end"].append(offset + len(text))
+                    rows["page_nums"].append(pages)
                     modes.append(mode)
+                    offset += len(text)
             out = pd.DataFrame(rows)
             if template == "book":
                 out["merge_mode"] = modes

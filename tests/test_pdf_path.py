@@ -124,3 +124,25 @@ def test_byte_identity_across_shapes(n_paras, words):
     _, text, _ = extract_pdf_text(blob)
     assert text == title + "\n" + "\n".join(
         f"{i + 1} Part {i + 1}\n{p}" for i, p in enumerate(paras))
+
+
+def test_chunk_spans_and_page_nums(spark_maybe=None):
+    """Span/page columns: contiguity and page coverage (no Spark needed —
+    the same logic drives the UDF via templates + pdfrules)."""
+    from ragflow_spark.extractlib.pdfrules import parse_positions, remove_tag
+    from ragflow_spark.extractlib.templates import chunk_paper_pdf
+
+    blob, title, paras = _doc(n_paras=25, words=60)
+    raw = chunk_paper_pdf(blob, keep_tags=True)
+    total = total_page_number(blob)
+    seen_pages = set()
+    offset = 0
+    for tagged in raw:
+        text = remove_tag(tagged)
+        pages = sorted({p for pos in parse_positions(tagged)
+                        for p in pos[0]})
+        assert pages, "every pdf chunk carries page numbers"
+        assert all(1 <= p <= total for p in pages)
+        seen_pages.update(pages)
+        offset += len(text)
+    assert seen_pages == set(range(1, total + 1))

@@ -102,3 +102,23 @@ def test_host_skew_present(pages):
     total = pages.count()
     # host0 carries ~20% of rows by construction — skew to salt
     assert hosts[0]["count"] / total > 0.15
+
+
+def test_chunk_spans_contiguous(spark, pages):
+    from pyspark.sql import functions as F
+
+    from ragflow_spark.job.extract import chunk_pages
+
+    chunks = chunk_pages(pages, "naive")
+    rows = chunks.select("url", "chunk_seq", "chunk_text", "span_start",
+                         "span_end").collect()
+    per = {}
+    for r in rows:
+        per.setdefault(r.url, []).append(r)
+    for url, rs in per.items():
+        rs.sort(key=lambda r: r.chunk_seq)
+        offset = 0
+        for r in rs:
+            assert r.span_start == offset
+            assert r.span_end == offset + len(r.chunk_text)
+            offset = r.span_end
