@@ -380,6 +380,15 @@ def _q_chunk_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
         "url", "chunk_seq", "span_start", "span_end")
 
 
+def _q_chunks_qa(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """qa template txt branch: delimiter vote + Q/A pair accumulation +
+    beAdoc content strings (rag/app/qa.py:334-371, :292-303)."""
+    from ragflow_spark.operators.structured import qa_chunks
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return qa_chunks(docs)
+
+
 def _q_tokenize_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """rag_tokenizer-lite output columns (title_tks / content_ltks):
     Q2B fold, lowercase, per-char CJK, script-run split (SURVEY §2.7 —
@@ -476,6 +485,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "chunks_paper": _q_chunks_paper,
         "chunks_laws": _q_chunks_laws,
         "chunk_spans": _q_chunk_spans,
+        "chunks_qa": _q_chunks_qa,
         "tokenize_docs": _q_tokenize_docs,
         "events_rollup": _q_events_rollup,
         "events_props": _q_events_props,
@@ -903,6 +913,25 @@ FROM events
 FROM (
 """ + chunks_naive + ") chunks"
 
+    chunks_qa_sql = """
+SELECT doc_id, CAST(item.i - 1 AS INT) AS pair_seq,
+       (CASE WHEN lang = 'zh' THEN '问题：' ELSE 'Question: ' END)
+       || 'what is ' || item.w || '?' || chr(9)
+       || (CASE WHEN lang = 'zh' THEN '回答：' ELSE 'Answer: ' END)
+       -- rmPrefix (qa.py:262-264) strips a leading prefix word
+       -- case-insensitively; vocabulary word 'a' hits the 'A' prefix
+       || (CASE WHEN lower(item.w) IN ('q', 'a', 'question', 'answer',
+                                       'user', 'assistant')
+           THEN '' ELSE item.w || ' ' END)
+       || 'is term ' || item.i AS content
+FROM (
+    SELECT doc_id, lang,
+           unnest(list_transform(string_split(text, ' ')[1:5],
+                  (w, i) -> {'w': w, 'i': i})) AS item
+    FROM documents
+)
+"""
+
     chunks_json_sql = """
 SELECT doc_id, 0 AS chunk_seq,
        '{"id": ' || doc_id || ', "text": "' || text || '", "lang": "'
@@ -944,6 +973,7 @@ FROM documents
         "chunks_paper": chunks_paper_sql,
         "chunks_laws": chunks_laws_sql,
         "chunk_spans": chunk_spans_sql,
+        "chunks_qa": chunks_qa_sql,
         "tokenize_docs": tokenize_docs_sql,
         "events_rollup": events_rollup_sql,
         "events_props": events_props_sql,

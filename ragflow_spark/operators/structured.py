@@ -94,3 +94,30 @@ def md_parse(docs: DataFrame) -> DataFrame:
     return docs.select("doc_id", "text").mapInPandas(
         gen, schema=("doc_id long, n_sections int, section_text string, "
                      "n_tables int, table_text string"))
+
+
+def qa_chunks(docs: DataFrame) -> DataFrame:
+    """qa template, txt branch (rag/app/qa.py:334-371): tab-delimited
+    Q/A lines -> delimiter vote -> pair accumulation -> beAdoc content
+    strings ('Question: ...\\tAnswer: ...', zh prefixes for zh docs)."""
+    def gen(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from ragflow_spark.extractlib.qa import (be_adoc_text,
+                                                 qa_pairs_from_txt)
+
+        for pdf in it:
+            out = {"doc_id": [], "pair_seq": [], "content": []}
+            for doc_id, text, lang in zip(pdf["doc_id"], pdf["text"],
+                                          pdf["lang"]):
+                words = text.split(" ")[:5]
+                txt = "\n".join(
+                    f"what is {w}?\t{w} is term {i + 1}"
+                    for i, w in enumerate(words))
+                for seq, (q, a) in enumerate(qa_pairs_from_txt(txt)):
+                    out["doc_id"].append(doc_id)
+                    out["pair_seq"].append(seq)
+                    out["content"].append(
+                        be_adoc_text(q, a, eng=lang != "zh"))
+            yield pd.DataFrame(out)
+
+    return docs.select("doc_id", "text", "lang").mapInPandas(
+        gen, schema="doc_id long, pair_seq int, content string")
