@@ -389,6 +389,27 @@ def _q_chunks_qa(spark: SparkSession, sf_dir: str) -> DataFrame:
     return qa_chunks(docs)
 
 
+def _q_extract_entities(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Entity-decoding byte identity: &amp;/&lt;/&gt;/&quot;/&#39;/&nbsp;
+    through DOM parse -> readability -> html-text rendering."""
+    from ragflow_spark.job.extract import extract_pages
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    html = F.concat(
+        F.lit("<html><head><title>Entities "), F.col("doc_id"),
+        F.lit("</title></head><body><article>"
+              "<p>A &amp; B &lt;tag&gt; &quot;C&quot; &#39;D&#39; "),
+        F.col("text"),
+        F.lit("</p><p>second &gt;= paragraph &nbsp;here </p>"
+              "</article></body></html>"),
+    )
+    pages = docs.select(
+        F.concat(F.lit("https://e.example.com/"), F.col("doc_id"))
+        .alias("url"),
+        F.encode(html, "utf-8").alias("html"))
+    return extract_pages(pages).select("url", "extracted_text")
+
+
 def _q_tokenize_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """rag_tokenizer-lite output columns (title_tks / content_ltks):
     Q2B fold, lowercase, per-char CJK, script-run split (SURVEY §2.7 —
@@ -486,6 +507,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "chunks_laws": _q_chunks_laws,
         "chunk_spans": _q_chunk_spans,
         "chunks_qa": _q_chunks_qa,
+        "extract_entities": _q_extract_entities,
         "tokenize_docs": _q_tokenize_docs,
         "events_rollup": _q_events_rollup,
         "events_props": _q_events_props,
@@ -932,6 +954,14 @@ FROM (
 )
 """
 
+    extract_entities_sql = '''
+SELECT 'https://e.example.com/' || doc_id AS url,
+       'Entities ' || doc_id || chr(10) ||
+       'A & B <tag> "C" ' || chr(39) || 'D' || chr(39) || ' ' || text ||
+       chr(10) || chr(10) || 'second >= paragraph here' AS extracted_text
+FROM documents
+'''
+
     chunks_json_sql = """
 SELECT doc_id, 0 AS chunk_seq,
        '{"id": ' || doc_id || ', "text": "' || text || '", "lang": "'
@@ -974,6 +1004,7 @@ FROM documents
         "chunks_laws": chunks_laws_sql,
         "chunk_spans": chunk_spans_sql,
         "chunks_qa": chunks_qa_sql,
+        "extract_entities": extract_entities_sql,
         "tokenize_docs": tokenize_docs_sql,
         "events_rollup": events_rollup_sql,
         "events_props": events_props_sql,
