@@ -410,6 +410,40 @@ def _q_extract_entities(spark: SparkSession, sf_dir: str) -> DataFrame:
     return extract_pages(pages).select("url", "extracted_text")
 
 
+def _q_extract_pdf_2col(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-column papers: row-interleaved content streams -> column-aware
+    region tagging -> concat chain -> sort_X_by_page reading-order
+    reconstruction (pdf_parser.py:182-195, paper.py:58-67 width gate) —
+    byte-identical extracted text, same closed form as the single-column
+    corpus."""
+    import pandas as pd
+
+    from ragflow_spark.corpus.gen import build_pdf2_pages
+
+    pages = build_pdf2_pages(spark, sf_dir)
+
+    def gen(it):
+        from ragflow_spark.extractlib.pdfrules import (
+            pdf_to_sections_two_col, remove_tag)
+
+        for pdf in it:
+            rows = {"url": [], "title": [], "extracted_text": [],
+                    "n_sections": []}
+            for url, blob in zip(pdf["url"], pdf["html"]):
+                secs = [remove_tag(t) for t, _ in
+                        pdf_to_sections_two_col(bytes(blob))]
+                secs = [s for s in secs if s]
+                rows["url"].append(url)
+                rows["title"].append(secs[0] if secs else "")
+                rows["extracted_text"].append("\n".join(secs))
+                rows["n_sections"].append(len(secs))
+            yield pd.DataFrame(rows)
+
+    return pages.select("url", "html").mapInPandas(
+        gen, schema=("url string, title string, extracted_text string, "
+                     "n_sections int"))
+
+
 def _q_tokenize_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """rag_tokenizer-lite output columns (title_tks / content_ltks):
     Q2B fold, lowercase, per-char CJK, script-run split (SURVEY §2.7 —
@@ -503,6 +537,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fingerprints": _q_fingerprints,
         "extract_pdf": _q_extract_pdf,
         "extract_pdf_chain": _q_extract_pdf_chain,
+        "extract_pdf_2col": _q_extract_pdf_2col,
         "chunks_paper": _q_chunks_paper,
         "chunks_laws": _q_chunks_laws,
         "chunk_spans": _q_chunk_spans,
@@ -1000,6 +1035,7 @@ FROM documents
         "fingerprints": fingerprints_sql,
         "extract_pdf": extract_pdf_sql,
         "extract_pdf_chain": extract_pdf_sql,
+        "extract_pdf_2col": extract_pdf_sql.replace("/pdf/", "/pdf2/"),
         "chunks_paper": chunks_paper_sql,
         "chunks_laws": chunks_laws_sql,
         "chunk_spans": chunk_spans_sql,

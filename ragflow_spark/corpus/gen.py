@@ -284,3 +284,55 @@ def build_pdf_pages(spark, sf_dir: str, replicate: int = 1,
         .select("url", "warc_ts", "title", "paras0", "text", "lang")
     )
     return d.mapInPandas(_pdf_encode_batches, schema=PAGES_SCHEMA)
+
+
+def _pdf2_encode_batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    from ragflow_spark.extractlib.pdfgen import build_pdf_two_col
+
+    for pdf in it:
+        blobs = []
+        for title, paras in zip(pdf["title"], pdf["paras0"]):
+            sections = [(f"{i + 1} Part {i + 1}", p)
+                        for i, p in enumerate(paras)]
+            blobs.append(build_pdf_two_col(title, sections))
+        yield pd.DataFrame({
+            "url": pdf["url"], "warc_ts": pdf["warc_ts"], "html": blobs,
+            "text": pdf["text"], "lang": pdf["lang"],
+        })
+
+
+def build_pdf2_pages(spark, sf_dir: str, replicate: int = 1,
+                     partitions: int | None = None) -> DataFrame:
+    """Two-column paper corpus (sections identical to build_pdf_pages;
+    layout and stream order differ — the extractor must reconstruct
+    reading order via the column sort)."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "text", "lang"
+    )
+    n_parts = partitions or spark.sparkContext.defaultParallelism
+    docs = docs.repartition(n_parts)
+    if replicate > 1:
+        reps = spark.range(replicate).select(F.col("id").alias("rep"))
+        docs = (
+            docs.crossJoin(F.broadcast(reps))
+            .withColumn("doc_id",
+                        F.col("doc_id") + F.col("rep") * F.lit(10_000_000))
+            .drop("rep")
+        )
+    d = _with_derived(docs)
+    host = F.when(F.col("doc_id") % 5 == 0, F.lit(0)).otherwise(
+        F.col("doc_id") % 50)
+    d = (
+        d.withColumn("title",
+                     F.concat(F.lit("Paper "), F.col("doc_id")))
+        .withColumn("url", F.concat(
+            F.lit("https://host"), host.cast("string"),
+            F.lit(".example.com/pdf2/"), F.col("doc_id").cast("string")))
+        .withColumn("warc_ts",
+                    F.to_timestamp(F.lit("2025-01-01 00:00:00"))
+                    + F.make_dt_interval(
+                        secs=(F.col("doc_id") * 37 % 2_592_000)
+                        .cast("double")))
+        .select("url", "warc_ts", "title", "paras0", "text", "lang")
+    )
+    return d.mapInPandas(_pdf2_encode_batches, schema=PAGES_SCHEMA)

@@ -63,7 +63,10 @@ def layout_paper(title: str, sections: list[tuple[str, str]]):
 
 def build_pdf(title: str, sections: list[tuple[str, str]]) -> bytes:
     """Assemble a complete PDF document (xref table included)."""
-    streams = layout_paper(title, sections)
+    return _assemble(layout_paper(title, sections))
+
+
+def _assemble(streams: list[str]) -> bytes:
     n_pages = len(streams)
     # object numbering: 1 catalog, 2 pages, 3..2+n page objs,
     # 3+n..2+2n content streams, 3+2n font
@@ -97,3 +100,64 @@ def build_pdf(title: str, sections: list[tuple[str, str]]) -> bytes:
     out += (f"trailer\n<< /Size {len(objs) + 1} /Root 1 0 R >>\n"
             f"startxref\n{xref_at}\n%%EOF\n").encode()
     return bytes(out)
+
+
+# ---------------------------------------------------------------------------
+# two-column paper layout (exercises sort_X_by_page, pdf_parser.py:182-195)
+# ---------------------------------------------------------------------------
+
+COL_X = (72, 320)
+COL_WORDS_PER_LINE = 5
+
+
+def layout_paper_two_col(title: str, sections: list[tuple[str, str]]):
+    """Two-column layout: title spans the top of page 1; sections flow
+    down the left column, then the right, then the next page
+    (section-atomic column breaks). Returns per-page content streams
+    with lines emitted in row-interleaved stream order — reading order
+    must be RECONSTRUCTED by the extractor's column sort, which is the
+    point of this corpus family."""
+    pages: list[list[tuple[float, float, int, str]]] = [[]]  # (x,y,size,text)
+    col, y = 0, TOP_Y
+    pages[0].append((float(COL_X[0]), float(TOP_Y), TITLE_SIZE, title))
+    col_top = TOP_Y - HEAD_GAP - TITLE_SIZE
+    y = col_top
+
+    def advance():
+        nonlocal col, y, col_top
+        if col == 0:
+            col = 1
+            y = col_top
+        else:
+            pages.append([])
+            col, col_top, y = 0, TOP_Y, TOP_Y
+
+    for heading, body in sections:
+        words = body.split(" ")
+        lines = [" ".join(words[i:i + COL_WORDS_PER_LINE])
+                 for i in range(0, len(words), COL_WORDS_PER_LINE)]
+        need = HEAD_SIZE + HEAD_GAP + len(lines) * BODY_LEAD
+        if y - need < BOTTOM_Y and pages[-1]:
+            advance()
+        x = float(COL_X[col])
+        pages[-1].append((x, y, HEAD_SIZE, heading))
+        y -= HEAD_GAP
+        for ln in lines:
+            pages[-1].append((x, y, BODY_SIZE, ln))
+            y -= BODY_LEAD
+        y -= HEAD_GAP
+
+    # stream order: row-interleaved across columns (y descending, then x)
+    streams = []
+    for lines_ in pages:
+        ordered = sorted(lines_, key=lambda t: (-t[1], t[0]))
+        streams.append("".join(_line(s, x, yy, tx)
+                               for x, yy, s, tx in ordered))
+    return streams
+
+
+def build_pdf_two_col(title: str,
+                      sections: list[tuple[str, str]]) -> bytes:
+    """Two-column variant of build_pdf (same object structure)."""
+    streams = layout_paper_two_col(title, sections)
+    return _assemble(streams)

@@ -632,3 +632,67 @@ def concat_downward(boxes: list[dict], mh: list[float], mw: list[float],
                 t["layout_type"] = c["layout_type"]
         out.append(t)
     return sort_y_firstly(out, 0)
+
+
+# ---------------------------------------------------------------------------
+# two-column path: column-aware region proposals + sort_X_by_page
+# (reference gate at rag/app/paper.py:58-67: median box width < page/2)
+# ---------------------------------------------------------------------------
+
+def tag_layouts_columns(boxes: list[dict],
+                        col_bucket: float = 50.0) -> list[dict]:
+    """Column-aware region stub: same height/garbage rules as
+    ``tag_layouts``, but body-run regions are tracked per (page, column)
+    so interleaved stream order cannot fuse text across columns — the
+    property the concat chain's layoutno gate depends on. The column id
+    is the x0 bucket (the layout model's region proposals play this role
+    in the reference)."""
+    out = []
+    region = 0
+    last_region: dict[tuple, tuple] = {}
+    for b in boxes:
+        txt = b["text"].strip()
+        if any(re.search(p, txt) for p in GARBAGE_RES):
+            continue
+        ltype = "title" if b.get("height", 10) >= 13 else "text"
+        key = (b["page_number"], int(b["x0"] // col_bucket))
+        prev = last_region.get(key)
+        if ltype == "title" or prev is None or prev[0] != "text":
+            region += 1
+            cur = (ltype, region)
+        else:
+            cur = prev
+        last_region[key] = ("text", cur[1]) if ltype == "text" else \
+            (ltype, cur[1])
+        b = dict(b)
+        b["layout_type"] = ltype
+        b["layoutno"] = f"{ltype}-{cur[1]}"
+        out.append(b)
+    return out
+
+
+def pdf_to_sections_two_col(blob: bytes) -> list[tuple[str, str]]:
+    """Two-column rule chain: parse -> column-aware regions -> concat
+    chain (order-robust across the interleaved stream) -> column-width
+    gate -> sort_X_by_page -> tagged sections in reading order."""
+    from statistics import median as _median
+
+    from .pdfplain import PAGE_H, parse_pdf_boxes, total_page_number
+
+    boxes = parse_pdf_boxes(blob)
+    if not boxes:
+        return []
+    n_pages = total_page_number(blob)
+    boxes = tag_layouts_columns(boxes)
+    boxes = filter_forpages(boxes)
+    mh = mean_heights(boxes, n_pages)
+    boxes = concat_downward(boxes, mh, [10.0] * len(mh))
+    widths = [b["x1"] - b["x0"] for b in boxes]
+    column_width = _median(widths) if widths else 0.0
+    page_w = 612.0
+    if column_width < page_w / 2:
+        boxes = sort_x_by_page(boxes, column_width / 2)
+    return [
+        (b["text"].rstrip() + line_tag(b), b["layout_type"])
+        for b in boxes if b["text"].strip()
+    ]

@@ -146,3 +146,46 @@ def test_chunk_spans_and_page_nums(spark_maybe=None):
         seen_pages.update(pages)
         offset += len(text)
     assert seen_pages == set(range(1, total + 1))
+
+
+def test_two_column_reading_order_reconstruction():
+    """Row-interleaved 2-column stream -> column sort -> byte identity."""
+    from ragflow_spark.extractlib.pdfgen import build_pdf_two_col
+    from ragflow_spark.extractlib.pdfrules import (pdf_to_sections_two_col,
+                                                   remove_tag)
+
+    for n_paras, words in ((1, 3), (6, 18), (24, 20)):
+        paras = [" ".join(VOCAB[(i + j) % len(VOCAB)]
+                          for j in range(words)) for i in range(n_paras)]
+        blob = build_pdf_two_col(
+            "Paper 4", [(f"{i + 1} Part {i + 1}", p)
+                        for i, p in enumerate(paras)])
+        secs = [remove_tag(t) for t, _ in pdf_to_sections_two_col(blob)]
+        expected = ["Paper 4"] + [
+            x for i, p in enumerate(paras)
+            for x in (f"{i + 1} Part {i + 1}", p)]
+        assert secs == expected, (n_paras, words)
+
+
+def test_two_column_stream_is_actually_interleaved():
+    """The corpus must exercise the sort: stream order != reading order."""
+    from ragflow_spark.extractlib.pdfgen import build_pdf_two_col
+
+    paras = [" ".join(VOCAB[(i + j) % len(VOCAB)] for j in range(20))
+             for i in range(10)]
+    blob = build_pdf_two_col(
+        "Paper 5", [(f"{i + 1} Part {i + 1}", p)
+                    for i, p in enumerate(paras)])
+    boxes = parse_pdf_boxes(blob)
+    xs = [b["x0"] for b in boxes]
+    assert 320.0 in xs and 72.0 in xs
+    # interleaved: some right-column box appears before a left-column one
+    first_right = xs.index(320.0)
+    assert any(x == 72.0 for x in xs[first_right:])
+
+
+def test_two_column_hostile_inputs():
+    from ragflow_spark.extractlib.pdfrules import pdf_to_sections_two_col
+
+    for blob in (b"", b"%PDF-", bytes(range(256))):
+        pdf_to_sections_two_col(blob)

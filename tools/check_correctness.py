@@ -2,7 +2,11 @@
 __spark_entry__ query on Spark and its oracle SQL on DuckDB at the given
 sf dir, compare row counts and order-insensitive value hashes.
 
-Usage: python tools/check_correctness.py [sf_dir]
+Usage: python tools/check_correctness.py [sf_dir] [--skip q1,q2,...]
+
+--skip: omit queries whose DuckDB oracle is O(n^2) in corpus size (the
+pair-dedup family) when stress-probing larger scale factors; the driver
+gate itself runs at sf0.01 where they complete in seconds.
 """
 
 from __future__ import annotations
@@ -38,7 +42,13 @@ def _norm(v):
 
 
 def main() -> int:
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    args = [a for a in sys.argv[1:] if not a.startswith("--")]
+    skip: set[str] = set()
+    for a in sys.argv[1:]:
+        if a.startswith("--skip"):
+            skip = set(a.split("=", 1)[-1].split(",")) if "=" in a \
+                else set()
+    sf_dir = args[0] if args else "/root/testdata/sf0.01"
     import __spark_entry__ as entrymod
     from ragflow_spark.job.session import get_spark
 
@@ -55,6 +65,9 @@ def main() -> int:
     oracles = entrymod.oracle_sql()
     failures = 0
     for name, fn in qs.items():
+        if name in skip:
+            print(f"{name:16s} SKIPPED (--skip)")
+            continue
         sdf = fn(spark, sf_dir)
         scols = sorted(sdf.columns)
         srows = [tuple(r) for r in sdf.collect()]
