@@ -326,3 +326,37 @@ def naive_merge(sections, chunk_token_num: int = 128,
             cks[-1] += text
             tk_nums[-1] += tnum
     return cks
+
+
+def rm_space(txt: str) -> str:
+    """Space removal around CJK-ish boundaries (rag/utils/__init__.py:
+    37-39): spaces survive only between latin/digit/punct neighbors."""
+    txt = re.sub(r"([^a-z0-9.,\)>]) +([^ ])", r"\1\2", txt,
+                 flags=re.IGNORECASE)
+    return re.sub(r"([^ ]) +([^a-z0-9.,\(<])", r"\1\2", txt,
+                  flags=re.IGNORECASE)
+
+
+def extract_between(text: str, start_tag: str, end_tag: str) -> list[str]:
+    """rag/nlp/__init__.py:609-611."""
+    pattern = re.escape(start_tag) + r"(.*?)" + re.escape(end_tag)
+    return re.findall(pattern, text, flags=re.DOTALL)
+
+
+def tokenize_table_rows(tables, eng: bool,
+                        batch_size: int = 10) -> list[str]:
+    """Table rows -> chunk content strings (rag/nlp/__init__.py:294-318
+    minus the ES doc assembly): an HTML-string table becomes one chunk;
+    desc-row lists batch by ``batch_size`` joined with '; ' (en) or
+    '； ' (zh)."""
+    res: list[str] = []
+    for rows in tables:
+        if not rows:
+            continue
+        if isinstance(rows, str):
+            res.append(rows)
+            continue
+        de = "; " if eng else "； "
+        for i in range(0, len(rows), batch_size):
+            res.append(de.join(rows[i:i + batch_size]))
+    return res

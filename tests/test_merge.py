@@ -107,3 +107,57 @@ def test_hierarchical_merge_budget_remerges_singletons():
 
 def test_no_bullets_returns_empty():
     assert hierarchical_merge(-1, [("plain", "")], 5) == []
+
+
+def test_rm_space_cjk_boundaries():
+    from ragflow_spark.extractlib.merge import rm_space
+
+    assert rm_space("中文 词语") == "中文词语"
+    assert rm_space("hello world") == "hello world"
+    assert rm_space("值： 1, 2") == "值：1, 2"
+
+
+def test_extract_between():
+    from ragflow_spark.extractlib.merge import extract_between
+
+    assert extract_between("a<x>b</x>c<x>d</x>", "<x>", "</x>") == \
+        ["b", "d"]
+    assert extract_between("none", "<x>", "</x>") == []
+
+
+def test_tokenize_table_rows_batching():
+    from ragflow_spark.extractlib.merge import tokenize_table_rows
+
+    rows = [f"k：v{i}" for i in range(23)]
+    out = tokenize_table_rows([rows], eng=True)
+    assert len(out) == 3
+    assert out[0].count("; ") == 9
+    assert tokenize_table_rows(["<table>raw</table>"], True) == \
+        ["<table>raw</table>"]
+    assert tokenize_table_rows([[]], True) == []
+    zh = tokenize_table_rows([["a", "b"]], eng=False)
+    assert zh == ["a； b"]
+
+
+def test_table_rules_to_chunk_rows_integration():
+    """construct_table desc rows flow into tokenize_table_rows chunks."""
+    from ragflow_spark.extractlib.merge import tokenize_table_rows
+    from ragflow_spark.extractlib.tablerules import construct_table
+
+    boxes = []
+    hdr = ["name", "score"]
+    data = [[f"item{i}", f"{i}.5"] for i in range(15)]
+    for j, t in enumerate(hdr):
+        boxes.append({"text": t, "x0": 72 + j * 100, "x1": 132 + j * 100,
+                      "top": 100, "bottom": 114, "page_number": 1,
+                      "layout_type": "table", "H": 1, "R": 0, "C": j})
+    for i, row in enumerate(data, start=1):
+        for j, t in enumerate(row):
+            boxes.append({"text": t, "x0": 72 + j * 100,
+                          "x1": 132 + j * 100, "top": 100 + i * 20,
+                          "bottom": 114 + i * 20, "page_number": 1,
+                          "layout_type": "table", "R": i, "C": j})
+    rows = construct_table(boxes, is_english=True)
+    chunks = tokenize_table_rows([rows], eng=True)
+    assert len(chunks) == 2  # 15 rows batched by 10
+    assert "name：item0" in chunks[0]
