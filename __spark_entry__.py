@@ -444,6 +444,16 @@ def _q_extract_pdf_2col(spark: SparkSession, sf_dir: str) -> DataFrame:
                      "n_sections int"))
 
 
+def _q_chunks_email(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """email template: stdlib MIME walk -> txt+html parse -> naive
+    merge; header values lose semicolons to the txt delimiter set
+    (reference default), bodies are short so each mail is one chunk."""
+    from ragflow_spark.operators.structured import email_chunks
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return email_chunks(docs)
+
+
 def _q_tokenize_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """rag_tokenizer-lite output columns (title_tks / content_ltks):
     Q2B fold, lowercase, per-char CJK, script-run split (SURVEY §2.7 —
@@ -543,6 +553,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "chunk_spans": _q_chunk_spans,
         "chunks_qa": _q_chunks_qa,
         "extract_entities": _q_extract_entities,
+        "chunks_email": _q_chunks_email,
         "tokenize_docs": _q_tokenize_docs,
         "events_rollup": _q_events_rollup,
         "events_props": _q_events_props,
@@ -997,6 +1008,20 @@ SELECT 'https://e.example.com/' || doc_id AS url,
 FROM documents
 '''
 
+    chunks_email_sql = '''
+SELECT doc_id, 0 AS chunk_seq,
+       'From: sender' || doc_id || '@example.com'
+       || 'To: dest@example.com'
+       || 'Subject: Mail ' || doc_id
+       || 'Content-Type: multipart/alternative boundary="BB"'
+       || body || 'Mail ' || doc_id || body AS chunk_text
+FROM (
+    SELECT doc_id,
+           array_to_string(string_split(text, ' ')[1:8], ' ') AS body
+    FROM documents
+)
+'''
+
     chunks_json_sql = """
 SELECT doc_id, 0 AS chunk_seq,
        '{"id": ' || doc_id || ', "text": "' || text || '", "lang": "'
@@ -1041,6 +1066,7 @@ FROM documents
         "chunk_spans": chunk_spans_sql,
         "chunks_qa": chunks_qa_sql,
         "extract_entities": extract_entities_sql,
+        "chunks_email": chunks_email_sql,
         "tokenize_docs": tokenize_docs_sql,
         "events_rollup": events_rollup_sql,
         "events_props": events_props_sql,

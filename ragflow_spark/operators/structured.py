@@ -121,3 +121,38 @@ def qa_chunks(docs: DataFrame) -> DataFrame:
 
     return docs.select("doc_id", "text", "lang").mapInPandas(
         gen, schema="doc_id long, pair_seq int, content string")
+
+
+def email_chunks(docs: DataFrame) -> DataFrame:
+    """email template (rag/app/email.py): per-doc multipart MIME message
+    (headers, text/plain body, text/html alternative) walked with the
+    stdlib parser, then txt-parse + html-parse + naive_merge(128)."""
+    def gen(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from ragflow_spark.extractlib.email_parse import chunk_email
+
+        for pdf in it:
+            out = {"doc_id": [], "chunk_seq": [], "chunk_text": []}
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                body = " ".join(text.split(" ")[:8])
+                eml = (
+                    f"From: sender{int(doc_id)}@example.com\r\n"
+                    f"To: dest@example.com\r\n"
+                    f"Subject: Mail {int(doc_id)}\r\n"
+                    f'Content-Type: multipart/alternative; '
+                    f'boundary="BB"\r\n\r\n'
+                    f"--BB\r\nContent-Type: text/plain; "
+                    f'charset="utf-8"\r\n\r\n{body}\r\n'
+                    f"--BB\r\nContent-Type: text/html; "
+                    f'charset="utf-8"\r\n\r\n'
+                    f"<html><head><title>Mail {int(doc_id)}</title>"
+                    f"</head><body><article><p>{body}</p></article>"
+                    f"</body></html>\r\n--BB--\r\n"
+                ).encode()
+                for seq, ck in enumerate(chunk_email(eml)):
+                    out["doc_id"].append(doc_id)
+                    out["chunk_seq"].append(seq)
+                    out["chunk_text"].append(ck)
+            yield pd.DataFrame(out)
+
+    return docs.select("doc_id", "text").mapInPandas(
+        gen, schema="doc_id long, chunk_seq int, chunk_text string")
