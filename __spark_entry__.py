@@ -454,6 +454,15 @@ def _q_chunks_email(spark: SparkSession, sf_dir: str) -> DataFrame:
     return email_chunks(docs)
 
 
+def _q_chunks_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """table template text branch: column type vote (int/float/bool/
+    datetime/text) + conversion + row-wise 'col:value' docs."""
+    from ragflow_spark.operators.structured import table_chunks
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return table_chunks(docs)
+
+
 def _q_tokenize_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """rag_tokenizer-lite output columns (title_tks / content_ltks):
     Q2B fold, lowercase, per-char CJK, script-run split (SURVEY §2.7 —
@@ -554,6 +563,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "chunks_qa": _q_chunks_qa,
         "extract_entities": _q_extract_entities,
         "chunks_email": _q_chunks_email,
+        "chunks_table": _q_chunks_table,
         "tokenize_docs": _q_tokenize_docs,
         "events_rollup": _q_events_rollup,
         "events_props": _q_events_props,
@@ -1022,6 +1032,23 @@ FROM (
 )
 '''
 
+    chunks_table_sql = '''
+SELECT doc_id, CAST(item.i - 1 AS INT) AS chunk_seq,
+       'item:' || item.w
+       || '; qty:' || (doc_id + item.i - 1)
+       || '; price:' || (doc_id + item.i - 1) || '.5'
+       || '; ok:' || (CASE WHEN (doc_id + item.i - 1) % 2 = 0
+                      THEN 'yes' ELSE 'no' END)
+       || '; ts:2024-01-'
+       || lpad(CAST((doc_id + item.i - 1) % 28 + 1 AS VARCHAR), 2, '0')
+       || ' 00:00:00' AS chunk_text
+FROM (
+    SELECT doc_id, unnest(list_transform(string_split(text, ' ')[1:2],
+               (w, i) -> {'w': w, 'i': i})) AS item
+    FROM documents
+)
+'''
+
     chunks_json_sql = """
 SELECT doc_id, 0 AS chunk_seq,
        '{"id": ' || doc_id || ', "text": "' || text || '", "lang": "'
@@ -1067,6 +1094,7 @@ FROM documents
         "chunks_qa": chunks_qa_sql,
         "extract_entities": extract_entities_sql,
         "chunks_email": chunks_email_sql,
+        "chunks_table": chunks_table_sql,
         "tokenize_docs": tokenize_docs_sql,
         "events_rollup": events_rollup_sql,
         "events_props": events_props_sql,

@@ -156,3 +156,31 @@ def email_chunks(docs: DataFrame) -> DataFrame:
 
     return docs.select("doc_id", "text").mapInPandas(
         gen, schema="doc_id long, chunk_seq int, chunk_text string")
+
+
+def table_chunks(docs: DataFrame) -> DataFrame:
+    """table template, text branch (rag/app/table.py): per-doc TSV with
+    text/int/float/bool/datetime columns -> column type vote -> value
+    conversion -> 'col:value; ...' row docs."""
+    def gen(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from ragflow_spark.extractlib.tableparse import chunk_table_txt
+
+        for pdf in it:
+            out = {"doc_id": [], "chunk_seq": [], "chunk_text": []}
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                did = int(doc_id)
+                words = text.split(" ")[:2]
+                tsv = "item\tqty\tprice\tok\tts\n"
+                for i, w in enumerate(words):
+                    n = did + i
+                    tsv += (f"{w}\t{n}\t{n}.5\t"
+                            f"{'yes' if n % 2 == 0 else 'no'}\t"
+                            f"2024-01-{n % 28 + 1:02d}\n")
+                for seq, ck in enumerate(chunk_table_txt(tsv.encode())):
+                    out["doc_id"].append(doc_id)
+                    out["chunk_seq"].append(seq)
+                    out["chunk_text"].append(ck)
+            yield pd.DataFrame(out)
+
+    return docs.select("doc_id", "text").mapInPandas(
+        gen, schema="doc_id long, chunk_seq int, chunk_text string")
