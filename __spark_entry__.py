@@ -463,6 +463,15 @@ def _q_chunks_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     return table_chunks(docs)
 
 
+def _q_chunks_tag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """tag template txt branch: delimiter vote, (content, tag list)
+    rows; leading-newline accumulator quirk kept."""
+    from ragflow_spark.operators.structured import tag_chunks
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return tag_chunks(docs)
+
+
 def _q_tokenize_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """rag_tokenizer-lite output columns (title_tks / content_ltks):
     Q2B fold, lowercase, per-char CJK, script-run split (SURVEY §2.7 —
@@ -564,6 +573,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "extract_entities": _q_extract_entities,
         "chunks_email": _q_chunks_email,
         "chunks_table": _q_chunks_table,
+        "chunks_tag": _q_chunks_tag,
         "tokenize_docs": _q_tokenize_docs,
         "events_rollup": _q_events_rollup,
         "events_props": _q_events_props,
@@ -1049,6 +1059,18 @@ FROM (
 )
 '''
 
+    chunks_tag_sql = '''
+SELECT doc_id, CAST(item.i - 1 AS INT) AS row_seq,
+       chr(10) || item.w || ' item ' || item.i AS content,
+       ['tag' || item.i,
+        'group_' || (doc_id % 5)] AS tag_kwd
+FROM (
+    SELECT doc_id, unnest(list_transform(string_split(text, ' ')[1:2],
+               (w, i) -> {'w': w, 'i': i})) AS item
+    FROM documents
+)
+'''
+
     chunks_json_sql = """
 SELECT doc_id, 0 AS chunk_seq,
        '{"id": ' || doc_id || ', "text": "' || text || '", "lang": "'
@@ -1095,6 +1117,7 @@ FROM documents
         "extract_entities": extract_entities_sql,
         "chunks_email": chunks_email_sql,
         "chunks_table": chunks_table_sql,
+        "chunks_tag": chunks_tag_sql,
         "tokenize_docs": tokenize_docs_sql,
         "events_rollup": events_rollup_sql,
         "events_props": events_props_sql,

@@ -145,3 +145,29 @@ def qa_pairs_from_txt(txt: str) -> list[tuple[str, str]]:
     if question:
         pairs.append((question, answer))
     return pairs
+
+
+def tag_pairs_from_txt(txt: str) -> list[tuple[str, list[str]]]:
+    """tag template txt branch (rag/app/tag.py:61-92): delimiter vote,
+    then (content, tags) rows. Reference quirks kept: content always
+    carries a leading newline (the accumulator prepends '\\n' before
+    checking emptiness) and multi-line content accumulates unmatched
+    lines; tags split on ',' with '.' -> '_' (tag.py:26-33)."""
+    lines = txt.split("\n")
+    comma = sum(1 for ln in lines if len(ln.split(",")) == 2)
+    tab = sum(1 for ln in lines if len(ln.split("\t")) == 2)
+    delimiter = "\t" if tab >= comma else ","
+
+    out: list[tuple[str, list[str]]] = []
+    content = ""
+    for ln in lines:
+        arr = ln.split(delimiter)
+        if len(arr) != 2:
+            content += "\n" + ln
+        else:
+            content += "\n" + arr[0]
+            tags = [t.strip().replace(".", "_")
+                    for t in arr[1].split(",") if t.strip()]
+            out.append((content, tags))
+            content = ""
+    return out

@@ -184,3 +184,31 @@ def table_chunks(docs: DataFrame) -> DataFrame:
 
     return docs.select("doc_id", "text").mapInPandas(
         gen, schema="doc_id long, chunk_seq int, chunk_text string")
+
+
+def tag_chunks(docs: DataFrame) -> DataFrame:
+    """tag template, txt branch (rag/app/tag.py): 'content<TAB>tags'
+    rows -> (content, tag_kwd array) docs."""
+    def gen(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from ragflow_spark.extractlib.qa import tag_pairs_from_txt
+
+        for pdf in it:
+            out = {"doc_id": [], "row_seq": [], "content": [],
+                   "tag_kwd": []}
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                did = int(doc_id)
+                words = text.split(" ")[:2]
+                txt = "\n".join(
+                    f"{w} item {i + 1}\ttag{i + 1},group.{did % 5}"
+                    for i, w in enumerate(words))
+                for seq, (content, tags) in enumerate(
+                        tag_pairs_from_txt(txt)):
+                    out["doc_id"].append(doc_id)
+                    out["row_seq"].append(seq)
+                    out["content"].append(content)
+                    out["tag_kwd"].append(tags)
+            yield pd.DataFrame(out)
+
+    return docs.select("doc_id", "text").mapInPandas(
+        gen, schema=("doc_id long, row_seq int, content string, "
+                     "tag_kwd array<string>"))

@@ -57,3 +57,18 @@ def test_qa_pairs_comma_vote():
 def test_qa_pairs_empty_and_garbage():
     assert qa_pairs_from_txt("") == []
     assert qa_pairs_from_txt("no delimiters here at all") == []
+
+
+def test_tag_pairs_leading_newline_and_dot_replacement():
+    from ragflow_spark.extractlib.qa import tag_pairs_from_txt
+
+    out = tag_pairs_from_txt("alpha\ttagA,v1.2\nbeta\ttagB")
+    assert out == [("\nalpha", ["tagA", "v1_2"]), ("\nbeta", ["tagB"])]
+
+
+def test_tag_pairs_multiline_content():
+    from ragflow_spark.extractlib.qa import tag_pairs_from_txt
+
+    out = tag_pairs_from_txt("free line\nalpha\tt1")
+    assert out == [("\nfree line\nalpha", ["t1"])]
+    assert tag_pairs_from_txt("") == []
