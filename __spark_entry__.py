@@ -472,6 +472,32 @@ def _q_chunks_tag(spark: SparkSession, sf_dir: str) -> DataFrame:
     return tag_chunks(docs)
 
 
+def _q_chunks_manual(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """manual template (rag/app/manual.py:186-258, no-outline path):
+    pivot-level section ids + the 32/1024 token-budget fold (append
+    branch keeps the pivot id — reference quirk)."""
+    import pandas as pd
+
+    from ragflow_spark.corpus.gen import build_pdf_pages
+
+    pages = build_pdf_pages(spark, sf_dir)
+
+    def gen(it):
+        from ragflow_spark.extractlib.templates import chunk_manual_pdf
+
+        for pdf in it:
+            rows = {"url": [], "chunk_seq": [], "chunk_text": []}
+            for url, blob in zip(pdf["url"], pdf["html"]):
+                for seq, ck in enumerate(chunk_manual_pdf(bytes(blob))):
+                    rows["url"].append(url)
+                    rows["chunk_seq"].append(seq)
+                    rows["chunk_text"].append(ck)
+            yield pd.DataFrame(rows)
+
+    return pages.select("url", "html").mapInPandas(
+        gen, schema="url string, chunk_seq int, chunk_text string")
+
+
 def _q_tokenize_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """rag_tokenizer-lite output columns (title_tks / content_ltks):
     Q2B fold, lowercase, per-char CJK, script-run split (SURVEY §2.7 —
@@ -574,6 +600,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "chunks_email": _q_chunks_email,
         "chunks_table": _q_chunks_table,
         "chunks_tag": _q_chunks_tag,
+        "chunks_manual": _q_chunks_manual,
         "tokenize_docs": _q_tokenize_docs,
         "events_rollup": _q_events_rollup,
         "events_props": _q_events_props,
@@ -1071,6 +1098,41 @@ FROM (
 )
 '''
 
+    chunks_manual_sql = _PDF_BASE_SQL.replace("WITH doc AS",
+                                              "WITH RECURSIVE doc AS",
+                                              1) + f"""
+, secs AS (
+    SELECT url, 1 AS i, 0 AS sid, title AS s FROM base
+    UNION ALL
+    SELECT url, 2 * item.i AS i, CAST(item.i AS INT) AS sid,
+           item.i || ' Part ' || item.i AS s
+    FROM (SELECT url, unnest(list_transform(paras,
+              (p, i) -> {{'p': p, 'i': i}})) AS item FROM base)
+    UNION ALL
+    SELECT url, 2 * item.i + 1 AS i, CAST(item.i AS INT) AS sid,
+           item.p AS s
+    FROM (SELECT url, unnest(list_transform(paras,
+              (p, i) -> {{'p': p, 'i': i}})) AS item FROM base)
+), toks AS (
+    SELECT url, i, sid, s, {_SEC_TOKENS} AS t FROM secs
+), fold AS (
+    SELECT url, i, 0 AS cidx, t AS cur, 0 AS lsid FROM toks WHERE i = 1
+    UNION ALL
+    SELECT s.url, s.i,
+           CASE WHEN f.cur < 32 OR (f.cur < 1024 AND s.sid = f.lsid)
+                THEN f.cidx ELSE f.cidx + 1 END,
+           CASE WHEN f.cur < 32 OR (f.cur < 1024 AND s.sid = f.lsid)
+                THEN f.cur + s.t ELSE s.t END,
+           CASE WHEN f.cur < 32 OR (f.cur < 1024 AND s.sid = f.lsid)
+                THEN f.lsid ELSE s.sid END
+    FROM fold f JOIN toks s ON s.url = f.url AND s.i = f.i + 1
+)
+SELECT f.url, CAST(f.cidx AS INT) AS chunk_seq,
+       array_to_string(list(s.s ORDER BY s.i), chr(10)) AS chunk_text
+FROM fold f JOIN toks s ON s.url = f.url AND s.i = f.i
+GROUP BY f.url, f.cidx
+"""
+
     chunks_json_sql = """
 SELECT doc_id, 0 AS chunk_seq,
        '{"id": ' || doc_id || ', "text": "' || text || '", "lang": "'
@@ -1118,6 +1180,7 @@ FROM documents
         "chunks_email": chunks_email_sql,
         "chunks_table": chunks_table_sql,
         "chunks_tag": chunks_tag_sql,
+        "chunks_manual": chunks_manual_sql,
         "tokenize_docs": tokenize_docs_sql,
         "events_rollup": events_rollup_sql,
         "events_props": events_props_sql,

@@ -176,3 +176,45 @@ def chunk_laws_pdf(binary: bytes) -> list[str]:
 def chunk_id_of(text: str, url: str) -> str:
     """Content-addressed id of a (tag-stripped) chunk text."""
     return chunk_id(text, url)
+
+
+def chunk_manual_pdf(binary: bytes, keep_tags: bool = False) -> list[str]:
+    """manual template, PDF branch (rag/app/manual.py:186-258, no-outline
+    path): pivot levels via bullets_category + title_frequency, then the
+    token-budget fold — a section APPENDS to the current chunk while its
+    running token count is under 32, or under 1024 when the section id
+    matches the chunk's pivot id; otherwise it starts a new chunk (the
+    append branch does not update the pivot id — reference quirk)."""
+    from .merge import title_frequency
+    from .pdfrules import pdf_to_sections, remove_tag
+    from .tokens import num_tokens_from_string
+
+    sections = pdf_to_sections(binary)
+    if not sections:
+        return []
+    bull = bullets_category([remove_tag(t) for t, _ in sections])
+    most_level, levels = title_frequency(bull, sections)
+    sec_ids = []
+    sid = 0
+    for i, lvl in enumerate(levels):
+        if lvl <= most_level and i > 0 and lvl != levels[i - 1]:
+            sid += 1
+        sec_ids.append(sid)
+
+    chunks: list[str] = []
+    last_sid = -2
+    tk_cnt = 0
+    for (txt, _), sec_id in zip(sections, sec_ids):
+        clean = remove_tag(txt)
+        if tk_cnt < 32 or (tk_cnt < 1024 and sec_id == last_sid):
+            if chunks:
+                chunks[-1] += "\n" + txt
+                tk_cnt += num_tokens_from_string(clean)
+                continue
+        chunks.append(txt)
+        tk_cnt = num_tokens_from_string(clean)
+        if sec_id > -1:
+            last_sid = sec_id
+    if keep_tags:
+        return chunks
+    return [remove_tag(c) for c in chunks]
