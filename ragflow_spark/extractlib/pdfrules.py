@@ -241,24 +241,45 @@ def parse_positions(txt: str) -> list[tuple[list[int], float, float,
     return out
 
 
+def detect_two_column(boxes: list[dict],
+                      page_w: float = 612.0) -> bool:
+    """Reference width gate (rag/app/paper.py:58-67: median box width
+    under half the page) plus a structural check that at least two
+    distinct x0 columns exist (a narrow single-column doc is not
+    two-column)."""
+    if not boxes:
+        return False
+    widths = sorted(b["x1"] - b["x0"] for b in boxes)
+    column_width = widths[len(widths) // 2]
+    cols = {int(b["x0"] // 50) for b in boxes}
+    return len(cols) >= 2 and column_width < page_w / 2
+
+
 def pdf_to_sections(blob: bytes,
-                    merge: str = "vertical") -> list[tuple[str, str]]:
+                    merge: str = "auto") -> list[tuple[str, str]]:
     """Full rule chain: PDF bytes -> [(text_with_tag, layout_type)].
 
     Mirrors the DeepDOC pipeline shape (pdf_parser.__call__ minus models):
     parse boxes -> layout tagging -> TOC filter -> merge pass ->
-    position-tag append. ``merge`` picks the pass: "vertical" =
-    _naive_vertical_merge (the book/plain path, pdf_parser.py:421-470);
-    "chain" = _concat_downward DFS (the DeepDOC naive path,
-    pdf_parser.py:472-579, rule fallback for the xgb seam). Both produce
-    identical bytes on well-formed single-column documents — the chain
-    query reuses the vertical oracle on that basis.
+    position-tag append. ``merge`` picks the pass: "auto" (default)
+    routes two-column documents (detect_two_column) through the
+    column-aware chain and everything else through "vertical";
+    "vertical" = _naive_vertical_merge (the book/plain path,
+    pdf_parser.py:421-470); "chain" = _concat_downward DFS (the DeepDOC
+    naive path, pdf_parser.py:472-579, rule fallback for the xgb seam).
+    Vertical and chain produce identical bytes on well-formed
+    single-column documents — the chain query reuses the vertical
+    oracle on that basis.
     """
     from .pdfplain import parse_pdf_boxes, total_page_number
 
     boxes = parse_pdf_boxes(blob)
     if not boxes:
         return []
+    if merge == "auto":
+        if detect_two_column(boxes):
+            return pdf_to_sections_two_col(blob)
+        merge = "vertical"
     n_pages = total_page_number(blob)
     boxes = tag_layouts(boxes)
     boxes = filter_forpages(boxes)

@@ -110,7 +110,7 @@ def chunk_paper_pdf(binary: bytes,
 
 
 def extract_pdf_text(binary: bytes,
-                     merge: str = "vertical") -> tuple[str, str, int]:
+                     merge: str = "auto") -> tuple[str, str, int]:
     """PDF bytes -> (title, extracted_text, n_sections): the byte-identity
     surface for the PDF path (title = first section by construction of
     the rule chain; text = tag-stripped sections joined by newline).
