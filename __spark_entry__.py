@@ -411,37 +411,17 @@ def _q_extract_entities(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _q_extract_pdf_2col(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Two-column papers: row-interleaved content streams -> column-aware
-    region tagging -> concat chain -> sort_X_by_page reading-order
-    reconstruction (pdf_parser.py:182-195, paper.py:58-67 width gate) —
-    byte-identical extracted text, same closed form as the single-column
-    corpus."""
-    import pandas as pd
-
+    """Two-column papers through the PRODUCTION path: extract_pages
+    auto-detects the layout (width gate + distinct-x0 columns,
+    paper.py:58-67) and reconstructs reading order via column-aware
+    regions + sort_X_by_page (pdf_parser.py:182-195) — byte-identical
+    extracted text, same closed form as the single-column corpus."""
     from ragflow_spark.corpus.gen import build_pdf2_pages
+    from ragflow_spark.job.extract import extract_pages
 
     pages = build_pdf2_pages(spark, sf_dir)
-
-    def gen(it):
-        from ragflow_spark.extractlib.pdfrules import (
-            pdf_to_sections_two_col, remove_tag)
-
-        for pdf in it:
-            rows = {"url": [], "title": [], "extracted_text": [],
-                    "n_sections": []}
-            for url, blob in zip(pdf["url"], pdf["html"]):
-                secs = [remove_tag(t) for t, _ in
-                        pdf_to_sections_two_col(bytes(blob))]
-                secs = [s for s in secs if s]
-                rows["url"].append(url)
-                rows["title"].append(secs[0] if secs else "")
-                rows["extracted_text"].append("\n".join(secs))
-                rows["n_sections"].append(len(secs))
-            yield pd.DataFrame(rows)
-
-    return pages.select("url", "html").mapInPandas(
-        gen, schema=("url string, title string, extracted_text string, "
-                     "n_sections int"))
+    return extract_pages(pages).select(
+        "url", "title", "extracted_text", "n_sections")
 
 
 def _q_chunks_email(spark: SparkSession, sf_dir: str) -> DataFrame:

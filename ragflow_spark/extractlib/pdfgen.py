@@ -142,8 +142,13 @@ def layout_paper_two_col(title: str, sections: list[tuple[str, str]]):
         x = float(COL_X[col])
         pages[-1].append((x, y, HEAD_SIZE, heading))
         y -= HEAD_GAP
-        for ln in lines:
-            pages[-1].append((x, y, BODY_SIZE, ln))
+        for li, ln in enumerate(lines):
+            # same contract as the single-column generator: non-final
+            # lines carry their word separator (the vertical merge
+            # concatenates with no separator; the concat chain strips
+            # pieces first, so the trailing space is harmless there)
+            sep = " " if li < len(lines) - 1 else ""
+            pages[-1].append((x, y, BODY_SIZE, ln + sep))
             y -= BODY_LEAD
         y -= HEAD_GAP
 
