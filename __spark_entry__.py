@@ -445,11 +445,15 @@ def _q_chunks_table(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _q_chunks_tag(spark: SparkSession, sf_dir: str) -> DataFrame:
     """tag template txt branch: delimiter vote, (content, tag list)
-    rows; leading-newline accumulator quirk kept."""
+    rows; leading-newline accumulator quirk kept.  The operator emits
+    tag_kwd as array<string> (reference shape); the driver's pandas
+    canonicalizer can't sort list cells, so the compared column is the
+    '|'-joined serialization (order-preserving, lossless here)."""
     from ragflow_spark.operators.structured import tag_chunks
 
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
-    return tag_chunks(docs)
+    return tag_chunks(docs).withColumn(
+        "tag_kwd", F.concat_ws("|", F.col("tag_kwd")))
 
 
 def _q_chunks_manual(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -816,7 +820,7 @@ WITH h AS (
                                   w -> {wh}) AS whs
     FROM documents
 ), s AS (
-    SELECT doc_id, {_SIMHASH_SQL} AS simhash FROM h
+    SELECT doc_id, CAST({_SIMHASH_SQL} AS BIGINT) AS simhash FROM h
 )
 """
     simhash_sigs_sql = simhash_base + "SELECT doc_id, simhash FROM s"
@@ -1069,8 +1073,8 @@ FROM (
     chunks_tag_sql = '''
 SELECT doc_id, CAST(item.i - 1 AS INT) AS row_seq,
        chr(10) || item.w || ' item ' || item.i AS content,
-       ['tag' || item.i,
-        'group_' || (doc_id % 5)] AS tag_kwd
+       'tag' || item.i || '|' ||
+        'group_' || (doc_id % 5) AS tag_kwd
 FROM (
     SELECT doc_id, unnest(list_transform(string_split(text, ' ')[1:2],
                (w, i) -> {'w': w, 'i': i})) AS item

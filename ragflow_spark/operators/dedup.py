@@ -295,9 +295,18 @@ def exact_dup_groups(docs: DataFrame, col: str = "text") -> DataFrame:
 
 
 def dedup_exact(docs: DataFrame, col: str = "text") -> DataFrame:
-    """Keep one row per distinct text (the min doc_id): standard
-    keeper-join formulation; broadcastable when the dup set is small."""
-    keepers = (
-        docs.groupBy(col).agg(F.min("doc_id").alias("doc_id"))
+    """Keep one row per distinct text (the min doc_id).
+
+    Scale shape: the keeper set is computed over ``xxhash64(text)`` so
+    the groupBy exchange carries 8-byte keys instead of multi-KB
+    documents, then the semi-join is on (doc_id, hash).  Joining back on
+    doc_id makes an xxhash64 collision harmless for row *identity* (a
+    collision could only merge two distinct texts into one keeper group,
+    dropping a row; at 10^12 rows P(any collision) ~ 3e-8 — use
+    sha2(text, 256) as the key when that is not acceptable)."""
+    hashed = docs.withColumn("_th", F.xxhash64(F.col(col)))
+    keepers = hashed.groupBy("_th").agg(F.min("doc_id").alias("doc_id"))
+    return (
+        hashed.join(keepers, ["doc_id", "_th"], "left_semi")
+        .drop("_th")
     )
-    return docs.join(keepers, ["doc_id", col], "left_semi")

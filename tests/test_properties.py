@@ -62,7 +62,16 @@ def test_codec_and_extract_never_raise(blob):
 def test_json_split_preserves_top_level_keys(data, max_size):
     chunks = split_json(data, max_chunk_size=max_size)
     got = [k for c in chunks for k in c]
-    assert sorted(got) == sorted(data)
+    # Reference semantics (deepdoc/parser/json_parser.py:80-100), not
+    # strict multiset equality: a parent key legitimately repeats when
+    # its subtree spans multiple chunks, and a key whose value is an
+    # empty list/dict is DROPPED when it reaches the recursion branch
+    # (_json_split iterates over {} and sets nothing).  So: no invented
+    # keys, and every non-empty-valued key survives.
+    assert set(got) <= set(data)
+    must_survive = {k for k, v in data.items()
+                    if not (isinstance(v, (list, dict)) and not v)}
+    assert must_survive <= set(got)
     # chunks re-serialize losslessly
     for c in chunks:
         json.dumps(c)
