@@ -318,6 +318,67 @@ def _q_extract_pdf_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
                      "n_sections int"))
 
 
+def _q_extract_pdf_frag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fragmented-line corpus through the production path: each long
+    body line is two abutting rects; _text_merge (pdf_parser.py:365-397)
+    must stitch them so output is byte-identical to extract_pdf."""
+    from ragflow_spark.corpus.gen import build_pdf_frag_pages
+    from ragflow_spark.job.extract import extract_pages
+
+    pages = build_pdf_frag_pages(spark, sf_dir)
+    return extract_pages(pages).select(
+        "url", "title", "extracted_text", "n_sections")
+
+
+def _q_extract_pdf_hidden(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Invisible-text corpus: every section carries a white-on-white
+    DeviceGray line; the _has_color filter (pdf_parser.py:197-203) must
+    drop it — the oracle is the visible-only closed form, so any leaked
+    hidden text value-hash-fails."""
+    from ragflow_spark.corpus.gen import build_pdf_hidden_pages
+    from ragflow_spark.job.extract import extract_pages
+
+    pages = build_pdf_hidden_pages(spark, sf_dir)
+    return extract_pages(pages).select(
+        "url", "title", "extracted_text", "n_sections")
+
+
+def _q_extract_pdf_tbody(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Table-bearing corpus through the production path: the captioned
+    table grid and figure block must be popped OUT of the text flow
+    (_extract_table_figure, pdf_parser.py:656-867) leaving body text
+    byte-identical to the table-free closed form."""
+    from ragflow_spark.corpus.gen import build_pdft_pages
+    from ragflow_spark.job.extract import extract_pages
+
+    pages = build_pdft_pages(spark, sf_dir)
+    return extract_pages(pages).select(
+        "url", "title", "extracted_text", "n_sections")
+
+
+def _q_extract_pdf_tables(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Popped-out tables rendered through the TSR grid rules
+    (tablerules.construct_table desc renderer): geometry-only row/col
+    grouping, Nu-dominance header voting, nearest-caption attach,
+    cross-page continuation merge (doc_id%3==1 splits the grid)."""
+    from ragflow_spark.corpus.gen import build_pdft_pages
+    from ragflow_spark.job.extract import extract_pdf_tables
+
+    pages = build_pdft_pages(spark, sf_dir)
+    return extract_pdf_tables(pages)
+
+
+def _q_extract_pdf_tables_html(spark: SparkSession,
+                               sf_dir: str) -> DataFrame:
+    """HTML rendering branch of construct_table (tsr:353-390, including
+    the double-space attr quirk `<th  >`)."""
+    from ragflow_spark.corpus.gen import build_pdft_pages
+    from ragflow_spark.job.extract import extract_pdf_tables
+
+    pages = build_pdft_pages(spark, sf_dir)
+    return extract_pdf_tables(pages, html=True)
+
+
 def _q_chunks_paper(spark: SparkSession, sf_dir: str) -> DataFrame:
     """paper template (rag/app/paper.py:186-208): bullets_category ->
     title_frequency pivot -> merge sections between pivots."""
@@ -531,8 +592,10 @@ def _q_events_props(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Image feature extraction over binary media columns (stub codec —
-    deterministic but not SQL-expressible, hence rows-only check)."""
+    """Image feature extraction over binary media columns. The stub
+    codec is a closed-form payload-seeded gradient, so the DuckDB twin
+    recomputes mean_luma/edge_density analytically — the whole decode ->
+    vectorize -> aggregate chain is value-checked."""
     from ragflow_spark.operators.multimodal import (build_media_table,
                                                     image_features)
 
@@ -540,13 +603,25 @@ def _q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _q_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Video frame sampling: in-UDF explode, frame bytes never shuffle
-    (rows-only check: stub codec)."""
+    """Video frame sampling: in-UDF explode, frame bytes never shuffle.
+    The compared column is the hex of the 16-byte frame slice — the
+    oracle rebuilds it from the closed-form payload formula."""
     from ragflow_spark.operators.multimodal import (build_media_table,
                                                     frame_sample)
 
     return frame_sample(build_media_table(spark, sf_dir)).select(
-        "url", "frame_idx", "ts_ms")
+        "url", "frame_idx", "ts_ms",
+        F.hex(F.col("frame")).alias("frame_hex"))
+
+
+def _q_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio feature extraction (rms + zero crossings over int8 samples
+    of the stub-pcm payload); exact integer/irrational closed forms in
+    the oracle."""
+    from ragflow_spark.operators.multimodal import (audio_features,
+                                                    build_media_table)
+
+    return audio_features(build_media_table(spark, sf_dir))
 
 
 def entry(spark: SparkSession) -> DataFrame:
@@ -576,6 +651,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "extract_pdf": _q_extract_pdf,
         "extract_pdf_chain": _q_extract_pdf_chain,
         "extract_pdf_2col": _q_extract_pdf_2col,
+        "extract_pdf_frag": _q_extract_pdf_frag,
+        "extract_pdf_hidden": _q_extract_pdf_hidden,
+        "extract_pdf_tbody": _q_extract_pdf_tbody,
+        "extract_pdf_tables": _q_extract_pdf_tables,
+        "extract_pdf_tables_html": _q_extract_pdf_tables_html,
         "chunks_paper": _q_chunks_paper,
         "chunks_laws": _q_chunks_laws,
         "chunk_spans": _q_chunk_spans,
@@ -593,6 +673,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "parse_md": _q_parse_md,
         "media_features": _q_media_features,
         "frame_sample": _q_frame_sample,
+        "audio_features": _q_audio_features,
     }
 
 
@@ -925,6 +1006,111 @@ SELECT url, title,
 FROM base
 """
 
+    # multimodal stubs (operators/multimodal.py): payload byte i is
+    # (doc_id*31 + i*7) % 256 and the image decode is a seeded gradient,
+    # so features/frames have analytic twins
+    media_features_sql = """
+WITH m AS (
+    SELECT doc_id,
+           ((doc_id * 31) % 256) + ((doc_id * 31 + 7) % 256) * 256
+               AS seed,
+           CAST(64 + doc_id % 128 AS INT) AS width,
+           CAST(48 + doc_id % 96 AS INT) AS height
+    FROM documents WHERE doc_id % 3 = 0
+)
+SELECT 'https://host' || (doc_id % 50) || '.example.com/image/'
+           || doc_id AS url,
+       width, height,
+       round(0.299 * (seed % 48) + 0.587 * ((seed + 17) % 48)
+             + 0.114 * ((seed + 34) % 48)
+             + (width - 1) / 2.0, 6) AS mean_luma,
+       1.0 AS edge_density
+FROM m
+"""
+
+    frame_sample_sql = """
+WITH v AS (
+    SELECT doc_id, 64 + n_chars % 64 AS plen,
+           1000 + doc_id % 9000 AS dur
+    FROM documents WHERE doc_id % 3 = 2
+), f AS (
+    SELECT doc_id, plen,
+           unnest(range(CAST(ceil(dur / 1000.0) AS BIGINT))) AS k
+    FROM v
+), o AS (
+    SELECT doc_id, CAST(k AS INT) AS frame_idx,
+           CAST(k * 1000 AS INT) AS ts_ms,
+           (k * 1000 * 7) % (plen - 16) AS off
+    FROM f
+)
+SELECT 'https://host' || (doc_id % 50) || '.example.com/video/'
+           || doc_id AS url,
+       frame_idx, ts_ms,
+       array_to_string(list_transform(range(16), j ->
+           format('{:02X}', (doc_id * 31 + (off + j) * 7) % 256)), '')
+           AS frame_hex
+FROM o
+"""
+
+    audio_features_sql = """
+WITH a AS (
+    SELECT doc_id, CAST(64 + n_chars % 64 AS BIGINT) AS n,
+           1000 + doc_id % 9000 AS dur
+    FROM documents WHERE doc_id % 3 = 1
+), s AS (
+    SELECT doc_id, dur, n,
+           list_transform(range(n), i ->
+               CASE WHEN (doc_id * 31 + i * 7) % 256 >= 128
+                    THEN (doc_id * 31 + i * 7) % 256 - 256
+                    ELSE (doc_id * 31 + i * 7) % 256 END) AS smp
+    FROM a
+)
+SELECT 'https://host' || (doc_id % 50) || '.example.com/audio/'
+           || doc_id AS url,
+       CAST(dur AS INT) AS duration_ms,
+       round(sqrt(CAST(list_aggregate(list_transform(smp,
+           v -> v * v), 'sum') AS DOUBLE) / n), 6) AS rms,
+       CAST(list_sum(list_transform(range(n - 1), i ->
+           CASE WHEN sign(smp[i + 2]) <> sign(smp[i + 1])
+                THEN 1 ELSE 0 END)) AS INT) AS zero_crossings
+FROM s
+"""
+
+    # table corpus (/pdft/): the desc-row and HTML renderings are
+    # closed-form strings of (doc_id, row) — see corpus.gen.pdft_table_rows
+    _pdft_base = _PDF_BASE_SQL.replace("/pdf/", "/pdft/")
+    _fig_rows_sql = """
+SELECT url, 'figure' AS kind, 0 AS seq,
+       'Figure 1 Paper ' || doc_id || chr(10) ||
+       '[chart ' || doc_id || ']' AS content
+FROM base
+"""
+    pdf_tables_sql = _pdft_base + """
+SELECT url, 'table' AS kind, CAST(i - 1 AS INT) AS seq,
+       'metric：' || ((doc_id * 7 + i) % 1000) ||
+       '; value：' || ((doc_id * 13 + i * i) % 1000) ||
+       '; delta：' || ((doc_id + i * 31) % 100) ||
+       chr(9) || '—— in “Table 1 Paper ' || doc_id || '”' AS content
+FROM (SELECT url, doc_id, unnest(range(1, 4 + doc_id % 4)) AS i
+      FROM base)
+UNION ALL
+""" + _fig_rows_sql
+
+    pdf_tables_html_sql = _pdft_base + """
+SELECT url, 'table_html' AS kind, 0 AS seq,
+       '<table><caption>Table 1 Paper ' || doc_id || '</caption>'
+       || chr(10) ||
+       '<tr><th  >metric</th><th  >value</th><th  >delta</th></tr>' ||
+       array_to_string(list_transform(range(1, 4 + doc_id % 4), i ->
+           chr(10) || '<tr><td  >' || ((doc_id * 7 + i) % 1000) ||
+           '</td><td  >' || ((doc_id * 13 + i * i) % 1000) ||
+           '</td><td  >' || ((doc_id + i * 31) % 100) ||
+           '</td></tr>'), '') ||
+       chr(10) || '</table>' AS content
+FROM base
+UNION ALL
+""" + _fig_rows_sql
+
     chunks_paper_sql = _PDF_BASE_SQL + """
 SELECT url, 0 AS chunk_seq, title AS chunk_text FROM base
 UNION ALL
@@ -1156,6 +1342,11 @@ FROM documents
         "extract_pdf": extract_pdf_sql,
         "extract_pdf_chain": extract_pdf_sql,
         "extract_pdf_2col": extract_pdf_sql.replace("/pdf/", "/pdf2/"),
+        "extract_pdf_frag": extract_pdf_sql.replace("/pdf/", "/pdff/"),
+        "extract_pdf_hidden": extract_pdf_sql.replace("/pdf/", "/pdfh/"),
+        "extract_pdf_tbody": extract_pdf_sql.replace("/pdf/", "/pdft/"),
+        "extract_pdf_tables": pdf_tables_sql,
+        "extract_pdf_tables_html": pdf_tables_html_sql,
         "chunks_paper": chunks_paper_sql,
         "chunks_laws": chunks_laws_sql,
         "chunk_spans": chunk_spans_sql,
@@ -1166,6 +1357,9 @@ FROM documents
         "chunks_tag": chunks_tag_sql,
         "chunks_manual": chunks_manual_sql,
         "tokenize_docs": tokenize_docs_sql,
+        "media_features": media_features_sql,
+        "frame_sample": frame_sample_sql,
+        "audio_features": audio_features_sql,
         "events_rollup": events_rollup_sql,
         "events_props": events_props_sql,
         "chunks_txt": chunks_txt_sql,

@@ -230,22 +230,69 @@ def expected_extracted(spark, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
-# PDF corpus (paper-style single-column documents)
+# PDF corpora (paper-style documents; one builder per layout family)
 # --------------------------------------------------------------------------
 
-def _pdf_encode_batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-    from ragflow_spark.extractlib.pdfgen import build_pdf
+def _pdf_docs_frame(spark, sf_dir: str, path_seg: str, replicate: int,
+                    partitions: int | None) -> DataFrame:
+    """Shared derivation for every PDF family: documents.parquet ->
+    (url at /{path_seg}/, warc_ts, title 'Paper {id}', doc_id, paras0,
+    text, lang)."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "text", "lang"
+    )
+    n_parts = partitions or spark.sparkContext.defaultParallelism
+    docs = docs.repartition(n_parts)
+    if replicate > 1:
+        reps = spark.range(replicate).select(F.col("id").alias("rep"))
+        docs = (
+            docs.crossJoin(F.broadcast(reps))
+            .withColumn("doc_id",
+                        F.col("doc_id") + F.col("rep") * F.lit(10_000_000))
+            .drop("rep")
+        )
+    d = _with_derived(docs)
+    host = F.when(F.col("doc_id") % 5 == 0, F.lit(0)).otherwise(
+        F.col("doc_id") % 50)
+    return (
+        d.withColumn("title",
+                     F.concat(F.lit("Paper "), F.col("doc_id")))
+        .withColumn("url", F.concat(
+            F.lit("https://host"), host.cast("string"),
+            F.lit(f".example.com/{path_seg}/"),
+            F.col("doc_id").cast("string")))
+        .withColumn("warc_ts",
+                    F.to_timestamp(F.lit("2025-01-01 00:00:00"))
+                    + F.make_dt_interval(
+                        secs=(F.col("doc_id") * 37 % 2_592_000)
+                        .cast("double")))
+        .select("url", "warc_ts", "title", "doc_id", "paras0", "text",
+                "lang")
+    )
 
-    for pdf in it:
-        blobs = []
-        for title, paras in zip(pdf["title"], pdf["paras0"]):
-            sections = [(f"{i + 1} Part {i + 1}", p)
-                        for i, p in enumerate(paras)]
-            blobs.append(build_pdf(title, sections))
-        yield pd.DataFrame({
-            "url": pdf["url"], "warc_ts": pdf["warc_ts"], "html": blobs,
-            "text": pdf["text"], "lang": pdf["lang"],
-        })
+
+def _pdf_encoder(build):
+    """mapInPandas encoder over (doc_id, title, paras0): ``build(did,
+    title, sections) -> bytes`` per document."""
+    def encode(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            blobs = []
+            for did, title, paras in zip(pdf["doc_id"], pdf["title"],
+                                         pdf["paras0"]):
+                sections = [(f"{i + 1} Part {i + 1}", p)
+                            for i, p in enumerate(paras)]
+                blobs.append(build(int(did), title, sections))
+            yield pd.DataFrame({
+                "url": pdf["url"], "warc_ts": pdf["warc_ts"],
+                "html": blobs, "text": pdf["text"], "lang": pdf["lang"],
+            })
+    return encode
+
+
+def _build_pdf_family(spark, sf_dir: str, path_seg: str, build,
+                      replicate: int, partitions: int | None) -> DataFrame:
+    d = _pdf_docs_frame(spark, sf_dir, path_seg, replicate, partitions)
+    return d.mapInPandas(_pdf_encoder(build), schema=PAGES_SCHEMA)
 
 
 def build_pdf_pages(spark, sf_dir: str, replicate: int = 1,
@@ -254,51 +301,11 @@ def build_pdf_pages(spark, sf_dir: str, replicate: int = 1,
     schema; `html` column carries the blob regardless of media type —
     dispatch is by magic bytes, mirroring naive.py's filename dispatch
     re-keyed to content sniffing per SURVEY.md §2.1)."""
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
-        "doc_id", "text", "lang"
-    )
-    n_parts = partitions or spark.sparkContext.defaultParallelism
-    docs = docs.repartition(n_parts)
-    if replicate > 1:
-        reps = spark.range(replicate).select(F.col("id").alias("rep"))
-        docs = (
-            docs.crossJoin(F.broadcast(reps))
-            .withColumn("doc_id",
-                        F.col("doc_id") + F.col("rep") * F.lit(10_000_000))
-            .drop("rep")
-        )
-    d = _with_derived(docs)
-    host = F.when(F.col("doc_id") % 5 == 0, F.lit(0)).otherwise(
-        F.col("doc_id") % 50)
-    d = (
-        d.withColumn("title",
-                     F.concat(F.lit("Paper "), F.col("doc_id")))
-        .withColumn("url", F.concat(
-            F.lit("https://host"), host.cast("string"),
-            F.lit(".example.com/pdf/"), F.col("doc_id").cast("string")))
-        .withColumn("warc_ts",
-                    F.to_timestamp(F.lit("2025-01-01 00:00:00"))
-                    + F.make_dt_interval(
-                        secs=(F.col("doc_id") * 37 % 2_592_000)
-                        .cast("double")))
-        .select("url", "warc_ts", "title", "paras0", "text", "lang")
-    )
-    return d.mapInPandas(_pdf_encode_batches, schema=PAGES_SCHEMA)
-
-
-def _pdf2_encode_batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-    from ragflow_spark.extractlib.pdfgen import build_pdf_two_col
-
-    for pdf in it:
-        blobs = []
-        for title, paras in zip(pdf["title"], pdf["paras0"]):
-            sections = [(f"{i + 1} Part {i + 1}", p)
-                        for i, p in enumerate(paras)]
-            blobs.append(build_pdf_two_col(title, sections))
-        yield pd.DataFrame({
-            "url": pdf["url"], "warc_ts": pdf["warc_ts"], "html": blobs,
-            "text": pdf["text"], "lang": pdf["lang"],
-        })
+    def build(did, title, sections):
+        from ragflow_spark.extractlib.pdfgen import build_pdf
+        return build_pdf(title, sections)
+    return _build_pdf_family(spark, sf_dir, "pdf", build, replicate,
+                             partitions)
 
 
 def build_pdf2_pages(spark, sf_dir: str, replicate: int = 1,
@@ -306,33 +313,58 @@ def build_pdf2_pages(spark, sf_dir: str, replicate: int = 1,
     """Two-column paper corpus (sections identical to build_pdf_pages;
     layout and stream order differ — the extractor must reconstruct
     reading order via the column sort)."""
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
-        "doc_id", "text", "lang"
-    )
-    n_parts = partitions or spark.sparkContext.defaultParallelism
-    docs = docs.repartition(n_parts)
-    if replicate > 1:
-        reps = spark.range(replicate).select(F.col("id").alias("rep"))
-        docs = (
-            docs.crossJoin(F.broadcast(reps))
-            .withColumn("doc_id",
-                        F.col("doc_id") + F.col("rep") * F.lit(10_000_000))
-            .drop("rep")
-        )
-    d = _with_derived(docs)
-    host = F.when(F.col("doc_id") % 5 == 0, F.lit(0)).otherwise(
-        F.col("doc_id") % 50)
-    d = (
-        d.withColumn("title",
-                     F.concat(F.lit("Paper "), F.col("doc_id")))
-        .withColumn("url", F.concat(
-            F.lit("https://host"), host.cast("string"),
-            F.lit(".example.com/pdf2/"), F.col("doc_id").cast("string")))
-        .withColumn("warc_ts",
-                    F.to_timestamp(F.lit("2025-01-01 00:00:00"))
-                    + F.make_dt_interval(
-                        secs=(F.col("doc_id") * 37 % 2_592_000)
-                        .cast("double")))
-        .select("url", "warc_ts", "title", "paras0", "text", "lang")
-    )
-    return d.mapInPandas(_pdf2_encode_batches, schema=PAGES_SCHEMA)
+    def build(did, title, sections):
+        from ragflow_spark.extractlib.pdfgen import build_pdf_two_col
+        return build_pdf_two_col(title, sections)
+    return _build_pdf_family(spark, sf_dir, "pdf2", build, replicate,
+                             partitions)
+
+
+def build_pdf_frag_pages(spark, sf_dir: str, replicate: int = 1,
+                         partitions: int | None = None) -> DataFrame:
+    """Fragmented-line corpus: body lines longer than 4 words render as
+    two abutting rects on one baseline (_text_merge must stitch them);
+    extraction output is byte-identical to build_pdf_pages."""
+    def build(did, title, sections):
+        from ragflow_spark.extractlib.pdfgen import build_pdf
+        return build_pdf(title, sections, fragment=True)
+    return _build_pdf_family(spark, sf_dir, "pdff", build, replicate,
+                             partitions)
+
+
+def build_pdf_hidden_pages(spark, sf_dir: str, replicate: int = 1,
+                           partitions: int | None = None) -> DataFrame:
+    """Invisible-text corpus: each section carries a white-on-white
+    DeviceGray line (_has_color must drop it); extraction output is
+    byte-identical to build_pdf_pages."""
+    def build(did, title, sections):
+        from ragflow_spark.extractlib.pdfgen import build_pdf
+        return build_pdf(title, sections, hidden=True)
+    return _build_pdf_family(spark, sf_dir, "pdfh", build, replicate,
+                             partitions)
+
+
+def pdft_table_rows(did: int) -> list[list[str]]:
+    """The data grid of the table corpus: 3 + did%4 rows of three
+    numeric cells, each a closed-form function of (doc_id, row) — the
+    DuckDB oracle recomputes desc-row / HTML renderings from these."""
+    return [[str((did * 7 + i) % 1000), str((did * 13 + i * i) % 1000),
+             str((did + i * 31) % 100)]
+            for i in range(1, 4 + did % 4)]
+
+
+def build_pdft_pages(spark, sf_dir: str, replicate: int = 1,
+                     partitions: int | None = None) -> DataFrame:
+    """Table-bearing corpus: body sections as build_pdf_pages, then a
+    captioned data table (split across two pages when doc_id % 3 == 1 —
+    exercises the cross-page continuation merge) and a captioned figure
+    block. _extract_table_figure must pop them out of the text flow."""
+    def build(did, title, sections):
+        from ragflow_spark.extractlib.pdfgen import build_pdf_table
+        return build_pdf_table(
+            title, sections, ["metric", "value", "delta"],
+            pdft_table_rows(did), f"Table 1 Paper {did}",
+            f"[chart {did}]", f"Figure 1 Paper {did}",
+            split=(did % 3 == 1))
+    return _build_pdf_family(spark, sf_dir, "pdft", build, replicate,
+                             partitions)

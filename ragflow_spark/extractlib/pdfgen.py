@@ -28,12 +28,29 @@ def _line(size: int, x: float, y: float, text: str) -> str:
     return f"BT /F1 {size} Tf {x} {y} Td ({_esc(text)}) Tj ET\n"
 
 
-def layout_paper(title: str, sections: list[tuple[str, str]]):
+def _line_hidden(size: int, x: float, y: float, text: str) -> str:
+    """White-on-white DeviceGray text (the hidden-OCR-layer trick the
+    reference's _has_color filter drops, pdf_parser.py:197-203): fill
+    AND stroke gray set to 1 before the show, restored after."""
+    return (f"BT /F1 {size} Tf 1 g 1 G {x} {y} Td ({_esc(text)}) Tj "
+            f"0 g 0 G ET\n")
+
+
+def layout_paper(title: str, sections: list[tuple[str, str]],
+                 fragment: bool = False, hidden: bool = False):
     """(title, [(heading, body)]) -> list of per-page content streams.
 
     A section = heading line + body lines (WORDS_PER_LINE words each).
     A section that does not fit the remaining page space entirely moves
     to the next page (paragraph-atomic pagination).
+
+    ``fragment``: body lines longer than 4 words emit as TWO abutting
+    rects on the same baseline (the common real-PDF case _text_merge
+    exists for); extraction output must be byte-identical to the
+    unfragmented layout.
+
+    ``hidden``: each section gets an invisible white-on-white line at
+    the first body baseline; extraction output must prove it excluded.
     """
     pages: list[list[str]] = [[]]
     y = TOP_Y
@@ -50,20 +67,34 @@ def layout_paper(title: str, sections: list[tuple[str, str]]):
             y = TOP_Y
         pages[-1].append(_line(HEAD_SIZE, MARGIN_X, y, heading))
         y -= HEAD_GAP
+        if hidden:
+            pages[-1].append(_line_hidden(
+                BODY_SIZE, MARGIN_X, y,
+                f"hidden {heading.lower()} overlay"))
         for li, ln in enumerate(lines):
             # non-final lines carry their word separator: the DeepDOC
             # vertical merge concatenates texts with no separator
             # (pdf_parser.py:466), so the space lives in the line itself
             sep = " " if li < len(lines) - 1 else ""
-            pages[-1].append(_line(BODY_SIZE, MARGIN_X, y, ln + sep))
+            lws = ln.split(" ")
+            if fragment and len(lws) > 4:
+                frag1 = " ".join(lws[:4]) + " "
+                frag2 = " ".join(lws[4:]) + sep
+                pages[-1].append(_line(BODY_SIZE, MARGIN_X, y, frag1))
+                pages[-1].append(_line(
+                    BODY_SIZE, MARGIN_X + 0.5 * BODY_SIZE * len(frag1),
+                    y, frag2))
+            else:
+                pages[-1].append(_line(BODY_SIZE, MARGIN_X, y, ln + sep))
             y -= BODY_LEAD
         y -= HEAD_GAP
     return ["".join(p) for p in pages]
 
 
-def build_pdf(title: str, sections: list[tuple[str, str]]) -> bytes:
+def build_pdf(title: str, sections: list[tuple[str, str]],
+              fragment: bool = False, hidden: bool = False) -> bytes:
     """Assemble a complete PDF document (xref table included)."""
-    return _assemble(layout_paper(title, sections))
+    return _assemble(layout_paper(title, sections, fragment, hidden))
 
 
 def _assemble(streams: list[str]) -> bytes:
@@ -166,3 +197,72 @@ def build_pdf_two_col(title: str,
     """Two-column variant of build_pdf (same object structure)."""
     streams = layout_paper_two_col(title, sections)
     return _assemble(streams)
+
+
+# ---------------------------------------------------------------------------
+# table-bearing paper layout (exercises _extract_table_figure,
+# pdf_parser.py:656-867, and the TSR grid rules in tablerules.py)
+# ---------------------------------------------------------------------------
+
+TABLE_COL_X = (72, 250, 428)
+
+
+def layout_paper_table(title: str, sections: list[tuple[str, str]],
+                       headers: list[str], rows: list[list[str]],
+                       caption: str, figure_txt: str,
+                       figure_caption: str, split: bool = False):
+    """Body pages as layout_paper, then a data table (grid of one box
+    per cell at TABLE_COL_X), its caption, and a figure block on
+    trailing page(s).
+
+    ``split=True`` puts the header + first two data rows at the bottom
+    of one page and the remaining rows at the top of the next — the
+    cross-page continuation _extract_table_figure must stitch back
+    (page gap 1, vertical gap ~164pt < 23x mean height 10)."""
+    streams = layout_paper(title, sections)
+
+    def cell_row(page: list[str], y: float, cells: list[str]) -> None:
+        for j, c in enumerate(cells):
+            page.append(_line(BODY_SIZE, TABLE_COL_X[j], y, c))
+
+    tail: list[str]
+    if split and len(rows) > 2:
+        part1: list[str] = []
+        y = 120.0
+        cell_row(part1, y, headers)
+        y -= BODY_LEAD
+        for r in rows[:2]:
+            cell_row(part1, y, r)
+            y -= BODY_LEAD
+        streams.append("".join(part1))
+        tail = []
+        y = float(TOP_Y)
+        rest = rows[2:]
+    else:
+        tail = []
+        y = float(TOP_Y)
+        cell_row(tail, y, headers)
+        y -= BODY_LEAD
+        rest = rows
+    for r in rest:
+        cell_row(tail, y, r)
+        y -= BODY_LEAD
+    last_row_y = y + BODY_LEAD
+    cap_y = last_row_y - 24
+    tail.append(_line(BODY_SIZE, TABLE_COL_X[0], cap_y, caption))
+    fig_y = cap_y - 40
+    tail.append(_line(BODY_SIZE, TABLE_COL_X[0], fig_y, figure_txt))
+    tail.append(_line(BODY_SIZE, TABLE_COL_X[0], fig_y - 18,
+                      figure_caption))
+    streams.append("".join(tail))
+    return streams
+
+
+def build_pdf_table(title: str, sections: list[tuple[str, str]],
+                    headers: list[str], rows: list[list[str]],
+                    caption: str, figure_txt: str, figure_caption: str,
+                    split: bool = False) -> bytes:
+    """Table-bearing variant of build_pdf (same object structure)."""
+    return _assemble(layout_paper_table(
+        title, sections, headers, rows, caption, figure_txt,
+        figure_caption, split))

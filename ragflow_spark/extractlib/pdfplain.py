@@ -38,6 +38,28 @@ _TF_RE = re.compile(rb"/\w+\s+([\d.]+)\s+Tf")
 _TD_RE = re.compile(rb"(-?[\d.]+)\s+(-?[\d.]+)\s+T[dD]")
 _TJ_RE = re.compile(rb"\(((?:[^()\\]|\\.)*)\)\s*Tj")
 
+# sequential content-stream op scan: text ops + DeviceGray color state.
+# Parenthesized strings are consumed atomically by the tj alternative, so
+# numbers/letters inside string literals can never match as operators.
+_OP_RE = re.compile(
+    rb"(?P<bt>BT)|(?P<et>ET)|/\w+\s+(?P<tf>[\d.]+)\s+Tf|"
+    rb"(?P<tdx>-?[\d.]+)\s+(?P<tdy>-?[\d.]+)\s+T[dD]|"
+    rb"\((?P<tj>(?:[^()\\]|\\.)*)\)\s*Tj|"
+    rb"(?P<fill>[\d.]+)\s+g\b|(?P<stroke>[\d.]+)\s+G\b")
+
+# invisible-character rule (reference pdf_parser.py:197-203 `_has_color`):
+# DeviceGray with stroking AND non-stroking gray == 1 (white-on-white,
+# the hidden-OCR-layer trick) and text beginning with one of the
+# reference's character class — the anchored-prefix quirk is kept.
+_HIDDEN_TEXT_RE = re.compile(r"[a-zT_\[\]\(\)-]+")
+
+
+def _has_color(fill_gray: float, stroke_gray: float, text: str) -> bool:
+    if stroke_gray == 1.0 and fill_gray == 1.0 \
+            and _HIDDEN_TEXT_RE.match(text):
+        return False
+    return True
+
 _UNESC = {b"\\(": b"(", b"\\)": b")", b"\\\\": b"\\",
           b"\\n": b"\n", b"\\r": b"\r", b"\\t": b"\t"}
 
@@ -81,17 +103,30 @@ def parse_pdf_boxes(blob: bytes) -> list[dict]:
             sm = _STREAM_RE.search(objs[int(cm.group(1))])
             if sm:
                 stream = sm.group(1)
-        for bt in _BT_RE.finditer(stream):
-            seg = bt.group(1)
-            tf = _TF_RE.search(seg)
-            size = float(tf.group(1)) if tf else 10.0
-            x, y = 0.0, 0.0
-            for td in _TD_RE.finditer(seg):
-                x += float(td.group(1))
-                y += float(td.group(2))
-            for tj in _TJ_RE.finditer(seg):
-                text = _unescape(tj.group(1))
+        # sequential op walk: graphics state (DeviceGray fill/stroke)
+        # persists across BT blocks within a page stream and resets per
+        # page (streams are independent); text position resets at BT
+        fill_gray, stroke_gray = 0.0, 0.0  # PDF default: black
+        size, x, y = 10.0, 0.0, 0.0
+        for op in _OP_RE.finditer(stream):
+            if op.group("bt"):
+                size, x, y = 10.0, 0.0, 0.0
+            elif op.group("tf"):
+                size = float(op.group("tf"))
+            elif op.group("tdx") is not None:
+                x += float(op.group("tdx"))
+                y += float(op.group("tdy"))
+            elif op.group("fill") is not None:
+                fill_gray = float(op.group("fill"))
+            elif op.group("stroke") is not None:
+                stroke_gray = float(op.group("stroke"))
+            elif op.group("tj") is not None:
+                text = _unescape(op.group("tj"))
                 if not text.strip():
+                    continue
+                # reference pdf_parser.py:290: chars failing _has_color
+                # (white-on-white DeviceGray) never become boxes
+                if not _has_color(fill_gray, stroke_gray, text):
                     continue
                 top = cum_height + (page_h - y) - size
                 boxes.append({

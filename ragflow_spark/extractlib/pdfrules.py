@@ -139,6 +139,38 @@ def naive_vertical_merge(boxes: list[dict], mh: list[float],
     return bxs
 
 
+def text_merge(boxes: list[dict], mh: list[float]) -> list[dict]:
+    """Horizontal merge of adjacent same-layout boxes BEFORE any vertical
+    merging (pdf_parser.py:365-397 live semantics: everything after the
+    unconditional ``continue`` at :397 is dead code and is not mirrored).
+
+    Merges bxs[i] <- bxs[i+1] when they share a layout region, the region
+    is not table/figure/equation, and their vertical centers are within a
+    third of the page's mean line height — i.e. fragments of one visual
+    line that the extractor produced as separate rects. Text concatenates
+    with no separator (the fragment carries its own trailing space, same
+    contract as the vertical merge)."""
+    bxs = [dict(b) for b in boxes]
+    i = 0
+    while i < len(bxs) - 1:
+        b, b_ = bxs[i], bxs[i + 1]
+        if b.get("layoutno", "0") != b_.get("layoutno", "1") or \
+                b.get("layout_type", "") in ("table", "figure", "equation"):
+            i += 1
+            continue
+        pmh = mh[b["page_number"] - 1] if (
+            mh and 0 <= b["page_number"] - 1 < len(mh)) else 10.0
+        if abs(y_dis(b, b_)) < pmh / 3:
+            b["x1"] = b_["x1"]
+            b["top"] = (b["top"] + b_["top"]) / 2
+            b["bottom"] = (b["bottom"] + b_["bottom"]) / 2
+            b["text"] += b_["text"]
+            bxs.pop(i + 1)
+            continue
+        i += 1
+    return bxs
+
+
 def filter_forpages(boxes: list[dict]) -> list[dict]:
     """TOC-run removal (pdf_parser.py:581-630, list-in/list-out)."""
     boxes = list(boxes)
@@ -241,18 +273,35 @@ def parse_positions(txt: str) -> list[tuple[list[int], float, float,
     return out
 
 
+def _has_gutter(boxes: list[dict], gap: float = 20.0,
+                tol: float = 2.0) -> bool:
+    """True when some visual row holds two boxes separated by a real
+    horizontal gutter — the structural signature of a multi-column page.
+    Abutting same-baseline fragments (gap 0, the _text_merge case) do
+    NOT count, which is what keeps fragmented single-column lines from
+    masquerading as columns."""
+    arr = sorted(boxes, key=lambda b: (b["page_number"], b["top"],
+                                       b["x0"]))
+    for a, c in zip(arr, arr[1:]):
+        if a["page_number"] == c["page_number"] \
+                and abs(c["top"] - a["top"]) < tol \
+                and c["x0"] - a["x1"] > gap:
+            return True
+    return False
+
+
 def detect_two_column(boxes: list[dict],
                       page_w: float = 612.0) -> bool:
     """Reference width gate (rag/app/paper.py:58-67: median box width
-    under half the page) plus a structural check that at least two
-    distinct x0 columns exist (a narrow single-column doc is not
+    under half the page) plus a structural check that some row really
+    holds two gutter-separated boxes (a narrow single-column doc, or a
+    single-column doc whose lines split into abutting fragments, is not
     two-column)."""
     if not boxes:
         return False
     widths = sorted(b["x1"] - b["x0"] for b in boxes)
     column_width = widths[len(widths) // 2]
-    cols = {int(b["x0"] // 50) for b in boxes}
-    return len(cols) >= 2 and column_width < page_w / 2
+    return column_width < page_w / 2 and _has_gutter(boxes)
 
 
 def pdf_to_sections(blob: bytes,
@@ -277,13 +326,25 @@ def pdf_to_sections(blob: bytes,
     if not boxes:
         return []
     if merge == "auto":
+        from .pdftables import has_table_caption, pdf_to_sections_tables
+        if has_table_caption(boxes):
+            # caption-marked table/figure documents route through the
+            # table-extraction chain (the layout model's routing role;
+            # see pdftables module docstring); body sections come back
+            # in the same shape, tables/figures are popped out
+            sections, _tables, _figures = pdf_to_sections_tables(
+                blob, boxes=boxes)
+            return sections
         if detect_two_column(boxes):
             return pdf_to_sections_two_col(blob)
         merge = "vertical"
     n_pages = total_page_number(blob)
     boxes = tag_layouts(boxes)
-    boxes = filter_forpages(boxes)
     mh = mean_heights(boxes, n_pages)
+    # horizontal fragment merge always precedes the vertical pass
+    # (reference call order, e.g. rag/app/book.py:54)
+    boxes = text_merge(boxes, mh)
+    boxes = filter_forpages(boxes)
     if merge == "chain":
         boxes = concat_downward(boxes, mh, [10.0] * len(mh))
     else:
@@ -705,8 +766,9 @@ def pdf_to_sections_two_col(blob: bytes) -> list[tuple[str, str]]:
         return []
     n_pages = total_page_number(blob)
     boxes = tag_layouts_columns(boxes)
-    boxes = filter_forpages(boxes)
     mh = mean_heights(boxes, n_pages)
+    boxes = text_merge(boxes, mh)
+    boxes = filter_forpages(boxes)
     boxes = concat_downward(boxes, mh, [10.0] * len(mh))
     widths = [b["x1"] - b["x0"] for b in boxes]
     column_width = _median(widths) if widths else 0.0

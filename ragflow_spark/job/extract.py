@@ -78,6 +78,56 @@ def extract_pages(pages: DataFrame) -> DataFrame:
     )
 
 
+TABLES_SCHEMA = "url string, kind string, seq int, content string"
+
+
+def _table_batches_factory(html: bool):
+    def gen(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from ragflow_spark.extractlib.pdftables import (
+            pdf_to_sections_tables)
+
+        for pdf in it:
+            rows: dict[str, list] = {"url": [], "kind": [], "seq": [],
+                                     "content": []}
+            for url, blob in zip(pdf["url"], pdf["html"]):
+                blob = bytes(blob)
+                if not blob.startswith(b"%PDF-"):
+                    continue
+                _secs, tables, figures = pdf_to_sections_tables(
+                    blob, return_html=html)
+                if html:
+                    for ti, tbl in enumerate(tables):
+                        rows["url"].append(url)
+                        rows["kind"].append("table_html")
+                        rows["seq"].append(ti)
+                        rows["content"].append(tbl)
+                else:
+                    for tbl in tables:
+                        for ri, row in enumerate(tbl):
+                            rows["url"].append(url)
+                            rows["kind"].append("table")
+                            rows["seq"].append(ri)
+                            rows["content"].append(row)
+                for fi, txt in enumerate(figures):
+                    rows["url"].append(url)
+                    rows["kind"].append("figure")
+                    rows["seq"].append(fi)
+                    rows["content"].append(txt)
+            yield pd.DataFrame(rows)
+    return gen
+
+
+def extract_pdf_tables(pages: DataFrame, html: bool = False) -> DataFrame:
+    """pages -> popped-out table/figure content rows: desc-row strings
+    per table row (reference _render_desc) or one HTML string per table
+    (``html=True``), plus caption+text per figure.  Same map-only plan
+    shape as extract_pages — the whole table grid lives inside one
+    document, so no shuffle ever carries cell boxes."""
+    return pages.select("url", "html").mapInPandas(
+        _table_batches_factory(html), schema=TABLES_SCHEMA
+    )
+
+
 def _chunk_batches_factory(template: str):
     def chunk_batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         from ragflow_spark.extractlib import templates as T

@@ -34,19 +34,25 @@ FRAME_SCHEMA = ("url string, frame_idx int, ts_ms int, frame binary")
 
 
 def decode_image(payload: bytes, width: int, height: int) -> np.ndarray:
-    """STUB CODEC: deterministic fake decode (payload-seeded gradient),
-    standing in for PIL.Image.open. Returns HxWx3 uint8. The seam is the
-    function signature — production swaps the body, nothing else."""
-    seed = int.from_bytes(payload[:8].ljust(8, b"\0"), "little")
-    rng = np.random.default_rng(seed)
-    base = rng.integers(0, 256, size=(height, width, 3), dtype=np.uint8)
-    return base
+    """STUB CODEC standing in for PIL.Image.open: a payload-seeded
+    horizontal gradient, pixel(y, x, c) = (seed + 17c) % 48 + x (closed
+    form, so the DuckDB oracle can recompute the downstream features —
+    the pipeline itself treats the output as opaque pixels). Returns
+    HxWx3 uint8; the seam is the function signature — production swaps
+    the body, nothing else."""
+    seed = (payload[0] | (payload[1] << 8)) if len(payload) >= 2 else 0
+    base = np.array([(seed + 17 * c) % 48 for c in range(3)],
+                    dtype=np.uint8)
+    x = np.arange(width, dtype=np.uint8)[None, :, None]
+    return (base[None, None, :] + x) * np.ones(
+        (height, 1, 1), dtype=np.uint8)
 
 
 def build_media_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic synthetic media rows derived from documents:
-    doc_id%3 selects image/audio/video; payload bytes are a seeded
-    function of doc_id (opaque, as real codecs' output would be)."""
+    doc_id%3 selects image/audio/video; payload byte i is
+    (doc_id*31 + i*7) % 256 — opaque to the pipeline (as real codec
+    output would be) but closed-form for the DuckDB oracle."""
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
         "doc_id", "n_chars")
 
@@ -57,9 +63,10 @@ def build_media_table(spark: SparkSession, sf_dir: str) -> DataFrame:
                                     "codec")}
             for doc_id, n_chars in zip(pdf["doc_id"], pdf["n_chars"]):
                 kind = ("image", "audio", "video")[int(doc_id) % 3]
-                rng = np.random.default_rng(int(doc_id))
-                payload = rng.integers(0, 256, size=64 + int(n_chars) % 64,
-                                       dtype=np.uint8).tobytes()
+                n = 64 + int(n_chars) % 64
+                payload = ((int(doc_id) * 31
+                            + np.arange(n, dtype=np.int64) * 7) % 256
+                           ).astype(np.uint8).tobytes()
                 rows["url"].append(
                     f"https://host{int(doc_id) % 50}.example.com/"
                     f"{kind}/{int(doc_id)}")

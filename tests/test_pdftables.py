@@ -1,0 +1,143 @@
+"""Table/figure extraction chain (pdftables.py), _text_merge, and the
+invisible-text filter — unit level (the Spark/oracle layer covers the
+same paths end-to-end via extract_pdf_{frag,hidden,tbody,tables})."""
+
+import pytest
+
+from ragflow_spark.extractlib.pdfgen import (
+    build_pdf,
+    build_pdf_table,
+)
+from ragflow_spark.extractlib.pdfplain import parse_pdf_boxes
+from ragflow_spark.extractlib.pdfrules import text_merge, detect_two_column
+from ragflow_spark.extractlib.pdftables import (
+    extract_table_figure,
+    has_table_caption,
+    pdf_to_sections_tables,
+    tag_layouts_with_tables,
+)
+from ragflow_spark.extractlib.templates import extract_pdf_text
+
+SECS = [
+    ("1 Part 1", "alpha beta gamma delta epsilon zeta eta theta "
+                 "iota kappa lam mu"),
+    ("2 Part 2", "one two three four five six seven eight nine ten "
+                 "eleven twelve"),
+]
+ROWS = [["50", "92", "38"], ["51", "95", "69"], ["52", "100", "0"],
+        ["53", "107", "31"]]
+
+
+def _table_blob(split=False):
+    return build_pdf_table("Paper 7", SECS, ["metric", "value", "delta"],
+                           ROWS, "Table 1 Paper 7", "[chart 7]",
+                           "Figure 1 Paper 7", split=split)
+
+
+def test_text_merge_stitches_fragments_byte_identical():
+    plain = extract_pdf_text(build_pdf("Paper 7", SECS))
+    frag = extract_pdf_text(build_pdf("Paper 7", SECS, fragment=True))
+    assert frag == plain
+
+
+def test_text_merge_skips_table_regions():
+    boxes = [
+        {"text": "a ", "x0": 0, "x1": 10, "top": 0, "bottom": 10,
+         "page_number": 1, "layoutno": "table-1", "layout_type": "table"},
+        {"text": "b", "x0": 10, "x1": 20, "top": 0, "bottom": 10,
+         "page_number": 1, "layoutno": "table-1", "layout_type": "table"},
+    ]
+    assert len(text_merge(boxes, [10.0])) == 2
+
+
+def test_hidden_text_dropped_byte_identical():
+    plain = extract_pdf_text(build_pdf("Paper 7", SECS))
+    hidden = extract_pdf_text(build_pdf("Paper 7", SECS, hidden=True))
+    assert hidden == plain
+    # the hidden line really is in the bytes
+    assert b"hidden" in build_pdf("Paper 7", SECS, hidden=True)
+
+
+def test_visible_white_stroke_only_is_kept():
+    # only BOTH gray==1 hides (reference _has_color, pdf_parser.py:197)
+    from ragflow_spark.extractlib.pdfplain import _has_color
+    assert _has_color(1.0, 0.0, "abc")
+    assert _has_color(0.0, 1.0, "abc")
+    assert not _has_color(1.0, 1.0, "abc")
+    # anchored-prefix quirk: uppercase-led text is never hidden
+    assert _has_color(1.0, 1.0, "ABC")
+
+
+def test_fragmented_doc_is_not_two_column():
+    boxes = parse_pdf_boxes(build_pdf("Paper 7", SECS, fragment=True))
+    assert not detect_two_column(boxes)
+
+
+def test_table_caption_routing_gate():
+    assert has_table_caption(parse_pdf_boxes(_table_blob()))
+    assert not has_table_caption(
+        parse_pdf_boxes(build_pdf("Paper 7", SECS)))
+
+
+def test_tag_layouts_with_tables_types():
+    boxes = tag_layouts_with_tables(parse_pdf_boxes(_table_blob()))
+    types = {b["layout_type"] for b in boxes}
+    assert {"table", "table caption", "figure",
+            "figure caption", "title", "text"} <= types
+    cells = [b for b in boxes if b["layout_type"] == "table"]
+    # one contiguous region: 5 rows x 3 cols on one page
+    assert len(cells) == 15
+    assert len({b["layoutno"] for b in cells}) == 1
+
+
+def test_extract_table_figure_desc_rows():
+    _secs, tables, figures = pdf_to_sections_tables(_table_blob())
+    assert figures == ["Figure 1 Paper 7\n[chart 7]"]
+    assert len(tables) == 1
+    assert tables[0] == [
+        "metric：50; value：92; delta：38\t—— in “Table 1 Paper 7”",
+        "metric：51; value：95; delta：69\t—— in “Table 1 Paper 7”",
+        "metric：52; value：100; delta：0\t—— in “Table 1 Paper 7”",
+        "metric：53; value：107; delta：31\t—— in “Table 1 Paper 7”",
+    ]
+
+
+def test_cross_page_table_merges_to_same_output():
+    whole = pdf_to_sections_tables(_table_blob(split=False))
+    split = pdf_to_sections_tables(_table_blob(split=True))
+    assert split[1] == whole[1]
+    assert split[2] == whole[2]
+
+
+def test_table_html_rendering():
+    tables = pdf_to_sections_tables(_table_blob(), return_html=True)[1]
+    assert len(tables) == 1
+    html = tables[0]
+    assert html.startswith("<table><caption>Table 1 Paper 7</caption>")
+    assert "<tr><th  >metric</th><th  >value</th><th  >delta</th></tr>" \
+        in html
+    assert html.count("<tr>") == 5
+    assert html.endswith("\n</table>")
+
+
+def test_body_text_unchanged_by_table_popout():
+    plain = extract_pdf_text(build_pdf("Paper 7", SECS))
+    with_table = extract_pdf_text(_table_blob())
+    assert with_table == plain
+
+
+def test_source_note_lines_dropped():
+    boxes = tag_layouts_with_tables(parse_pdf_boxes(_table_blob()))
+    # inject a source-note box into the table region
+    note = dict(boxes[0])
+    note.update(text="数据来源: somewhere", layout_type="table",
+                layoutno=next(b["layoutno"] for b in boxes
+                              if b["layout_type"] == "table"))
+    boxes.append(note)
+    _rem, tables, _figs = extract_table_figure(boxes, [10.0] * 10)
+    assert all("来源" not in r for t in tables for r in t)
+
+
+def test_empty_and_garbage_blobs():
+    assert pdf_to_sections_tables(b"") == ([], [], [])
+    assert pdf_to_sections_tables(b"%PDF-1.4 garbage") == ([], [], [])
