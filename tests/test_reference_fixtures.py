@@ -1,0 +1,96 @@
+"""Frozen-snapshot goldens over the reference repo's own test fixtures
+(/root/reference/sdk/python/test/test_sdk_api/test_data/) — hostile,
+irregular real-world inputs the synthetic corpus cannot produce (nested
+framework HTML, Flate-compressed PDF with ToUnicode CMap subset fonts,
+CJK JSON, mixed-delimiter txt).
+
+The twin-oracle strategy proves self-consistency; these goldens pin the
+extractors against drift on real bytes. If an intentional behavior
+change moves a hash, regenerate with the snippet in tests/goldens/
+reference_fixtures.json's git history (the hash is of the full output,
+previews aid debugging).
+
+Fixtures docx/xlsx/ppt/jpg are out of scope v1 (SURVEY.md §2.3).
+"""
+
+import hashlib
+import json
+import os
+
+import pytest
+
+BASE = "/root/reference/sdk/python/test/test_sdk_api/test_data/"
+GOLDENS = os.path.join(os.path.dirname(__file__), "goldens",
+                       "reference_fixtures.json")
+
+pytestmark = pytest.mark.skipif(
+    not os.path.isdir(BASE), reason="reference fixtures not present")
+
+with open(GOLDENS) as fh:
+    GOLD = json.load(fh)
+
+
+def _h(x) -> str:
+    if not isinstance(x, str):
+        x = json.dumps(x, ensure_ascii=False, default=list)
+    return hashlib.sha256(x.encode("utf-8")).hexdigest()
+
+
+def _blob(name: str) -> bytes:
+    with open(BASE + name, "rb") as fh:
+        return fh.read()
+
+
+def test_html_fixture_extract_and_chunkers():
+    from ragflow_spark.extractlib.htmlparse import extract_html
+    from ragflow_spark.extractlib.templates import (
+        chunk_book_html, chunk_naive_html, chunk_one_html)
+
+    blob = _blob("test.html")
+    g = GOLD["test.html"]
+    text = extract_html(blob)
+    assert text.startswith(g["preview"])
+    assert _h(text) == g["extract_html"]
+    assert _h(chunk_naive_html(blob)) == g["chunk_naive"]
+    assert _h(chunk_one_html(blob)) == g["chunk_one"]
+    assert _h(list(chunk_book_html(blob)[0])) == g["chunk_book"]
+
+
+@pytest.mark.parametrize("name", ["test.txt", "ragflow.txt",
+                                  "ragflow_test.txt"])
+def test_txt_fixtures(name):
+    from ragflow_spark.extractlib.txtparse import txt_sections
+
+    secs = txt_sections(_blob(name))
+    assert len(secs) == GOLD[name]["n"]
+    assert _h(secs) == GOLD[name]["txt_sections"]
+
+
+def test_json_fixture():
+    from ragflow_spark.extractlib.jsonparse import json_sections
+
+    secs = json_sections(_blob("test.json"))
+    assert len(secs) == GOLD["test.json"]["n"]
+    assert _h(secs) == GOLD["test.json"]["json_sections"]
+
+
+def test_md_fixture():
+    from ragflow_spark.extractlib.mdparse import markdown_sections
+
+    secs = markdown_sections(_blob("test.md"))
+    assert len(secs) == GOLD["test.md"]["n"]
+    assert _h(secs) == GOLD["test.md"]["md_sections"]
+
+
+def test_pdf_fixture_real_world_streams():
+    """Flate streams, indirect /Length, ToUnicode CMaps, hex TJ arrays,
+    q/Q + rg color state — the full real-world content-stream path."""
+    from ragflow_spark.extractlib.templates import (chunk_naive_pdf,
+                                                    extract_pdf_text)
+
+    blob = _blob("test.pdf")
+    title, text, n = extract_pdf_text(blob)
+    assert title == GOLD["test.pdf"]["title"]
+    assert n == GOLD["test.pdf"]["n_sections"]
+    assert _h(text) == GOLD["test.pdf"]["extract_pdf"]
+    assert _h(chunk_naive_pdf(blob)) == GOLD["test.pdf"]["chunk_naive_pdf"]
