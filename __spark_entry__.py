@@ -343,6 +343,19 @@ def _q_extract_pdf_hidden(spark: SparkSession, sf_dir: str) -> DataFrame:
         "url", "title", "extracted_text", "n_sections")
 
 
+def _q_extract_pdf_hf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Running-header/footer corpus: edge-band region drop + keep feats
+    + repeated-garbage Counter (layout_recognizer.py:103-157) must
+    remove the running heads, folios, AND the head copy leaked into the
+    body flow — the oracle is the clean closed form."""
+    from ragflow_spark.corpus.gen import build_pdf_hf_pages
+    from ragflow_spark.job.extract import extract_pages
+
+    pages = build_pdf_hf_pages(spark, sf_dir)
+    return extract_pages(pages).select(
+        "url", "title", "extracted_text", "n_sections")
+
+
 def _q_extract_pdf_tbody(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Table-bearing corpus through the production path: the captioned
     table grid and figure block must be popped OUT of the text flow
@@ -570,6 +583,35 @@ def _q_tokenize_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
         gen, schema="doc_id long, title_tks string, content_ltks string")
 
 
+def _q_tokenize_huqie(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trie machinery surface (huqie.py): bidirectional max-match + DFS
+    reconciliation + fine-grained second-best re-segmentation over the
+    embedded dictionary, on four hand-verified CJK phrases (keyed by
+    doc_id % 4; the 研究生命起源 case is a genuine forward/backward
+    disagreement the DFS must resolve)."""
+    import pandas as pd
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    phrases = ["中华人民共和国数据分析", "研究生命起源",
+               "大规模自然语言处理模型", "数据库与文档提取管道"]
+
+    def gen(it):
+        from ragflow_spark.extractlib.huqie import (fine_grained_tokenize,
+                                                    tokenize)
+
+        for pdf in it:
+            segs, fines = [], []
+            for doc_id in pdf["doc_id"]:
+                tks = tokenize(phrases[int(doc_id) % 4])
+                segs.append(tks)
+                fines.append(fine_grained_tokenize(tks))
+            yield pd.DataFrame({"doc_id": pdf["doc_id"],
+                                "seg_tks": segs, "fine_tks": fines})
+
+    return docs.select("doc_id").mapInPandas(
+        gen, schema="doc_id long, seg_tks string, fine_tks string")
+
+
 def _q_events_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Daily rollup per event type over a ts-filtered scan (pushed
     predicate + map-side partial aggregation — the lineage/metrics agg
@@ -653,6 +695,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "extract_pdf_2col": _q_extract_pdf_2col,
         "extract_pdf_frag": _q_extract_pdf_frag,
         "extract_pdf_hidden": _q_extract_pdf_hidden,
+        "extract_pdf_hf": _q_extract_pdf_hf,
         "extract_pdf_tbody": _q_extract_pdf_tbody,
         "extract_pdf_tables": _q_extract_pdf_tables,
         "extract_pdf_tables_html": _q_extract_pdf_tables_html,
@@ -666,6 +709,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "chunks_tag": _q_chunks_tag,
         "chunks_manual": _q_chunks_manual,
         "tokenize_docs": _q_tokenize_docs,
+        "tokenize_huqie": _q_tokenize_huqie,
         "events_rollup": _q_events_rollup,
         "events_props": _q_events_props,
         "chunks_txt": _q_chunks_txt,
@@ -1165,11 +1209,39 @@ GROUP BY f.doc_id, f.cidx
     # corpus text is already lowercase single-spaced ascii words, so the
     # content tokenization is the identity; titles exercise the
     # lowercase + per-char-CJK paths
+    # trie segmentation joins 文档 into one token; English words carry
+    # their Porter stems (the 5 vocabulary words whose stem differs)
     tokenize_docs_sql = """
 SELECT doc_id,
-       CASE WHEN lang = 'zh' THEN '文 档 ' || doc_id
+       CASE WHEN lang = 'zh' THEN '文档 ' || doc_id
             ELSE 'document ' || doc_id END AS title_tks,
-       text AS content_ltks
+       array_to_string(list_transform(string_split(text, ' '), w ->
+           CASE w WHEN 'table' THEN 'tabl' WHEN 'value' THEN 'valu'
+                  WHEN 'merge' THEN 'merg' WHEN 'query' THEN 'queri'
+                  WHEN 'customer' THEN 'custom' ELSE w END), ' ')
+           AS content_ltks
+FROM documents
+"""
+
+    # hand-verified trie segmentations (bidirectional max-match + DFS
+    # reconciliation over the embedded dictionary, huqie.py): phrase
+    # keyed by doc_id % 4, expected output a literal per phrase.
+    # 研究生命起源 is the canonical FW/BW disagreement (研究生|命|起源 vs
+    # 研究|生命|起源) resolved by the DFS rescoring.
+    tokenize_huqie_sql = """
+SELECT doc_id,
+       CASE doc_id % 4
+            WHEN 0 THEN '中华人民共和国 数据 分析'
+            WHEN 1 THEN '研究 生命 起源'
+            WHEN 2 THEN '大规模 自然语言 处理 模型'
+            ELSE '数据库 与 文档 提取 管道'
+       END AS seg_tks,
+       CASE doc_id % 4
+            WHEN 0 THEN '中华 人民 共和国 数据 分析'
+            WHEN 1 THEN '研究 生命 起源'
+            WHEN 2 THEN '大规模 自然 语言 处理 模型'
+            ELSE '数据 库 与 文档 提取 管道'
+       END AS fine_tks
 FROM documents
 """
 
@@ -1344,6 +1416,7 @@ FROM documents
         "extract_pdf_2col": extract_pdf_sql.replace("/pdf/", "/pdf2/"),
         "extract_pdf_frag": extract_pdf_sql.replace("/pdf/", "/pdff/"),
         "extract_pdf_hidden": extract_pdf_sql.replace("/pdf/", "/pdfh/"),
+        "extract_pdf_hf": extract_pdf_sql.replace("/pdf/", "/pdfhf/"),
         "extract_pdf_tbody": extract_pdf_sql.replace("/pdf/", "/pdft/"),
         "extract_pdf_tables": pdf_tables_sql,
         "extract_pdf_tables_html": pdf_tables_html_sql,
@@ -1357,6 +1430,7 @@ FROM documents
         "chunks_tag": chunks_tag_sql,
         "chunks_manual": chunks_manual_sql,
         "tokenize_docs": tokenize_docs_sql,
+        "tokenize_huqie": tokenize_huqie_sql,
         "media_features": media_features_sql,
         "frame_sample": frame_sample_sql,
         "audio_features": audio_features_sql,

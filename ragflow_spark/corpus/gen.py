@@ -344,6 +344,19 @@ def build_pdf_hidden_pages(spark, sf_dir: str, replicate: int = 1,
                              partitions)
 
 
+def build_pdf_hf_pages(spark, sf_dir: str, replicate: int = 1,
+                       partitions: int | None = None) -> DataFrame:
+    """Running-header/footer corpus: every page carries a duplicated
+    running head + per-page folio in the edge bands, and one copy of
+    the head leaks into the body flow (layout_keep_rules must drop all
+    of them); extraction output is byte-identical to build_pdf_pages."""
+    def build(did, title, sections):
+        from ragflow_spark.extractlib.pdfgen import build_pdf
+        return build_pdf(title, sections, header_footer=True)
+    return _build_pdf_family(spark, sf_dir, "pdfhf", build, replicate,
+                             partitions)
+
+
 def pdft_table_rows(did: int) -> list[list[str]]:
     """The data grid of the table corpus: 3 + did%4 rows of three
     numeric cells, each a closed-form function of (doc_id, row) — the

@@ -37,7 +37,8 @@ def _line_hidden(size: int, x: float, y: float, text: str) -> str:
 
 
 def layout_paper(title: str, sections: list[tuple[str, str]],
-                 fragment: bool = False, hidden: bool = False):
+                 fragment: bool = False, hidden: bool = False,
+                 header_footer: bool = False):
     """(title, [(heading, body)]) -> list of per-page content streams.
 
     A section = heading line + body lines (WORDS_PER_LINE words each).
@@ -51,13 +52,20 @@ def layout_paper(title: str, sections: list[tuple[str, str]],
 
     ``hidden``: each section gets an invisible white-on-white line at
     the first body baseline; extraction output must prove it excluded.
+
+    ``header_footer``: every page carries a running head (twice, so the
+    repeated-garbage Counter fires even on one-page documents) and a
+    per-page folio line in the edge bands, plus ONE copy of the running
+    head embedded in the body flow (the Counter must remove it there
+    too); extraction output must be byte-identical to the plain layout.
     """
     pages: list[list[str]] = [[]]
     y = TOP_Y
     pages[0].append(_line(TITLE_SIZE, MARGIN_X, y, title))
     y -= HEAD_GAP + TITLE_SIZE
+    running_head = f"{title} preprint"
 
-    for heading, body in sections:
+    for si, (heading, body) in enumerate(sections):
         words = body.split(" ")
         lines = [" ".join(words[i:i + WORDS_PER_LINE])
                  for i in range(0, len(words), WORDS_PER_LINE)]
@@ -87,14 +95,29 @@ def layout_paper(title: str, sections: list[tuple[str, str]],
             else:
                 pages[-1].append(_line(BODY_SIZE, MARGIN_X, y, ln + sep))
             y -= BODY_LEAD
+        if header_footer and si == 0:
+            # one running-head copy leaked into the body flow: only the
+            # repeated-garbage Counter can remove it (it is outside the
+            # edge bands)
+            pages[-1].append(_line(BODY_SIZE, MARGIN_X, y, running_head))
+            y -= BODY_LEAD
         y -= HEAD_GAP
+    if header_footer:
+        for pn, p in enumerate(pages, start=1):
+            # running head twice in the top band (top 4 / 18 of 792),
+            # folio once in the bottom band (bottom 776 of 792)
+            p.insert(0, _line(8, MARGIN_X, 780, running_head))
+            p.insert(1, _line(8, MARGIN_X, 766, running_head))
+            p.append(_line(8, PAGE_W / 2, 16, f"Page {pn}"))
     return ["".join(p) for p in pages]
 
 
 def build_pdf(title: str, sections: list[tuple[str, str]],
-              fragment: bool = False, hidden: bool = False) -> bytes:
+              fragment: bool = False, hidden: bool = False,
+              header_footer: bool = False) -> bytes:
     """Assemble a complete PDF document (xref table included)."""
-    return _assemble(layout_paper(title, sections, fragment, hidden))
+    return _assemble(layout_paper(title, sections, fragment, hidden,
+                                  header_footer))
 
 
 def _assemble(streams: list[str]) -> bytes:

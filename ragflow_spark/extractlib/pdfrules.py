@@ -139,6 +139,61 @@ def naive_vertical_merge(boxes: list[dict], mh: list[float],
     return bxs
 
 
+def layout_keep_rules(boxes: list[dict],
+                      page_heights: list[float] | None = None,
+                      drop: bool = True,
+                      band: float = 0.05) -> list[dict]:
+    """Header/footer drop + repeated-garbage Counter
+    (layout_recognizer.py:103-157).
+
+    The ONNX layout model's header/footer region proposals are a model
+    seam; the deterministic stand-in tags a box header/footer when it
+    sits in the page's top/bottom 5% edge band (running heads/folios
+    live there; body text at normal margins cannot).  The reference's
+    keep feats then apply verbatim — a "footer" whose bottom is above
+    90% of the page, or a "header" whose top is below 10%, survives
+    (guards against region overreach; with the precise 5% band they are
+    provably inactive in this pipeline, kept for parity and unit-tested
+    with synthetic regions).  Texts dropped more than once anywhere are
+    then dropped everywhere (the repeated-garbage Counter at :151-157 —
+    this is what removes a running head that also leaked into the body
+    flow)."""
+    from collections import Counter
+
+    ph_list = page_heights or []
+
+    def page_h(p: int) -> float:
+        return ph_list[p - 1] if 0 <= p - 1 < len(ph_list) else PAGE_H
+
+    garbages: list[str] = []
+    out: list[dict] = []
+    for b in boxes:
+        pn = b["page_number"]
+        ph = page_h(pn)
+        cum = sum(page_h(p) for p in range(1, pn))
+        rel_top = b["top"] - cum
+        rel_bottom = b["bottom"] - cum
+        region = None
+        if rel_top < band * ph:
+            region = "header"
+        elif rel_bottom > (1.0 - band) * ph:
+            region = "footer"
+        if region and drop:
+            keep_feats = [
+                region == "footer" and rel_bottom < ph * 0.9,
+                region == "header" and rel_top > ph * 0.1,
+            ]
+            if not any(keep_feats):
+                garbages.append(b["text"].strip())
+                continue
+        out.append(b)
+    counts = Counter(garbages)
+    garbage_set = {t for t, c in counts.items() if c > 1}
+    if not garbage_set:
+        return out
+    return [b for b in out if b["text"].strip() not in garbage_set]
+
+
 def text_merge(boxes: list[dict], mh: list[float]) -> list[dict]:
     """Horizontal merge of adjacent same-layout boxes BEFORE any vertical
     merging (pdf_parser.py:365-397 live semantics: everything after the
@@ -339,6 +394,7 @@ def pdf_to_sections(blob: bytes,
             return pdf_to_sections_two_col(blob)
         merge = "vertical"
     n_pages = total_page_number(blob)
+    boxes = layout_keep_rules(boxes)
     boxes = tag_layouts(boxes)
     mh = mean_heights(boxes, n_pages)
     # horizontal fragment merge always precedes the vertical pass
@@ -765,6 +821,7 @@ def pdf_to_sections_two_col(blob: bytes) -> list[tuple[str, str]]:
     if not boxes:
         return []
     n_pages = total_page_number(blob)
+    boxes = layout_keep_rules(boxes)
     boxes = tag_layouts_columns(boxes)
     mh = mean_heights(boxes, n_pages)
     boxes = text_merge(boxes, mh)

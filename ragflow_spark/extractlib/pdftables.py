@@ -32,6 +32,7 @@ from .pdfrules import (
     mean_heights,
     naive_vertical_merge,
     filter_forpages,
+    layout_keep_rules,
     line_tag,
     sort_y_firstly,
     text_merge,
@@ -233,6 +234,7 @@ def pdf_to_sections_tables(blob: bytes, return_html: bool = False,
     if not boxes:
         return [], [], []
     n_pages = total_page_number(blob)
+    boxes = layout_keep_rules(boxes)
     boxes = tag_layouts_with_tables(boxes)
     mh = mean_heights(boxes, n_pages)
     boxes = text_merge(boxes, mh)

@@ -33,7 +33,23 @@ def str_q2b(s: str) -> str:
 
 
 def tokenize(text: str) -> str:
-    """Space-joined token string (the content_ltks surface)."""
+    """Space-joined token string (the content_ltks surface).
+
+    Delegates to the full huqie machinery (extractlib/huqie.py):
+    bidirectional trie matching + DFS re-segmentation over the embedded
+    mini-dictionary for CJK runs, Porter-stemmed English — the
+    rag_tokenizer.tokenize surface (rag_tokenizer.py:291-360) with the
+    documented resource divergences (vocabulary-limited dictionary, no
+    WordNet lemmatizer, no tradi2simp fold)."""
+    from .huqie import tokenize as _huqie_tokenize
+
+    return _huqie_tokenize(text)
+
+
+def tokenize_lite(text: str) -> str:
+    """The round-1 trie-less fallback (per-char CJK, unstemmed
+    English) — kept for callers that need a dictionary-independent
+    token count surface."""
     t = str_q2b(text).lower()
     tokens: list[str] = []
     for run in re.findall(r"[0-9a-z]+|[一-鿿]+", t):

@@ -1,0 +1,85 @@
+"""Trie machinery (huqie.py) + Porter stemmer unit coverage."""
+
+import pytest
+
+from ragflow_spark.extractlib.huqie import (
+    HuqieTokenizer,
+    default_tokenizer,
+    fine_grained_tokenize,
+    tokenize,
+)
+from ragflow_spark.extractlib.porter import stem
+
+
+def test_porter_published_vectors():
+    cases = {
+        "caresses": "caress", "ponies": "poni", "cats": "cat",
+        "feed": "feed", "agreed": "agre", "plastered": "plaster",
+        "motoring": "motor", "hopping": "hop", "falling": "fall",
+        "filing": "file", "happy": "happi", "sky": "sky",
+        "relational": "relat", "conditional": "condit",
+        "adjustable": "adjust", "replacement": "replac",
+        "adoption": "adopt", "activate": "activ",
+        "effective": "effect", "goodness": "good",
+        "controll": "control", "roll": "roll",
+        "table": "tabl", "value": "valu", "merge": "merg",
+        "query": "queri", "customer": "custom",
+    }
+    for w, expected in cases.items():
+        assert stem(w) == expected, w
+
+
+def test_dict_load_log_fold():
+    tk = default_tokenizer()
+    # freq round-trips through int(log(f/1e6)+.5) -> exp fold
+    assert tk.freq("数据") > 0
+    assert tk.freq("不存在词") == 0
+    assert tk.tag("数据") == "n"
+
+
+def test_max_forward_backward_disagree():
+    tk = default_tokenizer()
+    fw, _ = tk._max_forward("研究生命起源")
+    bw, _ = tk._max_backward("研究生命起源")
+    assert fw == ["研究生", "命", "起源"]
+    assert bw == ["研究", "生命", "起源"]
+    # DFS reconciliation resolves to the linguistically right split
+    assert tokenize("研究生命起源") == "研究 生命 起源"
+
+
+def test_trie_segmentation_cases():
+    assert tokenize("中华人民共和国数据分析") == "中华人民共和国 数据 分析"
+    assert tokenize("数据分析管道") == "数据 分析 管道"
+    assert tokenize("自然语言处理模型") == "自然语言 处理 模型"
+    # out-of-vocabulary char passes through as a single token
+    assert tokenize("数据库与文档提取") == "数据库 与 文档 提取"
+
+
+def test_english_path_stems():
+    assert tokenize("the fast query merged tables") == \
+        "the fast queri merg tabl"
+    assert tokenize("Document 7") == "document 7"
+
+
+def test_fine_grained_second_best():
+    assert fine_grained_tokenize("中华人民共和国") == "中华 人民 共和国"
+    assert fine_grained_tokenize("数据库") == "数据 库"
+    # short tokens and numbers pass through
+    assert fine_grained_tokenize("数据 12.5") == "数据 12.5"
+
+
+def test_fine_grained_mostly_english_slash_split():
+    assert fine_grained_tokenize("a/b data") == "a b data"
+
+
+def test_user_dict_seam():
+    tk = HuqieTokenizer("深度学习 4000 n\n深度 2500 n\n学习 6000 v\n")
+    assert tk.tokenize("深度学习") == "深度学习"
+    assert tk.fine_grained_tokenize("深度学习") == "深度 学习"
+
+
+def test_dfs_prune_bound():
+    tk = default_tokenizer()
+    out: list = []
+    tk.dfs("数据" * 30, 0, [], out)
+    assert len(out) <= 2048

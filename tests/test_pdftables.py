@@ -138,6 +138,54 @@ def test_source_note_lines_dropped():
     assert all("来源" not in r for t in tables for r in t)
 
 
+def test_header_footer_dropped_byte_identical():
+    plain = extract_pdf_text(build_pdf("Paper 7", SECS))
+    hf = extract_pdf_text(build_pdf("Paper 7", SECS, header_footer=True))
+    assert hf == plain
+    assert b"preprint" in build_pdf("Paper 7", SECS, header_footer=True)
+
+
+def test_layout_keep_rules_drop_and_counter():
+    from ragflow_spark.extractlib.pdfrules import layout_keep_rules
+
+    def box(text, top, bottom, pn=1):
+        return {"text": text, "x0": 72, "x1": 172, "top": top,
+                "bottom": bottom, "page_number": pn}
+
+    boxes = [
+        box("Running Head", 5, 13),          # header band -> dropped
+        box("Running Head", 20, 28),         # header band -> dropped
+        box("Body line", 300, 310),
+        box("Running Head", 400, 410),       # body, Counter-dropped
+        box("Page 1", 770, 778),             # footer band -> dropped
+    ]
+    out = layout_keep_rules(boxes)
+    assert [b["text"] for b in out] == ["Body line"]
+
+
+def test_layout_keep_rules_keep_feats():
+    """Reference keep feats (layout_recognizer.py:113-118): a 'header'
+    region box whose top is below 10% of the page survives, a 'footer'
+    region box whose bottom is above 90% survives. Exercised with a
+    wider detection band (the model-overreach scenario)."""
+    from ragflow_spark.extractlib.pdfrules import layout_keep_rules
+
+    boxes = [
+        # 11% of 792 = 87.1 -> inside a 12% band, but top > 10% -> keep
+        {"text": "kept head", "x0": 0, "x1": 10, "top": 88,
+         "bottom": 98, "page_number": 1},
+        # bottom 705 < 90% of 792 (712.8) but inside 12% footer band
+        # (top >= 697) -> keep
+        {"text": "kept foot", "x0": 0, "x1": 10, "top": 699,
+         "bottom": 705, "page_number": 1},
+        # genuinely at the edge -> dropped even with the wide band
+        {"text": "dropped", "x0": 0, "x1": 10, "top": 2,
+         "bottom": 10, "page_number": 1},
+    ]
+    out = layout_keep_rules(boxes, band=0.12)
+    assert [b["text"] for b in out] == ["kept head", "kept foot"]
+
+
 def test_empty_and_garbage_blobs():
     assert pdf_to_sections_tables(b"") == ([], [], [])
     assert pdf_to_sections_tables(b"%PDF-1.4 garbage") == ([], [], [])
