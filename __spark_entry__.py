@@ -583,6 +583,28 @@ def _q_tokenize_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
         gen, schema="doc_id long, title_tks string, content_ltks string")
 
 
+def _q_chunks_docx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DOCX path: from-scratch WordprocessingML parse (paragraph runs +
+    style names via styles.xml) and compose_table_content rendering
+    (dominant-type vote, 'header: value' lines, <=3-column collapse) —
+    deepdoc/parser/docx_parser.py parity."""
+    from ragflow_spark.corpus.gen import build_docx_pages
+    from ragflow_spark.job.extract import chunk_office
+
+    return chunk_office(build_docx_pages(spark, sf_dir))
+
+
+def _q_chunks_xlsx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """XLSX path: from-scratch SpreadsheetML parse (workbook rels,
+    inline strings, numeric cells) and the 'header：value; ...' row
+    renderer with the non-default sheet-name suffix —
+    deepdoc/parser/excel_parser.py parity."""
+    from ragflow_spark.corpus.gen import build_xlsx_pages
+    from ragflow_spark.job.extract import chunk_office
+
+    return chunk_office(build_xlsx_pages(spark, sf_dir))
+
+
 def _q_tokenize_huqie(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Trie machinery surface (huqie.py): bidirectional max-match + DFS
     reconciliation + fine-grained second-best re-segmentation over the
@@ -710,6 +732,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "chunks_manual": _q_chunks_manual,
         "tokenize_docs": _q_tokenize_docs,
         "tokenize_huqie": _q_tokenize_huqie,
+        "chunks_docx": _q_chunks_docx,
+        "chunks_xlsx": _q_chunks_xlsx,
         "events_rollup": _q_events_rollup,
         "events_props": _q_events_props,
         "chunks_txt": _q_chunks_txt,
@@ -1048,6 +1072,57 @@ SELECT url, title,
                 paras[i + 1]), chr(10)) AS extracted_text,
        1 + 2 * np AS n_sections
 FROM base
+"""
+
+    # office corpora (/docx/, /xlsx/): same derivations as the PDF
+    # families; table cells per corpus.gen.pdft_table_rows
+    _docx_base = _PDF_BASE_SQL.replace("/pdf/", "/docx/")
+    _docx_items = """
+FROM (SELECT url, unnest(list_transform(paras,
+          (p, i) -> {'p': p, 'i': i})) AS item FROM base)
+"""
+    chunks_docx_sql = _docx_base + """
+SELECT url, 0 AS seq, 'para' AS kind, title AS text FROM base
+UNION ALL
+SELECT url, CAST(2 * item.i - 1 AS INT) AS seq, 'para' AS kind,
+       item.i || ' Part ' || item.i AS text
+""" + _docx_items + """
+UNION ALL
+SELECT url, CAST(2 * item.i AS INT) AS seq, 'para' AS kind,
+       item.p AS text
+""" + _docx_items + """
+UNION ALL
+SELECT url, 0 AS seq, 'table' AS kind,
+       array_to_string(list_transform(range(1, 4 + doc_id % 4), i ->
+           'metric: ' || ((doc_id * 7 + i) % 1000) ||
+           ';value: ' || ((doc_id * 13 + i * i) % 1000) ||
+           ';delta: ' || ((doc_id + i * 31) % 100)), chr(10)) AS text
+FROM base WHERE doc_id % 2 = 0
+UNION ALL
+SELECT url, CAST(i - 1 AS INT) AS seq, 'table' AS kind,
+       'metric: ' || ((doc_id * 7 + i) % 1000) ||
+       ';value: ' || ((doc_id * 13 + i * i) % 1000) ||
+       ';delta: ' || ((doc_id + i * 31) % 100) ||
+       ';code: A' || i AS text
+FROM (SELECT url, doc_id, unnest(range(1, 4 + doc_id % 4)) AS i
+      FROM base WHERE doc_id % 2 = 1)
+"""
+
+    # quirk mirrored: the reference skips FALSY cells ('if not
+    # c.value', excel_parser.py:114) — a 0 cell drops its field
+    chunks_xlsx_sql = _PDF_BASE_SQL.replace("/pdf/", "/xlsx/") + """
+SELECT url, CAST(i - 1 AS INT) AS seq, 'row' AS kind,
+       array_to_string(list_filter([
+           CASE WHEN (doc_id * 7 + i) % 1000 <> 0
+                THEN 'metric：' || ((doc_id * 7 + i) % 1000) END,
+           CASE WHEN (doc_id * 13 + i * i) % 1000 <> 0
+                THEN 'value：' || ((doc_id * 13 + i * i) % 1000) END,
+           CASE WHEN (doc_id + i * 31) % 100 <> 0
+                THEN 'delta：' || ((doc_id + i * 31) % 100) END
+       ], x -> x IS NOT NULL), '; ') ||
+       CASE WHEN doc_id % 2 = 0 THEN ' ——metrics' ELSE '' END AS text
+FROM (SELECT url, doc_id, unnest(range(1, 4 + doc_id % 4)) AS i
+      FROM base)
 """
 
     # multimodal stubs (operators/multimodal.py): payload byte i is
@@ -1431,6 +1506,8 @@ FROM documents
         "chunks_manual": chunks_manual_sql,
         "tokenize_docs": tokenize_docs_sql,
         "tokenize_huqie": tokenize_huqie_sql,
+        "chunks_docx": chunks_docx_sql,
+        "chunks_xlsx": chunks_xlsx_sql,
         "media_features": media_features_sql,
         "frame_sample": frame_sample_sql,
         "audio_features": audio_features_sql,

@@ -366,6 +366,44 @@ def pdft_table_rows(did: int) -> list[list[str]]:
             for i in range(1, 4 + did % 4)]
 
 
+def build_docx_pages(spark, sf_dir: str, replicate: int = 1,
+                     partitions: int | None = None) -> DataFrame:
+    """DOCX corpus: title (Heading1), per-paragraph heading (Heading2) +
+    body (Normal), then one data table — 3 columns for even doc_ids
+    (exercises the <=3-column single-chunk collapse) and 4 columns with
+    a Ca-typed code column for odd ones (separate line per row)."""
+    def build(did, title, sections):
+        from ragflow_spark.extractlib.officegen import build_docx
+        paras = [(title, "Heading1")]
+        for head, body in sections:
+            paras.append((head, "Heading2"))
+            paras.append((body, None))
+        rows = pdft_table_rows(did)
+        if did % 2 == 1:
+            headers = ["metric", "value", "delta", "code"]
+            rows = [r + [f"A{i + 1}"] for i, r in enumerate(rows)]
+        else:
+            headers = ["metric", "value", "delta"]
+        return build_docx(paras, [[headers] + rows])
+    return _build_pdf_family(spark, sf_dir, "docx", build, replicate,
+                             partitions)
+
+
+def build_xlsx_pages(spark, sf_dir: str, replicate: int = 1,
+                     partitions: int | None = None) -> DataFrame:
+    """XLSX corpus: one sheet of numeric metric rows — named 'metrics'
+    for even doc_ids (exercises the ' ——{sheet}' suffix) and default
+    'Sheet1' for odd ones."""
+    def build(did, title, sections):
+        from ragflow_spark.extractlib.officegen import build_xlsx
+        rows = [[int(c) for c in r] for r in pdft_table_rows(did)]
+        name = "metrics" if did % 2 == 0 else "Sheet1"
+        return build_xlsx(
+            [(name, [["metric", "value", "delta"]] + rows)])
+    return _build_pdf_family(spark, sf_dir, "xlsx", build, replicate,
+                             partitions)
+
+
 def build_pdft_pages(spark, sf_dir: str, replicate: int = 1,
                      partitions: int | None = None) -> DataFrame:
     """Table-bearing corpus: body sections as build_pdf_pages, then a

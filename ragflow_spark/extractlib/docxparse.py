@@ -1,0 +1,192 @@
+"""DOCX parsing from scratch (stdlib zipfile + ElementTree).
+
+Behavioral re-expression of RAGFlowDocxParser
+(/root/reference/deepdoc/parser/docx_parser.py:26-146): paragraphs come
+back as (text, style-name) pairs in document order, tables render
+through ``__compose_table_content`` — dominant-cell-type vote, numeric
+header-row detection, "header: value" cell lines, and the <=3-column
+single-chunk collapse. The reference reads through python-docx; a .docx
+is a zip of WordprocessingML parts, so the stdlib covers it: paragraph
+text is the concatenation of its w:t runs, the style NAME resolves
+through word/styles.xml (styleId -> w:name), and page counting uses the
+w:lastRenderedPageBreak markers exactly as docx_parser.py:131-139.
+
+blockType here reuses tablerules.block_type (same pattern table) plus
+the reference's tokenizer fallbacks through huqie (Tx/Lx by token
+count, Nr by the name-entity tag — docx_parser.py:36-62).
+"""
+
+from __future__ import annotations
+
+import io
+import re
+import zipfile
+from collections import Counter
+from xml.etree import ElementTree
+
+W_NS = ("http://schemas.openxmlformats.org/wordprocessingml/2006/main")
+
+
+def _w(tag: str) -> str:
+    return f"{{{W_NS}}}{tag}"
+
+
+def _style_names(zf: zipfile.ZipFile) -> dict[str, str]:
+    """word/styles.xml: styleId -> display name ('Heading1' -> 'heading
+    1'; python-docx exposes the latter via p.style.name)."""
+    try:
+        root = ElementTree.fromstring(zf.read("word/styles.xml"))
+    except (KeyError, ElementTree.ParseError):
+        return {}
+    out = {}
+    for st in root.iter(_w("style")):
+        sid = st.get(_w("styleId"))
+        nm = st.find(_w("name"))
+        if sid and nm is not None:
+            out[sid] = nm.get(_w("val"), sid)
+    return out
+
+
+def _para_text(p) -> str:
+    return "".join(t.text or "" for t in p.iter(_w("t")))
+
+
+def _para_style(p, styles: dict[str, str]) -> str:
+    ppr = p.find(_w("pPr"))
+    if ppr is not None:
+        ps = ppr.find(_w("pStyle"))
+        if ps is not None:
+            sid = ps.get(_w("val"), "")
+            return styles.get(sid, sid)
+    return "Normal"
+
+
+def _block_type(text: str) -> str:
+    """docx_parser.py:36-62: the TSR pattern table (via
+    tablerules._BLOCK_PATTERNS) + tokenizer fallbacks."""
+    from .huqie import default_tokenizer
+    from .tablerules import _BLOCK_PATTERNS
+
+    for pattern, label in _BLOCK_PATTERNS:
+        if re.search(pattern, text):
+            return label
+    tk = default_tokenizer()
+    tks = [t for t in tk.tokenize(text).split() if len(t) > 1]
+    if len(tks) > 3:
+        return "Tx" if len(tks) < 12 else "Lx"
+    if len(tks) == 1 and tk.tag(tks[0]) == "nr":
+        return "Nr"
+    return "Ot"
+
+
+def compose_table_content(rows: list[list[str]]) -> list[str]:
+    """docx_parser.py:64-118 (pandas-free re-expression over row
+    lists): row 0 is the base header; when numbers dominate, any
+    non-numeric row becomes an additional header row; data cells render
+    'header: value' joined by ';'; tables of <= 3 columns collapse to
+    one newline-joined chunk."""
+    if len(rows) < 2:
+        return []
+    type_counts = Counter(_block_type(str(c))
+                          for row in rows[1:] for c in row)
+    max_type = max(type_counts.items(), key=lambda x: x[1])[0] \
+        if type_counts else ""
+
+    colnm = len(rows[0])
+    hdrows = [0]
+    if max_type == "Nu":
+        for r in range(1, len(rows)):
+            tys = Counter(_block_type(str(c)) for c in rows[r])
+            ty = max(tys.items(), key=lambda x: x[1])[0]
+            if ty != max_type:
+                hdrows.append(r)
+
+    lines = []
+    for i in range(1, len(rows)):
+        if i in hdrows:
+            continue
+        hr = [r - i for r in hdrows]
+        hr = [r for r in hr if r < 0]
+        t = len(hr) - 1
+        while t > 0:
+            if hr[t] - hr[t - 1] > 1:
+                hr = hr[t:]
+                break
+            t -= 1
+        headers = []
+        for j in range(len(rows[i])):
+            seen: list[str] = []
+            for h in hr:
+                x = str(rows[i + h][j]).strip() \
+                    if j < len(rows[i + h]) else ""
+                if x in seen:
+                    continue
+                seen.append(x)
+            joined = ",".join(seen)
+            if joined:
+                joined += ": "
+            headers.append(joined)
+        cells = []
+        for j in range(len(rows[i])):
+            if not str(rows[i][j]):
+                continue
+            cells.append(headers[j] + str(rows[i][j]))
+        lines.append(";".join(cells))
+
+    if colnm > 3:
+        return lines
+    return ["\n".join(lines)]
+
+
+def parse_docx(blob: bytes, from_page: int = 0,
+               to_page: int = 100000000):
+    """bytes -> (secs, tbls): (text, style) paragraph pairs within the
+    page window + composed table line lists (docx_parser.py:120-146).
+    Malformed input degrades to ([], [])."""
+    try:
+        zf = zipfile.ZipFile(io.BytesIO(blob))
+        root = ElementTree.fromstring(zf.read("word/document.xml"))
+    except (zipfile.BadZipFile, KeyError, ElementTree.ParseError):
+        return [], []
+    styles = _style_names(zf)
+    body = root.find(_w("body"))
+    if body is None:
+        return [], []
+
+    secs: list[tuple[str, str]] = []
+    tbls: list[list[str]] = []
+    pn = 0
+    for el in body:
+        if el.tag == _w("p"):
+            if pn > to_page:
+                break
+            runs: list[str] = []
+            text_all = _para_text(el)
+            for r in el.iter(_w("r")):
+                if pn > to_page:
+                    break
+                if from_page <= pn < to_page and text_all.strip():
+                    runs.append("".join(t.text or ""
+                                        for t in r.iter(_w("t"))))
+                if r.find(_w("lastRenderedPageBreak")) is not None:
+                    pn += 1
+            secs.append(("".join(runs), _para_style(el, styles)))
+        elif el.tag == _w("tbl"):
+            rows = []
+            for tr in el.iter(_w("tr")):
+                # cell text: paragraphs joined by newline (python-docx
+                # cell.text semantics)
+                rows.append(["\n".join(_para_text(p)
+                                       for p in tc.iter(_w("p")))
+                             for tc in tr.findall(_w("tc"))])
+            tbls.append(compose_table_content(rows))
+    return secs, tbls
+
+
+def docx_sections(blob: bytes) -> tuple[list[str], list[str]]:
+    """Flat surface for the extraction job: non-empty paragraph texts
+    and flattened table lines."""
+    secs, tbls = parse_docx(blob)
+    texts = [t for t, _s in secs if t.strip()]
+    lines = [ln for tb in tbls for ln in tb if ln]
+    return texts, lines

@@ -128,6 +128,49 @@ def extract_pdf_tables(pages: DataFrame, html: bool = False) -> DataFrame:
     )
 
 
+OFFICE_SCHEMA = "url string, seq int, kind string, text string"
+
+
+def _office_batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    from ragflow_spark.extractlib.docxparse import docx_sections
+    from ragflow_spark.extractlib.officegen import sniff_office
+    from ragflow_spark.extractlib.xlsxparse import xlsx_rows
+
+    for pdf in it:
+        rows: dict[str, list] = {"url": [], "seq": [], "kind": [],
+                                 "text": []}
+
+        def emit(url, seq, kind, text):
+            rows["url"].append(url)
+            rows["seq"].append(seq)
+            rows["kind"].append(kind)
+            rows["text"].append(text)
+
+        for url, blob in zip(pdf["url"], pdf["html"]):
+            blob = bytes(blob)
+            kind = sniff_office(blob)
+            if kind == "docx":
+                texts, lines = docx_sections(blob)
+                for i, t in enumerate(texts):
+                    emit(url, i, "para", t)
+                for i, ln in enumerate(lines):
+                    emit(url, i, "table", ln)
+            elif kind == "xlsx":
+                for i, ln in enumerate(xlsx_rows(blob)):
+                    emit(url, i, "row", ln)
+        yield pd.DataFrame(rows)
+
+
+def chunk_office(pages: DataFrame) -> DataFrame:
+    """pages with DOCX/XLSX byte payloads -> flat content rows
+    (paragraphs + composed table lines / sheet row lines). Magic-byte
+    dispatch replaces the reference's filename-extension dispatch
+    (rag/app/naive.py:335-464), same map-only plan as extract_pages."""
+    return pages.select("url", "html").mapInPandas(
+        _office_batches, schema=OFFICE_SCHEMA
+    )
+
+
 def _chunk_batches_factory(template: str):
     def chunk_batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         from ragflow_spark.extractlib import templates as T

@@ -1,0 +1,111 @@
+"""DOCX/XLSX writers + from-scratch parsers (officegen / docxparse /
+xlsxparse) — behavior pinned to deepdoc/parser/{docx,excel}_parser.py."""
+
+from ragflow_spark.extractlib.docxparse import (compose_table_content,
+                                                docx_sections, parse_docx)
+from ragflow_spark.extractlib.officegen import (build_docx, build_xlsx,
+                                                sniff_office)
+from ragflow_spark.extractlib.xlsxparse import (load_sheets, xlsx_html,
+                                                xlsx_rows,
+                                                xlsx_row_number)
+
+PARAS = [("Paper 7", "Heading1"), ("1 Part 1", "Heading2"),
+         ("alpha beta gamma", None)]
+T3 = [["metric", "value", "delta"], ["50", "92", "38"],
+      ["51", "95", "69"]]
+T4 = [["metric", "value", "delta", "code"],
+      ["50", "92", "38", "A1"], ["51", "95", "69", "A2"]]
+
+
+def test_sniff():
+    assert sniff_office(build_docx(PARAS)) == "docx"
+    assert sniff_office(build_xlsx([("S", [[1]])])) == "xlsx"
+    assert sniff_office(b"%PDF-") is None
+    assert sniff_office(b"PK\x03\x04garbage") is None
+
+
+def test_docx_roundtrip_styles():
+    secs, _ = parse_docx(build_docx(PARAS))
+    assert secs == [("Paper 7", "heading 1"), ("1 Part 1", "heading 2"),
+                    ("alpha beta gamma", "Normal")]
+
+
+def test_compose_table_3col_collapses():
+    out = compose_table_content(T3)
+    assert out == ["metric: 50;value: 92;delta: 38\n"
+                   "metric: 51;value: 95;delta: 69"]
+
+
+def test_compose_table_4col_line_per_row():
+    out = compose_table_content(T4)
+    assert out == ["metric: 50;value: 92;delta: 38;code: A1",
+                   "metric: 51;value: 95;delta: 69;code: A2"]
+
+
+def test_compose_table_numeric_header_promotion():
+    # a non-numeric mid-table row becomes an extra header row when
+    # numbers dominate; only the nearest CONSECUTIVE header run applies
+    # to a data row (docx_parser.py:76-96)
+    rows = [["a", "b", "c", "d"], ["1", "2", "3", "4"],
+            ["x", "y", "z", "w"], ["5", "6", "7", "8"]]
+    out = compose_table_content(rows)
+    assert out == ["a: 1;b: 2;c: 3;d: 4",
+                   "x: 5;y: 6;z: 7;w: 8"]
+
+
+def test_compose_table_adjacent_headers_concatenate():
+    # two adjacent header rows join comma-separated per column
+    rows = [["aa", "bb", "cc", "dd"], ["xx", "yy", "zz", "ww"],
+            ["1", "2", "3", "4"], ["5", "6", "7", "8"]]
+    out = compose_table_content(rows)
+    assert out == ["aa,xx: 1;bb,yy: 2;cc,zz: 3;dd,ww: 4",
+                   "aa,xx: 5;bb,yy: 6;cc,zz: 7;dd,ww: 8"]
+
+
+def test_compose_table_single_row_empty():
+    assert compose_table_content([["only"]]) == []
+
+
+def test_docx_sections_flat():
+    texts, lines = docx_sections(build_docx(PARAS, [T3]))
+    assert texts == ["Paper 7", "1 Part 1", "alpha beta gamma"]
+    assert len(lines) == 1
+
+
+def test_xlsx_rows_and_suffix():
+    blob = build_xlsx([("metrics", [["m", "v"], [1, 2]]),
+                       ("Sheet1", [["a"], [9]])])
+    assert xlsx_rows(blob) == ["m：1; v：2 ——metrics", "a：9"]
+    assert xlsx_row_number(blob) == 4
+
+
+def test_xlsx_zero_cell_skipped():
+    blob = build_xlsx([("Sheet1", [["m", "v"], [0, 5]])])
+    assert xlsx_rows(blob) == ["v：5"]
+
+
+def test_xlsx_none_cells_html():
+    blob = build_xlsx([("Sheet1", [["m", "v"], [1, None]])])
+    html = xlsx_html(blob)[0]
+    assert "<td>1</td><td></td>" in html
+    assert html.startswith("<table><caption>Sheet1</caption>"
+                           "<tr><th>m</th><th>v</th></tr>")
+
+
+def test_xlsx_html_chunking():
+    rows = [["h"]] + [[i] for i in range(5)]
+    blob = build_xlsx([("Sheet1", rows)])
+    chunks = xlsx_html(blob, chunk_rows=2)
+    assert len(chunks) == 3
+    assert all(c.count("<th>h</th>") == 1 for c in chunks)
+
+
+def test_csv_fallback():
+    assert xlsx_rows(b"name,qty\nalpha,3\nbeta,5") == \
+        ["name：alpha; qty：3 ——Data", "name：beta; qty：5 ——Data"]
+
+
+def test_malformed_inputs():
+    assert parse_docx(b"") == ([], [])
+    assert parse_docx(b"PK\x03\x04junk") == ([], [])
+    assert load_sheets(b"PK\x03\x04junk") == []

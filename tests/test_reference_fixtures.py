@@ -82,6 +82,30 @@ def test_md_fixture():
     assert _h(secs) == GOLD["test.md"]["md_sections"]
 
 
+def test_docx_fixture():
+    from ragflow_spark.extractlib.docxparse import parse_docx
+
+    secs, tbls = parse_docx(_blob("test.docx"))
+    g = GOLD["test.docx"]
+    assert len(secs) == g["n_paras"] and len(tbls) == g["n_tables"]
+    assert secs[0] == (g["first_para"], g["first_style"])
+    assert _h([list(s) for s in secs]) == g["secs"]
+    assert _h(tbls) == g["tbls"]
+
+
+def test_xlsx_fixture():
+    from ragflow_spark.extractlib.xlsxparse import (xlsx_html, xlsx_rows,
+                                                    xlsx_row_number)
+
+    blob = _blob("test.xlsx")
+    rows = xlsx_rows(blob)
+    g = GOLD["test.xlsx"]
+    assert len(rows) == g["n_rows"]
+    assert xlsx_row_number(blob) == g["row_number"]
+    assert _h(rows) == g["rows"]
+    assert _h(xlsx_html(blob)) == g["html"]
+
+
 def test_pdf_fixture_real_world_streams():
     """Flate streams, indirect /Length, ToUnicode CMaps, hex TJ arrays,
     q/Q + rg color state — the full real-world content-stream path."""
