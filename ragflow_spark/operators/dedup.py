@@ -75,19 +75,55 @@ def _shingle_sets(corpus: DataFrame, n: int) -> DataFrame:
     )
 
 
-def _verify_jaccard(cand: DataFrame, sh: DataFrame,
+def _verify_jaccard(cand: DataFrame, corpus: DataFrame, n_gram: int,
                     threshold: float) -> DataFrame:
-    """Exact Jaccard over candidate (doc_a, doc_b) pairs."""
-    a = sh.select(F.col("doc_id").alias("doc_a"),
-                  F.col("shingles").alias("sh_a"))
-    b = sh.select(F.col("doc_id").alias("doc_b"),
-                  F.col("shingles").alias("sh_b"))
-    inter = F.size(F.array_intersect("sh_a", "sh_b"))
-    union = F.size(F.array_union("sh_a", "sh_b"))
-    jac = inter / union.cast("double")
+    """Exact Jaccard over candidate (doc_a, doc_b) pairs.
+
+    Scale shape: the pair join carries raw TEXT (a factor n_gram
+    smaller than the materialized shingle-set arrays the round-1
+    version shuffled), the candidate list is small enough that AQE
+    broadcasts it (then the corpus side never shuffles — the inner
+    join prunes it to candidate docs during the scan), and the set
+    algebra runs in an Arrow batch with a per-batch shingle memo
+    instead of a JVM array_intersect over shuffled arrays."""
+    import pandas as pd
+
+    texts = corpus.select("doc_id", "text")
+    a = texts.select(F.col("doc_id").alias("doc_a"),
+                     F.col("text").alias("text_a"))
+    b = texts.select(F.col("doc_id").alias("doc_b"),
+                     F.col("text").alias("text_b"))
+    paired = cand.join(a, "doc_a").join(b, "doc_b")
+
+    def gen(it):
+        memo: dict[int, set] = {}
+
+        def sset(did: int, text: str) -> set:
+            s = memo.get(did)
+            if s is None:
+                w = text.split(" ")
+                s = {" ".join(w[i:i + n_gram])
+                     for i in range(len(w) - n_gram + 1)}
+                memo[did] = s
+            return s
+
+        for pdf in it:
+            da, db, jac = [], [], []
+            for doc_a, doc_b, ta, tb in zip(
+                    pdf["doc_a"], pdf["doc_b"],
+                    pdf["text_a"], pdf["text_b"]):
+                sa, sb = sset(int(doc_a), ta), sset(int(doc_b), tb)
+                inter = len(sa & sb)
+                j = inter / (len(sa) + len(sb) - inter)
+                da.append(doc_a)
+                db.append(doc_b)
+                jac.append(round(j, 6))
+            yield pd.DataFrame({"doc_a": da, "doc_b": db,
+                                "jaccard": jac})
+
     return (
-        cand.join(a, "doc_a").join(b, "doc_b")
-        .select("doc_a", "doc_b", F.round(jac, 6).alias("jaccard"))
+        paired.mapInPandas(
+            gen, schema="doc_a long, doc_b long, jaccard double")
         .where(F.col("jaccard") >= threshold)
     )
 
@@ -160,38 +196,42 @@ def minhash_lsh_pairs(docs: DataFrame, threshold: float = 0.8,
         .where(F.col("doc_a") < F.col("doc_b"))
         .select("doc_a", "doc_b").distinct()
     )
-    sh = _shingle_sets(corpus, n_gram)
-    return _verify_jaccard(cand, sh, threshold)
+    return _verify_jaccard(cand, corpus, n_gram, threshold)
 
 
 def ngram_jaccard_pairs(docs: DataFrame, n_gram: int = 2,
                         threshold: float = 0.5) -> DataFrame:
-    """Exact n-gram Jaccard pairs via inverted shingle index.
+    """Exact n-gram Jaccard set-similarity join with a PREFIX FILTER.
 
-    |intersection| comes from counting shared shingles in a self-join on
-    the exploded index; |union| = n_a + n_b - |intersection|. At CC scale
-    the index join takes a prefix filter (only the globally rarest
-    ceil((1-t)·n)+1 shingles per doc need indexing) — noted, not needed
-    at test scale.
-    """
-    sh = _shingle_sets(with_near_dups(docs), n_gram)
-    inv = sh.select("doc_id", "n_sh",
-                    F.explode("shingles").alias("g"))
-    a = inv.select(F.col("doc_id").alias("doc_a"),
-                   F.col("n_sh").alias("na"), "g")
-    b = inv.select(F.col("doc_id").alias("doc_b"),
-                   F.col("n_sh").alias("nb"), "g")
-    inter = (
+    Lossless pruning (the PPJoin/AllPairs prefix principle): order each
+    document's shingles by a global total order (crc32 hash, then the
+    shingle itself) and index only its first
+    ``n - ceil(threshold * n) + 1`` shingles — two sets with Jaccard
+    >= t MUST share at least one prefix shingle under any common order
+    (if all prefix shingles differed, the intersection could not reach
+    the size Jaccard t requires), so no qualifying pair is lost while
+    the inverted-index join drops ~t of its postings. Survivor pairs
+    are exact-verified by re-shingling just those documents
+    (_verify_jaccard), so the output is identical to the unfiltered
+    join."""
+    corpus = with_near_dups(docs)
+    sh = _shingle_sets(corpus, n_gram)
+    pref = sh.select(
+        "doc_id",
+        F.expr(
+            "slice(array_sort(transform(shingles, g -> "
+            "struct(crc32(encode(g, 'utf-8')) AS h, g AS g))), 1, "
+            f"n_sh - CAST(ceil(n_sh * {threshold}D) AS INT) + 1)"
+        ).alias("prefix"),
+    ).select("doc_id", F.explode("prefix").alias("pg"))
+    inv = pref.select("doc_id", F.col("pg.g").alias("g"))
+    a = inv.select(F.col("doc_id").alias("doc_a"), "g")
+    b = inv.select(F.col("doc_id").alias("doc_b"), "g")
+    cand = (
         a.join(b, "g").where(F.col("doc_a") < F.col("doc_b"))
-        .groupBy("doc_a", "doc_b", "na", "nb")
-        .agg(F.count("*").alias("ix"))
+        .select("doc_a", "doc_b").distinct()
     )
-    jac = F.col("ix") / (F.col("na") + F.col("nb") - F.col("ix")).cast(
-        "double")
-    return (
-        inter.select("doc_a", "doc_b", F.round(jac, 6).alias("jaccard"))
-        .where(F.col("jaccard") >= threshold)
-    )
+    return _verify_jaccard(cand, corpus, n_gram, threshold)
 
 
 def simhash_col() -> Column:
