@@ -95,6 +95,28 @@ def main() -> None:
     run("chunks_paper", lambda: chunk_pages(pdf_pages, "paper")
         .write.format("noop").mode("overwrite").save())
 
+    # table/office paths (round 2): corpora cached outside the timing
+    from ragflow_spark.corpus.gen import (build_docx_pages,
+                                          build_pdft_pages,
+                                          build_xlsx_pages)
+    from ragflow_spark.job.extract import chunk_office, extract_pdf_tables
+
+    pdft_pages = build_pdft_pages(spark, sf_dir, replicate=max(
+        1, REPLICATE // 4), partitions=int(cpus) * 4).cache()
+    pdft_pages.count()
+    run("extract_pdf_tables", lambda: extract_pdf_tables(pdft_pages)
+        .write.format("noop").mode("overwrite").save())
+    docx_pages = build_docx_pages(spark, sf_dir, replicate=max(
+        1, REPLICATE // 4), partitions=int(cpus) * 4).cache()
+    docx_pages.count()
+    run("chunks_docx", lambda: chunk_office(docx_pages)
+        .write.format("noop").mode("overwrite").save())
+    xlsx_pages = build_xlsx_pages(spark, sf_dir, replicate=max(
+        1, REPLICATE // 4), partitions=int(cpus) * 4).cache()
+    xlsx_pages.count()
+    run("chunks_xlsx", lambda: chunk_office(xlsx_pages)
+        .write.format("noop").mode("overwrite").save())
+
     # curation operators
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").cache()
     emb.count()
