@@ -75,6 +75,25 @@ def main() -> None:
                 "overwrite").save()
 
     run("extract_html", run_extract)
+
+    # scaling-evidence mode: the north-rule metric is extraction
+    # docs/sec; the level-comparison runs time ONLY that (the other
+    # operators run at fixed corpus size anyway and would just stretch
+    # the narrow level's wall clock)
+    if os.environ.get("BENCH_SCALING"):
+        total = round(sum(timings.values()), 3)
+        sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+        print(json.dumps({
+            "metric": "pipeline_total_sec", "value": total,
+            "unit": "sec", "queries": timings,
+            "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+            "n_pages": n_pages,
+            "extract_docs_per_sec": round(
+                n_pages * repeat / timings["extract_html"], 1),
+        }))
+        spark.stop()
+        return
+
     run("chunks_naive", lambda: chunk_pages(pages, "naive")
         .write.format("noop").mode("overwrite").save())
     run("chunks_book", lambda: chunk_pages(pages, "book")
