@@ -343,6 +343,19 @@ def _q_extract_pdf_hidden(spark: SparkSession, sf_dir: str) -> DataFrame:
         "url", "title", "extracted_text", "n_sections")
 
 
+def _q_extract_pdf_chars(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Char-soup corpus through the production path: every glyph its
+    own box; the __ocr char->line merge (pdf_parser.py:296-352, model
+    seams stubbed) must reassemble lines — including the
+    space-after-alnum insertion rule — byte-identically."""
+    from ragflow_spark.corpus.gen import build_pdf_char_pages
+    from ragflow_spark.job.extract import extract_pages
+
+    pages = build_pdf_char_pages(spark, sf_dir)
+    return extract_pages(pages).select(
+        "url", "title", "extracted_text", "n_sections")
+
+
 def _q_extract_pdf_hf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Running-header/footer corpus: edge-band region drop + keep feats
     + repeated-garbage Counter (layout_recognizer.py:103-157) must
@@ -718,6 +731,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "extract_pdf_frag": _q_extract_pdf_frag,
         "extract_pdf_hidden": _q_extract_pdf_hidden,
         "extract_pdf_hf": _q_extract_pdf_hf,
+        "extract_pdf_chars": _q_extract_pdf_chars,
         "extract_pdf_tbody": _q_extract_pdf_tbody,
         "extract_pdf_tables": _q_extract_pdf_tables,
         "extract_pdf_tables_html": _q_extract_pdf_tables_html,
@@ -1492,6 +1506,7 @@ FROM documents
         "extract_pdf_frag": extract_pdf_sql.replace("/pdf/", "/pdff/"),
         "extract_pdf_hidden": extract_pdf_sql.replace("/pdf/", "/pdfh/"),
         "extract_pdf_hf": extract_pdf_sql.replace("/pdf/", "/pdfhf/"),
+        "extract_pdf_chars": extract_pdf_sql.replace("/pdf/", "/pdfc/"),
         "extract_pdf_tbody": extract_pdf_sql.replace("/pdf/", "/pdft/"),
         "extract_pdf_tables": pdf_tables_sql,
         "extract_pdf_tables_html": pdf_tables_html_sql,

@@ -344,6 +344,19 @@ def build_pdf_hidden_pages(spark, sf_dir: str, replicate: int = 1,
                              partitions)
 
 
+def build_pdf_char_pages(spark, sf_dir: str, replicate: int = 1,
+                         partitions: int | None = None) -> DataFrame:
+    """Char-soup corpus: every glyph is its own show op at its own
+    advance (the granularity a pdfplumber char dump / OCR char stream
+    has); the __ocr char->line merge must reassemble lines, after which
+    extraction output is byte-identical to build_pdf_pages."""
+    def build(did, title, sections):
+        from ragflow_spark.extractlib.pdfgen import build_pdf
+        return build_pdf(title, sections, char_level=True)
+    return _build_pdf_family(spark, sf_dir, "pdfc", build, replicate,
+                             partitions)
+
+
 def build_pdf_hf_pages(spark, sf_dir: str, replicate: int = 1,
                        partitions: int | None = None) -> DataFrame:
     """Running-header/footer corpus: every page carries a duplicated

@@ -28,6 +28,15 @@ def _line(size: int, x: float, y: float, text: str) -> str:
     return f"BT /F1 {size} Tf {x} {y} Td ({_esc(text)}) Tj ET\n"
 
 
+def _line_chars(size: int, x: float, y: float, text: str) -> str:
+    """One show op PER CHARACTER at its own advance (0.5 em steps, the
+    same metric the extractor estimates) — the char-soup granularity a
+    pdfplumber char dump or OCR char stream has; the __ocr merge must
+    reassemble lines."""
+    return "".join(_line(size, x + 0.5 * size * i, y, ch)
+                   for i, ch in enumerate(text))
+
+
 def _line_hidden(size: int, x: float, y: float, text: str) -> str:
     """White-on-white DeviceGray text (the hidden-OCR-layer trick the
     reference's _has_color filter drops, pdf_parser.py:197-203): fill
@@ -38,7 +47,8 @@ def _line_hidden(size: int, x: float, y: float, text: str) -> str:
 
 def layout_paper(title: str, sections: list[tuple[str, str]],
                  fragment: bool = False, hidden: bool = False,
-                 header_footer: bool = False):
+                 header_footer: bool = False,
+                 char_level: bool = False):
     """(title, [(heading, body)]) -> list of per-page content streams.
 
     A section = heading line + body lines (WORDS_PER_LINE words each).
@@ -59,9 +69,10 @@ def layout_paper(title: str, sections: list[tuple[str, str]],
     head embedded in the body flow (the Counter must remove it there
     too); extraction output must be byte-identical to the plain layout.
     """
+    line = _line_chars if char_level else _line
     pages: list[list[str]] = [[]]
     y = TOP_Y
-    pages[0].append(_line(TITLE_SIZE, MARGIN_X, y, title))
+    pages[0].append(line(TITLE_SIZE, MARGIN_X, y, title))
     y -= HEAD_GAP + TITLE_SIZE
     running_head = f"{title} preprint"
 
@@ -73,7 +84,7 @@ def layout_paper(title: str, sections: list[tuple[str, str]],
         if y - need < BOTTOM_Y and pages[-1]:
             pages.append([])
             y = TOP_Y
-        pages[-1].append(_line(HEAD_SIZE, MARGIN_X, y, heading))
+        pages[-1].append(line(HEAD_SIZE, MARGIN_X, y, heading))
         y -= HEAD_GAP
         if hidden:
             pages[-1].append(_line_hidden(
@@ -93,7 +104,7 @@ def layout_paper(title: str, sections: list[tuple[str, str]],
                     BODY_SIZE, MARGIN_X + 0.5 * BODY_SIZE * len(frag1),
                     y, frag2))
             else:
-                pages[-1].append(_line(BODY_SIZE, MARGIN_X, y, ln + sep))
+                pages[-1].append(line(BODY_SIZE, MARGIN_X, y, ln + sep))
             y -= BODY_LEAD
         if header_footer and si == 0:
             # one running-head copy leaked into the body flow: only the
@@ -114,10 +125,11 @@ def layout_paper(title: str, sections: list[tuple[str, str]],
 
 def build_pdf(title: str, sections: list[tuple[str, str]],
               fragment: bool = False, hidden: bool = False,
-              header_footer: bool = False) -> bytes:
+              header_footer: bool = False,
+              char_level: bool = False) -> bytes:
     """Assemble a complete PDF document (xref table included)."""
     return _assemble(layout_paper(title, sections, fragment, hidden,
-                                  header_footer))
+                                  header_footer, char_level))
 
 
 def _assemble(streams: list[str]) -> bytes:

@@ -206,8 +206,12 @@ def _decode_show(raw: bytes, font) -> str:
     return "".join(out)
 
 
-def parse_pdf_boxes(blob: bytes) -> list[dict]:
-    """PDF bytes -> text boxes with cumulative-Y geometry."""
+def parse_pdf_boxes(blob: bytes, keep_spaces: bool = False) -> list[dict]:
+    """PDF bytes -> text boxes with cumulative-Y geometry.
+
+    ``keep_spaces`` keeps whitespace-only show strings as boxes — the
+    char-level path needs them (the __ocr merge's space-insertion rule
+    consumes them); the line-level path drops them as before."""
     if not blob.startswith(b"%PDF-"):
         return []
     objs: dict[int, bytes] = {
@@ -262,7 +266,7 @@ def parse_pdf_boxes(blob: bytes) -> list[dict]:
         gs_stack: list[tuple[float, float]] = []
 
         def emit(text: str) -> None:
-            if not text.strip():
+            if not text or (not text.strip() and not keep_spaces):
                 return
             # reference pdf_parser.py:290: chars failing _has_color
             # (white-on-white DeviceGray) never become boxes

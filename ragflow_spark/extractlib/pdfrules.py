@@ -139,6 +139,85 @@ def naive_vertical_merge(boxes: list[dict], mh: list[float],
     return bxs
 
 
+def is_char_level(boxes: list[dict]) -> bool:
+    """True when the extractor yielded character soup rather than whole
+    lines (a scanned/char-positioned PDF): >= 80% of boxes hold at most
+    one non-space character. Plays the granularity-detection role that
+    is implicit in the reference (pdfplumber always yields chars; the
+    OCR detector always yields line rects)."""
+    if not boxes:
+        return False
+    short = sum(1 for b in boxes if len(b["text"].strip()) <= 1)
+    return short / len(boxes) >= 0.8
+
+
+def ocr_char_merge(chars: list[dict]) -> list[dict]:
+    """Char -> line-rect merge (pdf_parser.py:296-352 ``__ocr``, minus
+    the two model calls): the OCR *detector*'s line rects are stood in
+    by the char rows themselves (one rect per (page, baseline), the
+    geometry a detector would box on a born-digital page); the merge
+    rules then run verbatim — chars Y-first-sorted at mean_height//4,
+    assigned to their most-overlapping rect (find_overlapped), dropped
+    to the leftovers when char/rect heights disagree by >= 0.7, and a
+    space char appends only after `[0-9a-zA-Zа-яА-Я,.?;:!%]` (the
+    space-insertion rule at :325-327). Rects that end up with no text
+    would go to the OCR *recognizer* in the reference — with the model
+    seam stubbed they drop out."""
+    if not chars:
+        return []
+    heights = [c["bottom"] - c["top"] for c in chars]
+    mh = median(heights)
+
+    rects_map: dict[tuple, dict] = {}
+    for c in chars:
+        key = (c["page_number"], round(c["top"], 1))
+        r = rects_map.get(key)
+        if r is None:
+            rects_map[key] = {
+                "x0": c["x0"], "x1": c["x1"], "top": c["top"],
+                "bottom": c["bottom"], "text": "",
+                "page_number": c["page_number"],
+                "height": c.get("height", c["bottom"] - c["top"]),
+            }
+        else:
+            r["x0"] = min(r["x0"], c["x0"])
+            r["x1"] = max(r["x1"], c["x1"])
+            r["top"] = min(r["top"], c["top"])
+            r["bottom"] = max(r["bottom"], c["bottom"])
+    rects = sort_y_firstly(list(rects_map.values()), mh / 3)
+
+    lefted = []
+    for c in sort_y_firstly(chars, mh // 4):
+        ii = find_overlapped(c, rects)
+        if ii is None:
+            lefted.append(c)
+            continue
+        ch = c["bottom"] - c["top"]
+        bh = rects[ii]["bottom"] - rects[ii]["top"]
+        if abs(ch - bh) / max(ch, bh) >= 0.7 and c["text"] != " ":
+            lefted.append(c)
+            continue
+        if c["text"] == " " and rects[ii]["text"]:
+            if re.match(r"[0-9a-zA-Zа-яА-Я,.?;:!%]",
+                        rects[ii]["text"][-1]):
+                rects[ii]["text"] += " "
+        else:
+            rects[ii]["text"] += c["text"]
+    return [r for r in rects if r["text"].strip()]
+
+
+def parse_boxes_normalized(blob: bytes) -> list[dict]:
+    """Parse + granularity normalization: char-level documents go
+    through the __ocr char->line merge; line-level documents just shed
+    whitespace-only boxes (the pre-round-2 behavior)."""
+    from .pdfplain import parse_pdf_boxes
+
+    boxes = parse_pdf_boxes(blob, keep_spaces=True)
+    if is_char_level(boxes):
+        return ocr_char_merge(boxes)
+    return [b for b in boxes if b["text"].strip()]
+
+
 def layout_keep_rules(boxes: list[dict],
                       page_heights: list[float] | None = None,
                       drop: bool = True,
@@ -375,9 +454,9 @@ def pdf_to_sections(blob: bytes,
     single-column documents — the chain query reuses the vertical
     oracle on that basis.
     """
-    from .pdfplain import parse_pdf_boxes, total_page_number
+    from .pdfplain import total_page_number
 
-    boxes = parse_pdf_boxes(blob)
+    boxes = parse_boxes_normalized(blob)
     if not boxes:
         return []
     if merge == "auto":
@@ -815,9 +894,9 @@ def pdf_to_sections_two_col(blob: bytes) -> list[tuple[str, str]]:
     gate -> sort_X_by_page -> tagged sections in reading order."""
     from statistics import median as _median
 
-    from .pdfplain import PAGE_H, parse_pdf_boxes, total_page_number
+    from .pdfplain import PAGE_H, total_page_number
 
-    boxes = parse_pdf_boxes(blob)
+    boxes = parse_boxes_normalized(blob)
     if not boxes:
         return []
     n_pages = total_page_number(blob)

@@ -227,10 +227,11 @@ def pdf_to_sections_tables(blob: bytes, return_html: bool = False,
     mirroring the reference book/naive call order
     (rag/app/book.py:49-62). ``boxes`` skips the re-parse when the
     caller already extracted them (the auto-routing path)."""
-    from .pdfplain import parse_pdf_boxes, total_page_number
+    from .pdfplain import total_page_number
+    from .pdfrules import parse_boxes_normalized
 
     if boxes is None:
-        boxes = parse_pdf_boxes(blob)
+        boxes = parse_boxes_normalized(blob)
     if not boxes:
         return [], [], []
     n_pages = total_page_number(blob)

@@ -186,6 +186,52 @@ def test_layout_keep_rules_keep_feats():
     assert [b["text"] for b in out] == ["kept head", "kept foot"]
 
 
+def test_char_merge_byte_identical():
+    plain = extract_pdf_text(build_pdf("Paper 7", SECS))
+    chars = extract_pdf_text(build_pdf("Paper 7", SECS,
+                                       char_level=True))
+    assert chars == plain
+
+
+def test_ocr_char_merge_rules():
+    from ragflow_spark.extractlib.pdfrules import (is_char_level,
+                                                   ocr_char_merge)
+
+    def ch(text, x, top, h=10.0, pn=1):
+        return {"text": text, "x0": x, "x1": x + 5, "top": top,
+                "bottom": top + h, "page_number": pn, "height": h}
+
+    chars = [ch(c, 72 + 5 * i, 100) for i, c in enumerate("ab cd")]
+    assert is_char_level(chars)
+    out = ocr_char_merge(chars)
+    assert [b["text"] for b in out] == ["ab cd"]
+
+    # the space rule gates only spaces after EXISTING text (reference
+    # quirk: a space into an empty rect falls through the else branch
+    # and is kept); space after ',' (in the class) appends
+    chars = [ch(" ", 72, 100), ch("a", 77, 100), ch(",", 82, 100),
+             ch(" ", 87, 100), ch("b", 92, 100)]
+    assert ocr_char_merge(chars)[0]["text"] == " a, b"
+
+    # height-mismatch chars fall out (>= 0.7 relative difference from
+    # their rect — here the tall glyphs own the row rect and the small
+    # one is evicted to the leftovers)
+    chars = [ch("A", 72, 100, h=40.0), ch("B", 92, 100, h=40.0),
+             ch("x", 112, 100, h=10.0)]
+    assert [b["text"] for b in ocr_char_merge(chars)] == ["AB"]
+
+    # two baselines -> two line rects in reading order
+    chars = [ch("a", 72, 100), ch("b", 77, 100),
+             ch("c", 72, 114), ch("d", 77, 114)]
+    assert [b["text"] for b in ocr_char_merge(chars)] == ["ab", "cd"]
+
+
+def test_line_level_not_char_detected():
+    from ragflow_spark.extractlib.pdfrules import is_char_level
+    boxes = parse_pdf_boxes(build_pdf("Paper 7", SECS))
+    assert not is_char_level(boxes)
+
+
 def test_empty_and_garbage_blobs():
     assert pdf_to_sections_tables(b"") == ([], [], [])
     assert pdf_to_sections_tables(b"%PDF-1.4 garbage") == ([], [], [])
