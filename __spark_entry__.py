@@ -618,6 +618,17 @@ def _q_chunks_xlsx(spark: SparkSession, sf_dir: str) -> DataFrame:
     return chunk_office(build_xlsx_pages(spark, sf_dir))
 
 
+def _q_chunks_pptx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Presentation template over from-scratch PresentationML parse:
+    shapes sorted (top//10, left), bullet prefix quirk, table rows as
+    'header: cell; ...' — one chunk per slide
+    (deepdoc/parser/ppt_parser.py + rag/app/presentation.py parity)."""
+    from ragflow_spark.corpus.gen import build_pptx_pages
+    from ragflow_spark.job.extract import chunk_office
+
+    return chunk_office(build_pptx_pages(spark, sf_dir))
+
+
 def _q_tokenize_huqie(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Trie machinery surface (huqie.py): bidirectional max-match + DFS
     reconciliation + fine-grained second-best re-segmentation over the
@@ -748,6 +759,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tokenize_huqie": _q_tokenize_huqie,
         "chunks_docx": _q_chunks_docx,
         "chunks_xlsx": _q_chunks_xlsx,
+        "chunks_pptx": _q_chunks_pptx,
         "events_rollup": _q_events_rollup,
         "events_props": _q_events_props,
         "chunks_txt": _q_chunks_txt,
@@ -1139,6 +1151,22 @@ FROM (SELECT url, doc_id, unnest(range(1, 4 + doc_id % 4)) AS i
       FROM base)
 """
 
+    chunks_pptx_sql = _PDF_BASE_SQL.replace("/pdf/", "/pptx/") + """
+SELECT url, CAST(item.i - 1 AS INT) AS seq, 'slide' AS kind,
+       item.i || ' Part ' || item.i || chr(10) || '.' || item.p AS text
+FROM (SELECT url, unnest(list_transform(paras,
+          (p, i) -> {'p': p, 'i': i})) AS item FROM base)
+UNION ALL
+SELECT url, CAST(np AS INT) AS seq, 'slide' AS kind,
+       'Data' || chr(10) || array_to_string(
+           list_transform(range(1, 4 + doc_id % 4), i ->
+               'metric: ' || ((doc_id * 7 + i) % 1000) ||
+               '; value: ' || ((doc_id * 13 + i * i) % 1000) ||
+               '; delta: ' || ((doc_id + i * 31) % 100)), chr(10))
+           AS text
+FROM base
+"""
+
     # multimodal stubs (operators/multimodal.py): payload byte i is
     # (doc_id*31 + i*7) % 256 and the image decode is a seeded gradient,
     # so features/frames have analytic twins
@@ -1523,6 +1551,7 @@ FROM documents
         "tokenize_huqie": tokenize_huqie_sql,
         "chunks_docx": chunks_docx_sql,
         "chunks_xlsx": chunks_xlsx_sql,
+        "chunks_pptx": chunks_pptx_sql,
         "media_features": media_features_sql,
         "frame_sample": frame_sample_sql,
         "audio_features": audio_features_sql,

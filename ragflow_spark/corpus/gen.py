@@ -417,6 +417,32 @@ def build_xlsx_pages(spark, sf_dir: str, replicate: int = 1,
                              partitions)
 
 
+def build_pptx_pages(spark, sf_dir: str, replicate: int = 1,
+                     partitions: int | None = None) -> DataFrame:
+    """PPTX corpus: one slide per paragraph (title shape + bulleted
+    body shape) plus a final table slide — the presentation template
+    chunks one chunk per slide."""
+    def build(did, title, sections):
+        from ragflow_spark.extractlib.officegen import build_pptx
+        slides = []
+        for head, body in sections:
+            slides.append([
+                {"kind": "text", "top": 0, "left": 0,
+                 "paras": [(head, False, 0)]},
+                {"kind": "text", "top": 1000000, "left": 0,
+                 "paras": [(body, True, 0)]},
+            ])
+        rows = [["metric", "value", "delta"]] + pdft_table_rows(did)
+        slides.append([
+            {"kind": "text", "top": 0, "left": 0,
+             "paras": [("Data", False, 0)]},
+            {"kind": "table", "top": 1000000, "left": 0, "rows": rows},
+        ])
+        return build_pptx(slides)
+    return _build_pdf_family(spark, sf_dir, "pptx", build, replicate,
+                             partitions)
+
+
 def build_pdft_pages(spark, sf_dir: str, replicate: int = 1,
                      partitions: int | None = None) -> DataFrame:
     """Table-bearing corpus: body sections as build_pdf_pages, then a

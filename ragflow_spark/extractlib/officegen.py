@@ -149,6 +149,87 @@ def build_xlsx(sheets: list[tuple[str, list[list]]]) -> bytes:
     return _zip_parts(parts)
 
 
+# -- pptx -------------------------------------------------------------------
+
+_P = "http://schemas.openxmlformats.org/presentationml/2006/main"
+_A = "http://schemas.openxmlformats.org/drawingml/2006/main"
+
+_PPTX_RELS = """<?xml version="1.0" encoding="UTF-8" standalone="yes"?>
+<Relationships xmlns="http://schemas.openxmlformats.org/package/2006/relationships"><Relationship Id="rId1" Type="http://schemas.openxmlformats.org/officeDocument/2006/relationships/officeDocument" Target="ppt/presentation.xml"/></Relationships>"""
+
+
+def _pptx_text_shape(top: int, left: int,
+                     paras: list[tuple[str, bool, int]]) -> str:
+    ps = []
+    for text, bulleted, level in paras:
+        ppr = (f'<a:pPr lvl="{level}"><a:buChar char="•"/></a:pPr>'
+               if bulleted else "")
+        ps.append(f"<a:p>{ppr}<a:r><a:t>{escape(text)}</a:t></a:r></a:p>")
+    return (f'<p:sp><p:spPr><a:xfrm><a:off x="{left}" y="{top}"/>'
+            f"</a:xfrm></p:spPr><p:txBody>" + "".join(ps)
+            + "</p:txBody></p:sp>")
+
+
+def _pptx_table_shape(top: int, left: int,
+                      rows: list[list[str]]) -> str:
+    trs = []
+    for row in rows:
+        tcs = "".join(
+            f"<a:tc><a:txBody><a:p><a:r><a:t>{escape(str(c))}</a:t>"
+            f"</a:r></a:p></a:txBody></a:tc>" for c in row)
+        trs.append(f"<a:tr>{tcs}</a:tr>")
+    return (f'<p:graphicFrame><p:xfrm><a:off x="{left}" y="{top}"/>'
+            f"</p:xfrm><a:graphic><a:graphicData><a:tbl>"
+            + "".join(trs)
+            + "</a:tbl></a:graphicData></a:graphic></p:graphicFrame>")
+
+
+def build_pptx(slides: list[list[dict]]) -> bytes:
+    """slides -> .pptx bytes. Each slide is a list of shape specs:
+    {"kind": "text", "top", "left", "paras": [(text, bulleted, level)]}
+    or {"kind": "table", "top", "left", "rows": [[...]]}."""
+    parts: dict[str, str] = {}
+    ct = ["""<?xml version="1.0" encoding="UTF-8" standalone="yes"?>
+<Types xmlns="http://schemas.openxmlformats.org/package/2006/content-types"><Default Extension="rels" ContentType="application/vnd.openxmlformats-package.relationships+xml"/><Default Extension="xml" ContentType="application/xml"/><Override PartName="/ppt/presentation.xml" ContentType="application/vnd.openxmlformats-officedocument.presentationml.presentation.main+xml"/>"""]
+    sld_ids = []
+    rels = []
+    for i, shapes in enumerate(slides, start=1):
+        path = f"ppt/slides/slide{i}.xml"
+        body = []
+        for sh in shapes:
+            if sh["kind"] == "table":
+                body.append(_pptx_table_shape(sh["top"], sh["left"],
+                                              sh["rows"]))
+            else:
+                body.append(_pptx_text_shape(sh["top"], sh["left"],
+                                             sh["paras"]))
+        parts[path] = (
+            f'<?xml version="1.0" encoding="UTF-8" standalone="yes"?>\n'
+            f'<p:sld xmlns:p="{_P}" xmlns:a="{_A}"><p:cSld><p:spTree>'
+            + "".join(body) + "</p:spTree></p:cSld></p:sld>")
+        ct.append(
+            f'<Override PartName="/{path}" ContentType="application/'
+            f'vnd.openxmlformats-officedocument.presentationml.'
+            f'slide+xml"/>')
+        sld_ids.append(f'<p:sldId id="{255 + i}" r:id="rId{i}"/>')
+        rels.append(
+            f'<Relationship Id="rId{i}" Type="{_R}/slide" '
+            f'Target="slides/slide{i}.xml"/>')
+    ct.append("</Types>")
+    parts["[Content_Types].xml"] = "".join(ct)
+    parts["_rels/.rels"] = _PPTX_RELS
+    parts["ppt/presentation.xml"] = (
+        f'<?xml version="1.0" encoding="UTF-8" standalone="yes"?>\n'
+        f'<p:presentation xmlns:p="{_P}" xmlns:r="{_R}"><p:sldIdLst>'
+        + "".join(sld_ids) + "</p:sldIdLst></p:presentation>")
+    parts["ppt/_rels/presentation.xml.rels"] = (
+        '<?xml version="1.0" encoding="UTF-8" standalone="yes"?>\n'
+        '<Relationships xmlns="http://schemas.openxmlformats.org/'
+        'package/2006/relationships">' + "".join(rels)
+        + "</Relationships>")
+    return _zip_parts(parts)
+
+
 def sniff_office(blob: bytes) -> str | None:
     """'docx' / 'xlsx' for OOXML zips, None otherwise (content
     sniffing, same role as the magic-byte PDF dispatch)."""
@@ -163,4 +244,6 @@ def sniff_office(blob: bytes) -> str | None:
         return "docx"
     if "xl/workbook.xml" in names:
         return "xlsx"
+    if "ppt/presentation.xml" in names:
+        return "pptx"
     return None

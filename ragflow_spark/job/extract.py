@@ -158,6 +158,13 @@ def _office_batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
             elif kind == "xlsx":
                 for i, ln in enumerate(xlsx_rows(blob)):
                     emit(url, i, "row", ln)
+            elif kind == "pptx":
+                from ragflow_spark.extractlib.pptxparse import parse_pptx
+                # presentation template: one chunk per slide
+                # (rag/app/presentation.py:96-128)
+                for i, txt in enumerate(parse_pptx(blob)):
+                    if txt.strip():
+                        emit(url, i, "slide", txt)
         yield pd.DataFrame(rows)
 
 

@@ -105,6 +105,57 @@ def test_csv_fallback():
         ["name：alpha; qty：3 ——Data", "name：beta; qty：5 ——Data"]
 
 
+def test_pptx_roundtrip_bullets_and_table():
+    from ragflow_spark.extractlib.officegen import build_pptx
+    from ragflow_spark.extractlib.pptxparse import parse_pptx
+
+    slides = [
+        [{"kind": "text", "top": 0, "left": 0,
+          "paras": [("1 Part 1", False, 0)]},
+         {"kind": "text", "top": 100000, "left": 0,
+          "paras": [("alpha beta", True, 0), ("gamma", True, 1)]}],
+        [{"kind": "text", "top": 0, "left": 0,
+          "paras": [("Data", False, 0)]},
+         {"kind": "table", "top": 100000, "left": 0,
+          "rows": [["metric", "value"], ["50", "92"], ["51", "95"]]}],
+    ]
+    blob = build_pptx(slides)
+    assert sniff_office(blob) == "pptx"
+    txts = parse_pptx(blob)
+    assert txts == [
+        "1 Part 1\n.alpha beta\n  .gamma",
+        "Data\nmetric: 50; value: 92\nmetric: 51; value: 95",
+    ]
+    # page window
+    assert parse_pptx(blob, from_page=1) == [txts[1]]
+    assert parse_pptx(blob, to_page=1) == [txts[0]]
+
+
+def test_pptx_shape_sort_and_empty_paras():
+    from ragflow_spark.extractlib.officegen import build_pptx
+    from ragflow_spark.extractlib.pptxparse import parse_pptx
+
+    # shapes emitted out of order sort by (top//10, left); empty
+    # paragraphs are skipped
+    slides = [[
+        {"kind": "text", "top": 500000, "left": 0,
+         "paras": [("below", False, 0)]},
+        {"kind": "text", "top": 0, "left": 0,
+         "paras": [("above", False, 0), ("  ", False, 0)]},
+    ]]
+    assert parse_pptx(build_pptx(slides)) == ["above\nbelow"]
+
+
+def test_pptx_reference_fixture():
+    # test.ppt is PresentationML in a zip despite its extension —
+    # content sniffing (not filename dispatch) is what catches this
+    blob = open("/root/reference/sdk/python/test/test_sdk_api/"
+                "test_data/test.ppt", "rb").read()
+    assert sniff_office(blob) == "pptx"
+    from ragflow_spark.extractlib.pptxparse import parse_pptx
+    assert parse_pptx(blob) == ["hello"]
+
+
 def test_malformed_inputs():
     assert parse_docx(b"") == ([], [])
     assert parse_docx(b"PK\x03\x04junk") == ([], [])
