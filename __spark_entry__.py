@@ -241,6 +241,18 @@ def _q_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return simhash_pairs(docs)
 
 
+def _q_ann_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF cosine top-k at full probe: the partitioned-index machinery
+    (deterministic spherical k-means coarse quantizer, cluster
+    assignment, probe-list join) searched exhaustively — output must be
+    byte-identical to brute force, so it shares the ann_topk oracle.
+    Partial-probe recall is exercised in pytest."""
+    from ragflow_spark.operators.similarity import ann_topk_ivf
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    return ann_topk_ivf(emb)
+
+
 def _q_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Brute-force cosine top-5 for 10 broadcast query vectors with
     partition-local top-k then merge (shuffle carries P*k rows, not the
@@ -733,6 +745,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash_sigs": _q_simhash_sigs,
         "simhash_pairs": _q_simhash_pairs,
         "ann_topk": _q_ann_topk,
+        "ann_topk_ivf": _q_ann_topk_ivf,
         "embed_neardup": _q_embed_neardup,
         "lang_id": _q_lang_id,
         "fingerprints": _q_fingerprints,
@@ -1525,6 +1538,7 @@ FROM documents
         "simhash_sigs": simhash_sigs_sql,
         "simhash_pairs": simhash_pairs_sql,
         "ann_topk": ann_topk_sql,
+        "ann_topk_ivf": ann_topk_sql,
         "embed_neardup": embed_neardup_sql,
         "lang_id": lang_id_sql,
         "fingerprints": fingerprints_sql,

@@ -123,3 +123,40 @@ def test_fingerprints_stable_and_bounded(docs):
     assert a == b
     assert all(0 <= f < 1_000_000_007 and 0 <= m < 1_000_000_007
                for f, m in a.values())
+
+
+def test_ann_topk_ivf_full_probe_exact(spark):
+    from ragflow_spark.operators.similarity import ann_topk, ann_topk_ivf
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    bf = {tuple(r) for r in ann_topk(emb).collect()}
+    ivf = {tuple(r) for r in ann_topk_ivf(emb).collect()}
+    assert ivf == bf
+
+
+def test_ann_topk_ivf_partial_probe_recall(spark):
+    from ragflow_spark.operators.similarity import ann_topk, ann_topk_ivf
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    truth = {(r["qid"], r["vec_id"]) for r in ann_topk(emb).collect()}
+    got = {(r["qid"], r["vec_id"])
+           for r in ann_topk_ivf(emb, n_probe=2).collect()}
+    # near-isotropic embeddings are the worst case for IVF; even then a
+    # quarter of the clusters must recover most of the true neighbors
+    assert len(got & truth) / len(truth) >= 0.6
+    # and the run is deterministic (no RNG anywhere in the index)
+    again = {(r["qid"], r["vec_id"])
+             for r in ann_topk_ivf(emb, n_probe=2).collect()}
+    assert got == again
+
+
+def test_train_centroids_deterministic_and_normalized(spark):
+    import numpy as np
+
+    from ragflow_spark.operators.similarity import train_centroids
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    c1 = train_centroids(emb, n_centroids=4)
+    c2 = train_centroids(emb, n_centroids=4)
+    assert np.array_equal(c1, c2)
+    assert np.allclose(np.linalg.norm(c1, axis=1), 1.0)
