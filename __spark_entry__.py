@@ -641,6 +641,54 @@ def _q_chunks_pptx(spark: SparkSession, sf_dir: str) -> DataFrame:
     return chunk_office(build_pptx_pages(spark, sf_dir))
 
 
+def _q_term_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Query-term weighting machinery (rag/nlp/term_weight.py Dealer):
+    the 0.3/0.7 idf blend over huqie freq with ner/postag multipliers
+    and normalization, on four hand-verified phrases (doc_id % 4; CJK
+    terms draw real dictionary frequencies and pos tags, English terms
+    exercise the regex fallbacks)."""
+    import pandas as pd
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    phrases = ["数据分析 管道", "中华人民共和国 数据",
+               "fast query merge", "研究生命起源"]
+
+    def gen(it):
+        from ragflow_spark.extractlib.termweight import TermWeightDealer
+
+        dealer = TermWeightDealer()
+        for pdf in it:
+            dids, terms, ws = [], [], []
+            for doc_id in pdf["doc_id"]:
+                tw = dealer.weights(
+                    dealer.split(phrases[int(doc_id) % 4]))
+                for t, w in tw:
+                    dids.append(doc_id)
+                    terms.append(t)
+                    ws.append(round(w, 6))
+            yield pd.DataFrame({"doc_id": dids, "term": terms,
+                                "weight": ws})
+
+    return docs.select("doc_id").mapInPandas(
+        gen, schema="doc_id long, term string, weight double")
+
+
+def _q_search_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keyword retrieval (rag/nlp/query.py + search.py re-expressed
+    relationally): rmWWW -> Dealer weights broadcast against huqie-token
+    postings, boost-weighted term-match score, top-5 per query."""
+    from ragflow_spark.operators.retrieval import keyword_search
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    queries = spark.createDataFrame(
+        [(0, "what is the fast query merge"),
+         (1, "where does the spark stream window flow"),
+         (2, "how big is the small table scan"),
+         (3, "which column group has the vector value")],
+        schema="qid long, question string")
+    return keyword_search(docs, queries, k=5)
+
+
 def _q_tokenize_huqie(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Trie machinery surface (huqie.py): bidirectional max-match + DFS
     reconciliation + fine-grained second-best re-segmentation over the
@@ -773,6 +821,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "chunks_docx": _q_chunks_docx,
         "chunks_xlsx": _q_chunks_xlsx,
         "chunks_pptx": _q_chunks_pptx,
+        "term_weights": _q_term_weights,
+        "search_docs": _q_search_docs,
         "events_rollup": _q_events_rollup,
         "events_props": _q_events_props,
         "chunks_txt": _q_chunks_txt,
@@ -1162,6 +1212,61 @@ SELECT url, CAST(i - 1 AS INT) AS seq, 'row' AS kind,
        CASE WHEN doc_id % 2 = 0 THEN ' ——metrics' ELSE '' END AS text
 FROM (SELECT url, doc_id, unnest(range(1, 4 + doc_id % 4)) AS i
       FROM base)
+"""
+
+    # hand-verified Dealer weights (termweight.py; CJK values driven by
+    # the embedded dictionary's freq/tag, English by the 300-freq regex
+    # fallback which normalizes to equal shares)
+    term_weights_sql = """
+SELECT doc_id, item.t AS term, item.w AS weight
+FROM (SELECT doc_id, unnest(CASE doc_id % 4
+    WHEN 0 THEN [{'t': '数据', 'w': 0.393954},
+                 {'t': '分析', 'w': 0.196977},
+                 {'t': '管道', 'w': 0.409069}]
+    WHEN 1 THEN [{'t': '中华人民共和国', 'w': 0.609001},
+                 {'t': '数据', 'w': 0.390999}]
+    WHEN 2 THEN [{'t': 'fast', 'w': 0.333333},
+                 {'t': 'queri', 'w': 0.333333},
+                 {'t': 'merg', 'w': 0.333333}]
+    ELSE [{'t': '研究', 'w': 0.195504},
+          {'t': '生命', 'w': 0.398485},
+          {'t': '起源', 'w': 0.406011}]
+END) AS item FROM documents)
+"""
+
+    # relational twin of the keyword scorer: same idf-blend weight
+    # formula (all-English queries -> equal shares of the same base),
+    # tf counted over the pre-stem corpus words each stemmed query term
+    # maps back to; ranking on the 6-decimal score
+    _TF = "len(list_filter(ws, t -> t = '{w}'))"
+    _B = ("(0.3 * log10(10 + ((10000000 - 300 + 0.5) / (300 + 0.5))) + "
+          "0.7 * log10(10 + ((1000000000 - 300 + 0.5) / (300 + 0.5))))")
+
+    def _q_sql(qid: int, words: list[str]) -> str:
+        tf = " + ".join(_TF.format(w=w) for w in words)
+        fold = " + ".join(["x"] * len(words))
+        return (f"SELECT {qid} AS qid, doc_id, "
+                f"round((x / ({fold})) * ({tf}), 6) AS score, "
+                f"({tf}) AS tftot FROM tf, b")
+
+    search_docs_sql = f"""
+WITH b AS (SELECT {_B} AS x),
+tf AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+scores AS (
+    {_q_sql(0, ['the', 'fast', 'query', 'merge'])}
+    UNION ALL
+    {_q_sql(1, ['the', 'spark', 'stream', 'window', 'flow'])}
+    UNION ALL
+    {_q_sql(2, ['big', 'the', 'small', 'table', 'scan'])}
+    UNION ALL
+    {_q_sql(3, ['column', 'group', 'the', 'vector', 'value'])}
+),
+r AS (SELECT qid, doc_id, score,
+             row_number() OVER (PARTITION BY qid
+                                ORDER BY score DESC, doc_id) AS rank
+      FROM scores WHERE tftot > 0)
+SELECT qid, CAST(rank AS INT) AS rank, doc_id, score
+FROM r WHERE rank <= 5
 """
 
     chunks_pptx_sql = _PDF_BASE_SQL.replace("/pdf/", "/pptx/") + """
@@ -1566,6 +1671,8 @@ FROM documents
         "chunks_docx": chunks_docx_sql,
         "chunks_xlsx": chunks_xlsx_sql,
         "chunks_pptx": chunks_pptx_sql,
+        "term_weights": term_weights_sql,
+        "search_docs": search_docs_sql,
         "media_features": media_features_sql,
         "frame_sample": frame_sample_sql,
         "audio_features": audio_features_sql,

@@ -44,10 +44,14 @@ def _norm(v):
 def main() -> int:
     args = [a for a in sys.argv[1:] if not a.startswith("--")]
     skip: set[str] = set()
+    only: set[str] | None = None
     for a in sys.argv[1:]:
         if a.startswith("--skip"):
             skip = set(a.split("=", 1)[-1].split(",")) if "=" in a \
                 else set()
+        if a.startswith("--only"):
+            only = set(a.split("=", 1)[-1].split(",")) if "=" in a \
+                else None
     sf_dir = args[0] if args else "/root/testdata/sf0.01"
     import __spark_entry__ as entrymod
     from ragflow_spark.job.session import get_spark
@@ -65,8 +69,9 @@ def main() -> int:
     oracles = entrymod.oracle_sql()
     failures = 0
     for name, fn in qs.items():
-        if name in skip:
-            print(f"{name:16s} SKIPPED (--skip)")
+        if name in skip or (only is not None and name not in only):
+            if only is None:
+                print(f"{name:16s} SKIPPED (--skip)")
             continue
         sdf = fn(spark, sf_dir)
         scols = sorted(sdf.columns)
