@@ -673,6 +673,19 @@ def _q_term_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
         gen, schema="doc_id long, term string, weight double")
 
 
+_SEARCH_QUESTIONS = [
+    (0, "what is the fast query merge"),
+    (1, "where does the spark stream window flow"),
+    (2, "how big is the small table scan"),
+    (3, "which column group has the vector value"),
+]
+
+
+def _search_queries(spark: SparkSession) -> DataFrame:
+    return spark.createDataFrame(_SEARCH_QUESTIONS,
+                                 schema="qid long, question string")
+
+
 def _q_search_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Keyword retrieval (rag/nlp/query.py + search.py re-expressed
     relationally): rmWWW -> Dealer weights broadcast against huqie-token
@@ -680,13 +693,20 @@ def _q_search_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ragflow_spark.operators.retrieval import keyword_search
 
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
-    queries = spark.createDataFrame(
-        [(0, "what is the fast query merge"),
-         (1, "where does the spark stream window flow"),
-         (2, "how big is the small table scan"),
-         (3, "which column group has the vector value")],
-        schema="qid long, question string")
-    return keyword_search(docs, queries, k=5)
+    return keyword_search(docs, _search_queries(spark), k=5)
+
+
+def _q_rerank_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid rerank (search.py:279-317 Dealer.rerank + query.py:205-241
+    token/hybrid similarity): keyword top-8 candidates re-scored by
+    0.3 * sqrt(3 s / q / log10(|dtwt|+512)) + 0.7 * cosine(query vec,
+    doc vec), query vectors drawn from embeddings at vec_id == qid."""
+    from ragflow_spark.operators.retrieval import rerank_fusion
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    return rerank_fusion(docs, emb, _search_queries(spark),
+                         topn=8, k=5)
 
 
 def _q_tokenize_huqie(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -823,6 +843,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "chunks_pptx": _q_chunks_pptx,
         "term_weights": _q_term_weights,
         "search_docs": _q_search_docs,
+        "rerank_fusion": _q_rerank_fusion,
         "events_rollup": _q_events_rollup,
         "events_props": _q_events_props,
         "chunks_txt": _q_chunks_txt,
@@ -1269,6 +1290,81 @@ SELECT qid, CAST(rank AS INT) AS rank, doc_id, score
 FROM r WHERE rank <= 5
 """
 
+    # hybrid-rerank twin: the corpus vocabulary maps 1:1 surface->stem
+    # and every word draws the same base weight (all [a-z]+, freq/df
+    # fallbacks), except 'a' whose [a-z]{1,2} ner gate scales it by
+    # 0.01 — so dtwt over dedup'd tokens is m_t / summ with
+    # summ = (D - has_a) + 0.01 * has_a, and the reference similarity
+    # sqrt(3 s / q / log10(D + 512)) is closed-form per (query, doc)
+    def _rr_sql(qid: int, words: list[str]) -> str:
+        tf = " + ".join(_TF.format(w=w) for w in words)
+        mt = " + ".join(
+            f"CASE WHEN list_contains(dws, '{w}') THEN 1 ELSE 0 END"
+            for w in words)
+        fold = " + ".join(["x"] * len(words))
+        m = len(words)
+        return (f"SELECT {qid} AS qid, doc_id, dlen, summ, "
+                f"round((x / ({fold})) * ({tf}), 6) AS kscore, "
+                f"({tf}) AS tftot, (x / ({fold})) AS qw, "
+                f"{m} * (x / ({fold})) * (x / ({fold})) AS qq, "
+                f"({mt}) AS nmatch FROM d, b")
+
+    _rr_dot = _DUCK_DOT.format(a="qn.v", b="dn.v")
+    _rr_nrm = _DUCK_NORM.format(v="v")
+    rerank_fusion_sql = f"""
+WITH b AS (SELECT {_B} AS x),
+d AS (SELECT doc_id, string_split(text, ' ') AS ws,
+             list_distinct(string_split(text, ' ')) AS dws,
+             len(list_distinct(string_split(text, ' '))) AS dlen,
+             (len(list_distinct(string_split(text, ' ')))
+              - CASE WHEN list_contains(
+                    list_distinct(string_split(text, ' ')), 'a')
+                THEN 1 ELSE 0 END)
+             + CASE WHEN list_contains(
+                   list_distinct(string_split(text, ' ')), 'a')
+               THEN 0.01 ELSE 0 END AS summ
+      FROM documents),
+scores AS (
+    {_rr_sql(0, ['the', 'fast', 'query', 'merge'])}
+    UNION ALL
+    {_rr_sql(1, ['the', 'spark', 'stream', 'window', 'flow'])}
+    UNION ALL
+    {_rr_sql(2, ['big', 'the', 'small', 'table', 'scan'])}
+    UNION ALL
+    {_rr_sql(3, ['column', 'group', 'the', 'vector', 'value'])}
+),
+c8 AS (SELECT * FROM (
+    SELECT *, row_number() OVER (PARTITION BY qid
+                                 ORDER BY kscore DESC, doc_id) AS krank
+    FROM scores WHERE tftot > 0) WHERE krank <= 8),
+n AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+             {_rr_nrm} AS nrm
+      FROM embeddings),
+sims AS (
+    SELECT c8.qid, c8.doc_id,
+           sqrt(3.0 * (qw * nmatch / summ + 1e-9) / (qq + 1e-9)
+                / log10(dlen + 512)) AS tksim,
+           COALESCE({_rr_dot} / (qn.nrm * dn.nrm), 0.0) AS vtsim
+    FROM c8
+    LEFT JOIN n dn ON dn.vec_id = c8.doc_id
+    LEFT JOIN n qn ON qn.vec_id = c8.qid
+),
+f AS (
+    SELECT qid, doc_id, tksim, vtsim,
+           CASE WHEN SUM(vtsim) OVER (PARTITION BY qid) = 0
+                THEN round(tksim, 6)
+                ELSE round(0.3 * tksim + 0.7 * vtsim, 6)
+           END AS score
+    FROM sims
+)
+SELECT qid, CAST(rank AS INT) AS rank, doc_id,
+       round(tksim, 6) AS tksim, round(vtsim, 6) AS vtsim, score
+FROM (SELECT *, row_number() OVER (PARTITION BY qid
+                                   ORDER BY score DESC, doc_id) AS rank
+      FROM f)
+WHERE rank <= 5
+"""
+
     chunks_pptx_sql = _PDF_BASE_SQL.replace("/pdf/", "/pptx/") + """
 SELECT url, CAST(item.i - 1 AS INT) AS seq, 'slide' AS kind,
        item.i || ' Part ' || item.i || chr(10) || '.' || item.p AS text
@@ -1673,6 +1769,7 @@ FROM documents
         "chunks_pptx": chunks_pptx_sql,
         "term_weights": term_weights_sql,
         "search_docs": search_docs_sql,
+        "rerank_fusion": rerank_fusion_sql,
         "media_features": media_features_sql,
         "frame_sample": frame_sample_sql,
         "audio_features": audio_features_sql,

@@ -20,7 +20,14 @@ from __future__ import annotations
 from typing import Iterator
 
 import pandas as pd
-from pyspark.sql import DataFrame, functions as F
+from pyspark.sql import DataFrame, Window, functions as F
+
+# left-to-right double-precision dot / norm folds (shared shape with
+# operators/similarity.py so the DuckDB oracle reproduces scores)
+_DOT = ("aggregate(zip_with({a}, {b}, (x, y) -> x * y), "
+        "cast(0 as double), (s, v) -> s + v)")
+_NORM = ("sqrt(aggregate({a}, cast(0 as double), "
+         "(s, x) -> s + x * x))")
 
 
 def query_terms(queries: DataFrame) -> DataFrame:
@@ -109,4 +116,112 @@ def keyword_search(docs: DataFrame, queries: DataFrame,
         merged.select("qid", F.posexplode("top").alias("pos", "c"))
         .select("qid", (F.col("pos") + 1).alias("rank"),
                 (-F.col("c.nid")).alias("doc_id"), "c.score")
+    )
+
+
+def doc_term_weights(docs: DataFrame, id_col: str = "doc_id",
+                     text_col: str = "text") -> DataFrame:
+    """(id, term, dw): the document side of token_similarity
+    (rag/nlp/query.py:215-222 toDict over search.py:301-306 ins_tw with
+    the reference's own empty-field paths for title/kwd/question):
+    huqie tokens deduped preserving first occurrence
+    (OrderedDict.fromkeys, search.py:302), then Dealer normalized
+    weights with preprocess=False. One row per distinct term; the row
+    count per doc is len(dtwt) for the similarity log-damping."""
+    def gen(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from collections import OrderedDict
+
+        from ragflow_spark.extractlib.huqie import tokenize
+        from ragflow_spark.extractlib.termweight import TermWeightDealer
+
+        dealer = TermWeightDealer()
+        for pdf in it:
+            ids, terms, dws = [], [], []
+            for did, text in zip(pdf[id_col], pdf[text_col]):
+                tks = list(OrderedDict.fromkeys(tokenize(text).split()))
+                for t, w in dealer.weights(tks, preprocess=False):
+                    ids.append(did)
+                    terms.append(t)
+                    dws.append(w)
+            yield pd.DataFrame({id_col: ids, "term": terms, "dw": dws})
+
+    return docs.select(id_col, text_col).mapInPandas(
+        gen, schema=f"{id_col} long, term string, dw double")
+
+
+def rerank_fusion(docs: DataFrame, embeddings: DataFrame,
+                  queries: DataFrame, topn: int = 8, k: int = 5,
+                  tkweight: float = 0.3,
+                  vtweight: float = 0.7) -> DataFrame:
+    """Hybrid rerank of keyword-search candidates
+    (rag/nlp/search.py:279-317 Dealer.rerank + query.py:205-241
+    hybrid_similarity/token_similarity/similarity, rank_feature=None):
+
+    - token similarity sqrt(3 * s / q / log10(|dtwt| + 512)) with the
+      reference's 1e-9 floors (query.py:228-241)
+    - vector cosine against the query embedding (vec_id == qid)
+    - fused = tkweight * tksim + vtweight * vtsim, with the
+      all-cosines-zero fallback to pure tksim (query.py:211-213)
+
+    Plan: candidates (<= n_queries * topn rows) broadcast-semi-join
+    prunes the corpus before tokenization, so only candidate documents
+    pay the term-weight pass; every join against query-side tables is a
+    broadcast; the only exchanges carry (qid, doc_id, scalar) rows.
+    Missing embeddings fall back to the reference's zero vector
+    (search.py:288-295) -> cosine 0."""
+    cands = keyword_search(docs, queries, k=topn).select("qid", "doc_id")
+    cand_ids = cands.select("doc_id").distinct()
+    dtw = doc_term_weights(docs.join(F.broadcast(cand_ids), "doc_id"))
+    dstats = dtw.groupBy("doc_id").agg(F.count("*").alias("dlen"))
+    # toDict accumulates duplicate stems into one entry (query.py:218-221)
+    # BEFORE the norm, so collapse repeats here too
+    qtw = query_terms(queries).groupBy("qid", "term").agg(
+        F.sum("weight").alias("weight"))
+    qnorm = qtw.groupBy("qid").agg(
+        F.sum(F.col("weight") * F.col("weight")).alias("qq"))
+
+    overlap = (
+        cands.join(dtw, "doc_id")
+        .join(F.broadcast(qtw), ["qid", "term"])
+        .groupBy("qid", "doc_id")
+        .agg(F.sum(F.col("weight") * F.col("dw")).alias("s"))
+    )
+
+    emb = embeddings.withColumn(
+        "v", F.col("embedding").cast("array<double>")).select(
+        "vec_id", "v").withColumn("nrm", F.expr(_NORM.format(a="v")))
+    qv = emb.select(F.col("vec_id").alias("qid"),
+                    F.col("v").alias("qv"), F.col("nrm").alias("qn"))
+    dot = F.expr(_DOT.format(a="qv", b="v"))
+
+    scored = (
+        cands
+        .join(overlap, ["qid", "doc_id"], "left")
+        .join(F.broadcast(dstats), "doc_id")
+        .join(F.broadcast(qnorm), "qid")
+        .join(emb, F.col("doc_id") == F.col("vec_id"), "left")
+        .join(F.broadcast(qv), "qid", "left")
+        .withColumn("tksim", F.sqrt(
+            3.0 * (F.coalesce(F.col("s"), F.lit(0.0)) + 1e-9)
+            / (F.col("qq") + 1e-9)
+            / F.log10(F.col("dlen") + 512)))
+        .withColumn("vtsim", F.coalesce(
+            dot / (F.col("qn") * F.col("nrm")), F.lit(0.0)))
+        .select("qid", "doc_id", "tksim", "vtsim")
+    )
+    # query.py:211-213 — when every cosine for a query is exactly zero
+    # (no embeddings at this scale factor), the fused score IS tksim
+    vt_total = F.sum(F.col("vtsim")).over(Window.partitionBy("qid"))
+    fused = F.when(vt_total == 0.0, F.col("tksim")).otherwise(
+        tkweight * F.col("tksim") + vtweight * F.col("vtsim"))
+    ranked = scored.withColumn("fused", F.round(fused, 6)).withColumn(
+        "rank", F.row_number().over(
+            Window.partitionBy("qid").orderBy(
+                F.col("fused").desc(), F.col("doc_id"))))
+    return (
+        ranked.where(F.col("rank") <= k)
+        .select("qid", "rank", "doc_id",
+                F.round("tksim", 6).alias("tksim"),
+                F.round("vtsim", 6).alias("vtsim"),
+                F.col("fused").alias("score"))
     )

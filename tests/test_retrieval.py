@@ -46,6 +46,92 @@ def test_token_merge_groups_singles(dealer):
     assert dealer.token_merge(["分析", "管道"]) == ["分析", "管道"]
 
 
+def _ref_token_similarity(dealer, qtwt, dtks):
+    """Verbatim re-expression of query.py:222-241 for the test oracle;
+    qtwt is the query weight dict (the operator derives it through the
+    preprocess pipeline, query.py's question() keyword path)."""
+    import math
+    from collections import OrderedDict, defaultdict
+
+    def to_dict(tks):
+        d = defaultdict(float)
+        for t, w in dealer.weights(tks, preprocess=False):
+            d[t] += w
+        return d
+
+    dtwt = to_dict(list(OrderedDict.fromkeys(dtks)))
+    s = 1e-9
+    for k, v in qtwt.items():
+        if k in dtwt:
+            s += v * dtwt[k]
+    q = 1e-9
+    for v in qtwt.values():
+        q += v * v
+    return math.sqrt(3.0 * (s / q / math.log10(len(dtwt) + 512)))
+
+
+def test_rerank_fusion_matches_reference_formula(dealer):
+    from ragflow_spark.extractlib.huqie import tokenize
+    from ragflow_spark.extractlib.termweight import rm_www
+    from ragflow_spark.job.session import get_spark
+    from ragflow_spark.operators.retrieval import rerank_fusion
+
+    spark = get_spark("local[4]", shuffle_partitions=4)
+    texts = {1: "fast query merge the table scan",
+             2: "query query slow window a big",
+             3: "fast merge fast stream data"}
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in texts.items()], schema="doc_id long, text string")
+    emb = spark.createDataFrame(
+        [(0, [1.0, 0.0, 2.0]), (1, [1.0, 1.0, 0.0]),
+         (2, [0.5, -1.0, 1.0]), (3, [2.0, 0.5, 0.5])],
+        schema="vec_id long, embedding array<float>")
+    queries = spark.createDataFrame(
+        [(0, "what is the fast query merge")],
+        schema="qid long, question string")
+    rows = {r["doc_id"]: r for r in
+            rerank_fusion(docs, emb, queries, topn=3, k=3).collect()}
+
+    qtwt: dict = {}
+    for t, w in dealer.weights(
+            dealer.split(rm_www("what is the fast query merge"))):
+        qtwt[t] = qtwt.get(t, 0.0) + w
+    import numpy as np
+    qv = np.array([1.0, 0.0, 2.0])
+    for did, r in rows.items():
+        tks = _ref_token_similarity(dealer, qtwt, tokenize(texts[did]).split())
+        assert abs(r["tksim"] - tks) < 1e-5, (did, r["tksim"], tks)
+        dv = {1: [1.0, 1.0, 0.0], 2: [0.5, -1.0, 1.0],
+              3: [2.0, 0.5, 0.5]}[did]
+        cos = float(np.dot(qv, dv) / (np.linalg.norm(qv) * np.linalg.norm(dv)))
+        assert abs(r["vtsim"] - cos) < 1e-5
+        assert abs(r["score"] - (0.3 * tks + 0.7 * cos)) < 1e-5
+    # ranks ordered by fused score desc
+    ordered = sorted(rows.values(), key=lambda r: r["rank"])
+    assert all(a["score"] >= b["score"]
+               for a, b in zip(ordered, ordered[1:]))
+
+
+def test_rerank_fusion_zero_vector_fallback():
+    """query.py:211-213 — all cosines zero => fused score IS tksim."""
+    from ragflow_spark.job.session import get_spark
+    from ragflow_spark.operators.retrieval import rerank_fusion
+
+    spark = get_spark("local[4]", shuffle_partitions=4)
+    docs = spark.createDataFrame(
+        [(1, "fast query merge"), (2, "fast table scan")],
+        schema="doc_id long, text string")
+    # no embeddings at all -> every vtsim coalesces to 0
+    emb = spark.createDataFrame([], schema="vec_id long, embedding array<float>")
+    queries = spark.createDataFrame(
+        [(0, "what is the fast query")], schema="qid long, question string")
+    rows = rerank_fusion(docs, emb, queries, topn=2, k=2).collect()
+    assert rows
+    for r in rows:
+        assert r["vtsim"] == 0.0
+        assert r["score"] == r["tksim"]
+
+
 def test_keyword_search_end_to_end():
     from ragflow_spark.job.session import get_spark
     from ragflow_spark.operators.retrieval import keyword_search
