@@ -696,6 +696,17 @@ def _q_search_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return keyword_search(docs, _search_queries(spark), k=5)
 
 
+def _q_search_expanded(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Synonym + phrase expanded keyword search (query.py:84-110 english
+    branch + synonym.py lookup): base terms at Dealer weight, synonyms
+    at w/4, adjacent-pair phrases at 2*max(w) against bigram postings,
+    top-5 per query."""
+    from ragflow_spark.operators.retrieval import keyword_search_expanded
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return keyword_search_expanded(docs, _search_queries(spark), k=5)
+
+
 def _q_rerank_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hybrid rerank (search.py:279-317 Dealer.rerank + query.py:205-241
     token/hybrid similarity): keyword top-8 candidates re-scored by
@@ -843,6 +854,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "chunks_pptx": _q_chunks_pptx,
         "term_weights": _q_term_weights,
         "search_docs": _q_search_docs,
+        "search_expanded": _q_search_expanded,
         "rerank_fusion": _q_rerank_fusion,
         "events_rollup": _q_events_rollup,
         "events_props": _q_events_props,
@@ -1281,6 +1293,47 @@ scores AS (
     {_q_sql(2, ['big', 'the', 'small', 'table', 'scan'])}
     UNION ALL
     {_q_sql(3, ['column', 'group', 'the', 'vector', 'value'])}
+),
+r AS (SELECT qid, doc_id, score,
+             row_number() OVER (PARTITION BY qid
+                                ORDER BY score DESC, doc_id) AS rank
+      FROM scores WHERE tftot > 0)
+SELECT qid, CAST(rank AS INT) AS rank, doc_id, score
+FROM r WHERE rank <= 5
+"""
+
+    # expanded-search twin: base terms at equal shares w = x/m, synonyms
+    # at w/4 (only 'merge'->'join' maps into the corpus vocabulary; the
+    # zero-tf expansions — quick/speedy/sweep/array — contribute nothing
+    # on either side), adjacent-pair phrases at 2w against bigram
+    # adjacency counts
+    _TF2 = ("len(list_filter(range(len(ws) - 1), "
+            "i -> ws[i + 1] = '{a}' AND ws[i + 2] = '{b}'))")
+
+    def _xp_sql(qid: int, words: list[str], syns: list[str]) -> str:
+        fold = " + ".join(["x"] * len(words))
+        uni = " + ".join(_TF.format(w=w) for w in words)
+        syn = " + ".join(_TF.format(w=s) for s in syns) if syns else "0"
+        ph = " + ".join(_TF2.format(a=a, b=b)
+                        for a, b in zip(words, words[1:]))
+        score = (f"(x / ({fold})) * ({uni}) "
+                 f"+ ((x / ({fold})) / 4) * ({syn}) "
+                 f"+ ((x / ({fold})) * 2) * ({ph})")
+        return (f"SELECT {qid} AS qid, doc_id, round({score}, 6) AS "
+                f"score, ({uni}) + ({syn}) + ({ph}) AS tftot "
+                f"FROM tf, b")
+
+    search_expanded_sql = f"""
+WITH b AS (SELECT {_B} AS x),
+tf AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+scores AS (
+    {_xp_sql(0, ['the', 'fast', 'query', 'merge'], ['join'])}
+    UNION ALL
+    {_xp_sql(1, ['the', 'spark', 'stream', 'window', 'flow'], [])}
+    UNION ALL
+    {_xp_sql(2, ['big', 'the', 'small', 'table', 'scan'], [])}
+    UNION ALL
+    {_xp_sql(3, ['column', 'group', 'the', 'vector', 'value'], [])}
 ),
 r AS (SELECT qid, doc_id, score,
              row_number() OVER (PARTITION BY qid
@@ -1769,6 +1822,7 @@ FROM documents
         "chunks_pptx": chunks_pptx_sql,
         "term_weights": term_weights_sql,
         "search_docs": search_docs_sql,
+        "search_expanded": search_expanded_sql,
         "rerank_fusion": rerank_fusion_sql,
         "media_features": media_features_sql,
         "frame_sample": frame_sample_sql,

@@ -119,6 +119,111 @@ def keyword_search(docs: DataFrame, queries: DataFrame,
     )
 
 
+def query_expansion(queries: DataFrame) -> DataFrame:
+    """(qid, term, boost): the english branch of query.py:84-110 as a
+    weighted term list — base terms at their Dealer weight, synonyms
+    (synonym.py lookup, huqie-tokenized) at w/4 (query.py:96), and
+    adjacent-pair phrases at 2 * max(w_left, w_right) (query.py:98-110,
+    the '"a b"^w*2' quoted-phrase boosts); phrase terms are 'a b'
+    strings matched against bigram postings."""
+    def gen(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from ragflow_spark.extractlib.huqie import tokenize
+        from ragflow_spark.extractlib.synonyms import SynonymDealer
+        from ragflow_spark.extractlib.termweight import (TermWeightDealer,
+                                                         rm_www)
+
+        dealer = TermWeightDealer()
+        syn = SynonymDealer()
+        for pdf in it:
+            qids, terms, boosts = [], [], []
+
+            def emit(qid, t, w):
+                qids.append(qid)
+                terms.append(t)
+                boosts.append(w)
+
+            for qid, question in zip(pdf["qid"], pdf["question"]):
+                tw = dealer.weights(dealer.split(rm_www(question)))
+                for t, w in tw:
+                    emit(qid, t, w)
+                    for s in tokenize(" ".join(syn.lookup(t))).split():
+                        emit(qid, s, w / 4.0)
+                for (lt, lw), (rt, rw) in zip(tw, tw[1:]):
+                    emit(qid, f"{lt} {rt}", max(lw, rw) * 2.0)
+            yield pd.DataFrame({"qid": qids, "term": terms,
+                                "boost": boosts})
+
+    return queries.mapInPandas(
+        gen, schema="qid long, term string, boost double")
+
+
+def bigram_postings(docs: DataFrame, id_col: str = "doc_id",
+                    text_col: str = "text") -> DataFrame:
+    """(id, term, tf) over adjacent huqie-token pairs — the posting
+    surface the quoted-phrase boosts match against (the ES match_phrase
+    leg of the reference's query DSL, relationally)."""
+    def gen(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from collections import Counter
+
+        from ragflow_spark.extractlib.huqie import tokenize
+
+        for pdf in it:
+            ids, terms, tfs = [], [], []
+            for did, text in zip(pdf[id_col], pdf[text_col]):
+                tks = tokenize(text).split()
+                for pair, n in Counter(
+                        f"{a} {b}" for a, b in zip(tks, tks[1:])).items():
+                    ids.append(did)
+                    terms.append(pair)
+                    tfs.append(n)
+            yield pd.DataFrame({id_col: ids, "term": terms, "tf": tfs})
+
+    return docs.select(id_col, text_col).mapInPandas(
+        gen, schema=f"{id_col} long, term string, tf int")
+
+
+def keyword_search_expanded(docs: DataFrame, queries: DataFrame,
+                            k: int = 5) -> DataFrame:
+    """(qid, rank, doc_id, score): keyword top-k where the broadcast
+    side is the *expanded* term list — synonyms at quarter boost and
+    adjacent-pair phrases at doubled boost alongside the base terms.
+
+    Plan: identical shape to ``keyword_search`` — the corpus explodes
+    into unigram + bigram postings (one map-only pass each), the tiny
+    expanded term list broadcasts, score partial-aggregates map-side,
+    then the same pre-shuffle local top-k. The bigram posting table is
+    ~1x corpus tokens, same order as the unigram one — no new shuffle
+    shape at 100 TB."""
+    terms = query_expansion(queries)
+    post = doc_postings(docs).unionByName(bigram_postings(docs))
+    scored = (
+        post.join(F.broadcast(terms), "term")
+        .groupBy("qid", "doc_id")
+        .agg(F.round(F.sum(F.col("boost") * F.col("tf")),
+                     6).alias("score"))
+    )
+
+    def local_topk(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            yield (pdf.sort_values(["qid", "score", "doc_id"],
+                                   ascending=[True, False, True])
+                   .groupby("qid", sort=False).head(k))
+
+    reduced = scored.mapInPandas(
+        local_topk, schema="qid long, doc_id long, score double")
+    item = F.struct(F.col("score"), (-F.col("doc_id")).alias("nid"))
+    merged = (
+        reduced.groupBy("qid")
+        .agg(F.slice(F.sort_array(F.collect_list(item), asc=False),
+                     1, k).alias("top"))
+    )
+    return (
+        merged.select("qid", F.posexplode("top").alias("pos", "c"))
+        .select("qid", (F.col("pos") + 1).alias("rank"),
+                (-F.col("c.nid")).alias("doc_id"), "c.score")
+    )
+
+
 def doc_term_weights(docs: DataFrame, id_col: str = "doc_id",
                      text_col: str = "text") -> DataFrame:
     """(id, term, dw): the document side of token_similarity

@@ -46,6 +46,66 @@ def test_token_merge_groups_singles(dealer):
     assert dealer.token_merge(["分析", "管道"]) == ["分析", "管道"]
 
 
+def test_synonym_lookup_machinery():
+    from ragflow_spark.extractlib.synonyms import SynonymDealer
+
+    syn = SynonymDealer()
+    assert syn.lookup("merg") == ["join"]
+    assert syn.lookup("vector") == ["array"]  # str promoted to list
+    assert syn.lookup("MERG") == ["join"]     # lower-normalized
+    assert syn.lookup("nosuchterm") == []
+    assert syn.lookup("fast", topn=1) == ["quick"]  # topn cap
+    # wordnet seam: [a-z]+ terms route through it, self excluded
+    syn2 = SynonymDealer(wordnet_lookup=lambda tk: [tk, "swift", ""])
+    assert syn2.lookup("fast") == ["swift"]
+    # CJK bypasses the wordnet branch even when present
+    assert syn2.lookup("数据") == ["资料"]
+
+
+def test_query_expansion_boosts():
+    from ragflow_spark.job.session import get_spark
+    from ragflow_spark.operators.retrieval import query_expansion
+
+    spark = get_spark("local[4]", shuffle_partitions=4)
+    queries = spark.createDataFrame(
+        [(0, "what is the fast query merge")],
+        schema="qid long, question string")
+    rows = {(r["term"]): r["boost"]
+            for r in query_expansion(queries).collect()}
+    w = rows["fast"]
+    assert abs(w - 0.25) < 1e-9
+    # synonyms at w/4 (stemmed through huqie)
+    assert abs(rows["quick"] - w / 4) < 1e-12
+    assert abs(rows["join"] - w / 4) < 1e-12
+    # adjacent-pair phrases at 2*max(w)
+    assert abs(rows["queri merg"] - 2 * w) < 1e-12
+    assert abs(rows["the fast"] - 2 * w) < 1e-12
+
+
+def test_search_expanded_scores_synonym_and_phrase():
+    from ragflow_spark.job.session import get_spark
+    from ragflow_spark.operators.retrieval import keyword_search_expanded
+
+    spark = get_spark("local[4]", shuffle_partitions=4)
+    docs = spark.createDataFrame(
+        [(1, "fast query merge data"),   # phrase hits: fast+queri, queri+merg
+         (2, "join data data row"),      # synonym-only hit
+         (3, "sort order row")],         # no hit
+        schema="doc_id long, text string")
+    queries = spark.createDataFrame(
+        [(0, "what is the fast query merge")],
+        schema="qid long, question string")
+    rows = {r["doc_id"]: r for r in
+            keyword_search_expanded(docs, queries, k=3).collect()}
+    assert 3 not in rows
+    w = 0.25
+    # doc1: 3 unigrams + 2 phrases = 3w + 2*(2w) = 1.75
+    assert abs(rows[1]["score"] - (3 * w + 2 * 2 * w)) < 1e-6
+    # doc2: only the synonym join at w/4
+    assert abs(rows[2]["score"] - w / 4) < 1e-6
+    assert rows[1]["rank"] == 1 and rows[2]["rank"] == 2
+
+
 def _ref_token_similarity(dealer, qtwt, dtks):
     """Verbatim re-expression of query.py:222-241 for the test oracle;
     qtwt is the query weight dict (the operator derives it through the
