@@ -707,6 +707,30 @@ def _q_search_expanded(spark: SparkSession, sf_dir: str) -> DataFrame:
     return keyword_search_expanded(docs, _search_queries(spark), k=5)
 
 
+def _q_doc_tags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """tag_content (search.py:466-477): each document's top-30 weighted
+    keyword clauses (synonyms honored, msm = min(3, n/10)) searched
+    against the derived tag KB; aggregated tags scored by lift over the
+    all_tags_in_portion prior, banker-rounded, top-3 positive kept."""
+    from ragflow_spark.operators.tagging import kb_from_docs, tag_features
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    kb_terms, kb_tags = kb_from_docs(docs)
+    return tag_features(docs, kb_terms, kb_tags, smooth=50)
+
+
+def _q_query_tags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """tag_query (search.py:479-491): question clauses at min_match 0,
+    same lift scoring, scores floored at 1 after the top-3 cut."""
+    from ragflow_spark.operators.tagging import kb_from_docs, tag_features
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    kb_terms, kb_tags = kb_from_docs(docs)
+    return tag_features(_search_queries(spark), kb_terms, kb_tags,
+                        id_col="qid", text_col="question",
+                        question=True, smooth=50)
+
+
 def _q_rerank_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hybrid rerank (search.py:279-317 Dealer.rerank + query.py:205-241
     token/hybrid similarity): keyword top-8 candidates re-scored by
@@ -856,6 +880,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "search_docs": _q_search_docs,
         "search_expanded": _q_search_expanded,
         "rerank_fusion": _q_rerank_fusion,
+        "doc_tags": _q_doc_tags,
+        "query_tags": _q_query_tags,
         "events_rollup": _q_events_rollup,
         "events_props": _q_events_props,
         "chunks_txt": _q_chunks_txt,
@@ -1343,6 +1369,111 @@ SELECT qid, CAST(rank AS INT) AS rank, doc_id, score
 FROM r WHERE rank <= 5
 """
 
+    # tag-feature twins. Shared derivation: the KB row is a doc's first
+    # 12 tokens (distinct), tags ('tag' || id%7, 'group.' || id%5); the
+    # doc's clause window is its first 30 non-'a' token occurrences
+    # ('a' is the only corpus word the Dealer down-weights, so the
+    # stable weight-desc sort demotes exactly its occurrences); clause
+    # 'merge' also matches via its synonym 'join'; banker's rounding is
+    # emulated for the half-integer case
+    # surface -> huqie stem for the 5 vocabulary words that differ
+    # (the tag VALUE carries the stem on the Spark side)
+    _STEM = ("CASE {w} WHEN 'customer' THEN 'custom' "
+             "WHEN 'merge' THEN 'merg' WHEN 'query' THEN 'queri' "
+             "WHEN 'table' THEN 'tabl' WHEN 'value' THEN 'valu' "
+             "ELSE {w} END")
+    _TAG_KB = f"""
+kb AS (
+  SELECT doc_id AS kb_id, string_split(text, ' ')[1] AS w
+  FROM documents WHERE len(text) > 0),
+kbtag AS (
+  SELECT kb_id, 'w_' || {_STEM.format(w='w')} AS tag FROM kb),
+prior AS (
+  SELECT tag, (count(*) + 1.0)
+              / ((SELECT count(*) FROM kbtag) + 50) AS prior
+  FROM kbtag GROUP BY tag)
+"""
+    _CLAUSE_HIT = ("s = kb.w OR (s = 'merge' AND kb.w = 'join')")
+    # round(x, 9) first: the raw lift can be an exact small rational
+    # (0.5) that engine-order ULPs push to either side — both engines
+    # collapse to the same 9-decimal value before the banker's round
+    _BANKERS = """
+CASE WHEN round(x, 9) - floor(round(x, 9)) = 0.5
+     THEN CAST(floor(x) AS BIGINT) + (CAST(floor(x) AS BIGINT) % 2)
+     ELSE CAST(round(round(x, 9)) AS BIGINT) END
+"""
+
+    doc_tags_sql = f"""
+WITH {_TAG_KB},
+nona AS (
+  SELECT doc_id, string_split(text, ' ') AS ws,
+         list_filter(string_split(text, ' '), t -> t != 'a') AS nws
+  FROM documents),
+q AS (
+  SELECT doc_id,
+         CASE WHEN len(nws) >= 30 THEN list_slice(nws, 1, 30)
+              ELSE list_concat(nws,
+                   list_slice(list_filter(ws, t -> t = 'a'),
+                              1, 30 - len(nws)))
+         END AS top30
+  FROM nona),
+qm AS (
+  SELECT doc_id, top30,
+         GREATEST(1, CAST(trunc(LEAST(3.0, len(top30) / 10.0)) AS INT))
+             AS msm
+  FROM q),
+ov AS (
+  SELECT qm.doc_id, kb.kb_id
+  FROM qm, kb
+  WHERE len(list_filter(qm.top30, s -> {_CLAUSE_HIT})) >= qm.msm),
+c AS (
+  SELECT ov.doc_id, kbtag.tag, count(*) AS c
+  FROM ov JOIN kbtag ON kbtag.kb_id = ov.kb_id
+  GROUP BY ov.doc_id, kbtag.tag),
+sc AS (
+  SELECT c.doc_id, c.tag, c.c,
+         0.1 * (c.c + 1) / (SUM(c.c) OVER (PARTITION BY c.doc_id) + 50)
+             / GREATEST(1e-6, prior.prior) AS x
+  FROM c JOIN prior USING (tag)),
+br AS (SELECT doc_id, tag, c, {_BANKERS} AS score FROM sc),
+r AS (SELECT *, row_number() OVER (PARTITION BY doc_id
+                                   ORDER BY score DESC, c DESC, tag)
+             AS rk
+      FROM br)
+SELECT doc_id, tag, c, score FROM r WHERE rk <= 3 AND score > 0
+"""
+
+    query_tags_sql = f"""
+WITH {_TAG_KB},
+ql AS (
+  SELECT 0 AS qid, ['the', 'fast', 'query', 'merge'] AS qs
+  UNION ALL
+  SELECT 1, ['the', 'spark', 'stream', 'window', 'flow']
+  UNION ALL
+  SELECT 2, ['big', 'the', 'small', 'table', 'scan']
+  UNION ALL
+  SELECT 3, ['column', 'group', 'the', 'vector', 'value']),
+ov AS (
+  SELECT ql.qid, kb.kb_id
+  FROM ql, kb
+  WHERE len(list_filter(ql.qs, s -> {_CLAUSE_HIT})) >= 1),
+c AS (
+  SELECT ov.qid, kbtag.tag, count(*) AS c
+  FROM ov JOIN kbtag ON kbtag.kb_id = ov.kb_id
+  GROUP BY ov.qid, kbtag.tag),
+sc AS (
+  SELECT c.qid, c.tag, c.c,
+         0.1 * (c.c + 1) / (SUM(c.c) OVER (PARTITION BY c.qid) + 50)
+             / GREATEST(1e-6, prior.prior) AS x
+  FROM c JOIN prior USING (tag)),
+br AS (SELECT qid, tag, c, {_BANKERS} AS score FROM sc),
+r AS (SELECT *, row_number() OVER (PARTITION BY qid
+                                   ORDER BY score DESC, c DESC, tag)
+             AS rk
+      FROM br)
+SELECT qid, tag, c, GREATEST(1, score) AS score FROM r WHERE rk <= 3
+"""
+
     # hybrid-rerank twin: the corpus vocabulary maps 1:1 surface->stem
     # and every word draws the same base weight (all [a-z]+, freq/df
     # fallbacks), except 'a' whose [a-z]{1,2} ner gate scales it by
@@ -1824,6 +1955,8 @@ FROM documents
         "search_docs": search_docs_sql,
         "search_expanded": search_expanded_sql,
         "rerank_fusion": rerank_fusion_sql,
+        "doc_tags": doc_tags_sql,
+        "query_tags": query_tags_sql,
         "media_features": media_features_sql,
         "frame_sample": frame_sample_sql,
         "audio_features": audio_features_sql,

@@ -1,0 +1,182 @@
+"""Tag-feature scoring: rag/nlp/search.py:454-491 (all_tags_in_portion,
+tag_content, tag_query) re-expressed relationally.
+
+The reference tags a document by *searching a tag knowledge base* with
+the document's top-weighted keywords (query.py:243-263 paragraph), then
+scoring each aggregated tag by its lift over the corpus-wide prior:
+
+    prior(t)       = (count_t + 1) / (total + S)          (search.py:465)
+    score(d, t)    = round(0.1 * (c + 1) / (cnt + S) / max(1e-6, prior))
+                                                          (search.py:475)
+
+with ``c`` the tag's count over the KB rows the doc's keyword query
+matched, ``cnt`` the sum over all aggregated tags, ``S = 1000``, and
+``round`` Python's banker's rounding (Spark ``bround``).
+
+Match semantics: paragraph() builds one should-clause per top-30
+token *occurrence* (duplicates count), each clause '(tk OR syns^0.2)'
+satisfied when the KB row contains the token or any of its synonyms,
+and an ES ``minimum_should_match`` of min(3, len(keywords)/10) —
+interpreted here as an absolute clause-hit count, truncated, floored at
+1 (the reference hands ES a float; clamping is this port's documented
+canon). Ties in the top-3 cut are broken (score desc, c desc, tag asc)
+— a deterministic stand-in for the reference's aggregation order.
+
+Scale shape: the tag KB is the curated small side — its term and tag
+tables BROADCAST; the corpus-side keyword pass is map-only Arrow; the
+only shuffles carry (doc_id, kb_id) clause-hit counts and (doc_id, tag)
+aggregates, never text.
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame, Window, functions as F
+
+S_SMOOTH = 1000
+
+
+def subject_clauses(subjects: DataFrame, id_col: str = "doc_id",
+                    text_col: str = "text", topn: int = 30,
+                    question: bool = False) -> DataFrame:
+    """(id, term, match_key, mult, msm): the should-clauses of the
+    keyword query paragraph()/question() builds for one subject.
+
+    - doc mode: tokens weighted per-occurrence (preprocess=False),
+      stable-sorted by weight desc, top-``topn`` kept (query.py:245-247)
+      — ``mult`` is the term's occurrence count inside that window,
+      ``msm`` = max(1, int(min(3, n/10)))
+    - question mode: rmWWW -> Dealer pipeline terms (query.py:84-91),
+      ``msm`` = 1 (tag_query passes min_match=0.0, search.py:481)
+    Each clause row fans out to its synonym match keys (clause satisfied
+    by ANY key; the consumer dedups per term before summing mult)."""
+    def gen(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from collections import Counter
+
+        from ragflow_spark.extractlib.huqie import tokenize
+        from ragflow_spark.extractlib.synonyms import SynonymDealer
+        from ragflow_spark.extractlib.termweight import (TermWeightDealer,
+                                                         rm_www)
+
+        dealer = TermWeightDealer()
+        syn = SynonymDealer()
+        for pdf in it:
+            out = {"id": [], "term": [], "match_key": [], "mult": [],
+                   "msm": []}
+            for sid, text in zip(pdf["id"], pdf[text_col]):
+                if question:
+                    terms = [t for t, _w in
+                             dealer.weights(dealer.split(rm_www(text)))]
+                    counts = Counter(terms)
+                    msm = 1
+                else:
+                    tks = tokenize(text).split()
+                    tks_w = dealer.weights(tks, preprocess=False)
+                    top = sorted(tks_w, key=lambda x: x[1] * -1)[:topn]
+                    counts = Counter(t for t, _w in top)
+                    msm = max(1, int(min(3.0, len(top) / 10)))
+                for t, n in counts.items():
+                    keys = [t] + tokenize(" ".join(syn.lookup(t))).split()
+                    for key in keys:
+                        out["id"].append(sid)
+                        out["term"].append(t)
+                        out["match_key"].append(key)
+                        out["mult"].append(n)
+                        out["msm"].append(msm)
+            yield pd.DataFrame(out)
+
+    return subjects.select(F.col(id_col).alias("id"), text_col) \
+        .mapInPandas(gen, schema="id long, term string, "
+                                 "match_key string, mult int, msm int")
+
+
+def kb_from_docs(docs: DataFrame) -> tuple[DataFrame, DataFrame]:
+    """Deterministic tag KB both engines can derive from ``documents``:
+    one KB row per doc whose match surface is the doc's FIRST huqie
+    token and whose single tag names that token ('w_' || stem). The
+    one-word surface makes matching selective — a subject only matches
+    the rows of words its top-30 window carries >= msm occurrences of —
+    which is what lets the lift score discriminate on a small corpus
+    (production KBs get their selectivity from scale instead). Returns
+    (kb_terms (kb_id, term), kb_tags (kb_id, tag))."""
+    def gen(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from ragflow_spark.extractlib.huqie import tokenize
+
+        for pdf in it:
+            ids, terms = [], []
+            for did, text in zip(pdf["doc_id"], pdf["text"]):
+                tks = tokenize(text).split()
+                if tks:
+                    ids.append(did)
+                    terms.append(tks[0])
+            yield pd.DataFrame({"kb_id": ids, "term": terms})
+
+    kb_terms = docs.select("doc_id", "text").mapInPandas(
+        gen, schema="kb_id long, term string")
+    kb_tags = kb_terms.select(
+        "kb_id", F.concat(F.lit("w_"), F.col("term")).alias("tag"))
+    return kb_terms, kb_tags
+
+
+def tag_features(subjects: DataFrame, kb_terms: DataFrame,
+                 kb_tags: DataFrame, id_col: str = "doc_id",
+                 text_col: str = "text", topn_tags: int = 3,
+                 question: bool = False,
+                 smooth: int = S_SMOOTH) -> DataFrame:
+    """(id, tag, c, score): tag_content/tag_query over a tag KB given as
+    kb_terms (kb_id, term — the row's distinct tokens) and kb_tags
+    (kb_id, tag). ``question=True`` switches to tag_query semantics
+    (msm 1, score floored at 1, no positive filter; search.py:479-491).
+    ``smooth`` is the reference's exposed S parameter (default 1000);
+    positive lift requires total > 5*cnt + 4*S, so S must scale with
+    the KB — production totals dwarf S=1000, a small corpus needs a
+    proportionally small S."""
+    clauses = subject_clauses(subjects, id_col, text_col,
+                              question=question)
+    hits = (
+        clauses.join(F.broadcast(kb_terms),
+                     clauses["match_key"] == kb_terms["term"])
+        .select("id", "kb_id", clauses["term"].alias("qterm"),
+                "mult", "msm")
+        # a clause is satisfied ONCE however many synonym keys hit
+        .dropDuplicates(["id", "kb_id", "qterm"])
+    )
+    matched = (
+        hits.groupBy("id", "kb_id", "msm")
+        .agg(F.sum("mult").alias("ov"))
+        .where(F.col("ov") >= F.col("msm"))
+        .select("id", "kb_id")
+    )
+
+    # per-subject aggregation of the matched rows' tags
+    c = (matched.join(F.broadcast(kb_tags), "kb_id")
+         .groupBy("id", "tag").agg(F.count("*").alias("c")))
+    cnt = F.sum("c").over(Window.partitionBy("id"))
+
+    # corpus-wide prior over the whole KB (all_tags_in_portion)
+    total = kb_tags.count()
+    prior = kb_tags.groupBy("tag").agg(
+        ((F.count("*") + 1) / F.lit(total + smooth)).alias("prior"))
+
+    scored = (
+        c.withColumn("cnt", cnt)
+        .join(F.broadcast(prior), "tag")
+        # the raw lift is often an exact small rational (0.5 for a
+        # perfectly-enriched tag); collapse engine-order ULP noise at 9
+        # decimals before the banker's round so the integer score is
+        # reproducible across engines
+        .withColumn("score", F.bround(F.round(
+            0.1 * (F.col("c") + 1) / (F.col("cnt") + smooth)
+            / F.greatest(F.lit(1e-6), F.col("prior")), 9)).cast("long"))
+    )
+    rank = F.row_number().over(
+        Window.partitionBy("id").orderBy(
+            F.col("score").desc(), F.col("c").desc(), F.col("tag")))
+    top = scored.withColumn("rk", rank).where(F.col("rk") <= topn_tags)
+    if question:
+        top = top.withColumn("score", F.greatest(F.lit(1), F.col("score")))
+    else:
+        top = top.where(F.col("score") > 0)
+    return top.select(F.col("id").alias(id_col), "tag", "c", "score")
