@@ -619,6 +619,47 @@ def _q_chunks_docx(spark: SparkSession, sf_dir: str) -> DataFrame:
     return chunk_office(build_docx_pages(spark, sf_dir))
 
 
+def _q_chunks_docx_img(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """naive_merge_docx (rag/nlp/__init__.py:577-606): the greedy
+    overshoot chunk fold with per-chunk vertical image concat (max
+    width, summed height; None propagation verbatim). Paragraph
+    sections carry a deterministic stub image on every third seq —
+    the pixel decode is the multimodal stub seam, the geometry is the
+    semantics under test. The groupBy(url) re-groups exploded sections;
+    a production pipeline folds inside the extraction pass itself
+    (sections never leave their document's partition)."""
+    import pandas as pd
+
+    from ragflow_spark.corpus.gen import build_docx_pages
+    from ragflow_spark.job.extract import chunk_office
+
+    secs = chunk_office(build_docx_pages(spark, sf_dir)) \
+        .where(F.col("kind") == "para")
+
+    def fold(pdf: pd.DataFrame) -> pd.DataFrame:
+        from ragflow_spark.extractlib.merge import naive_merge_docx
+
+        pdf = pdf.sort_values("seq")
+        sections = []
+        for seq, text in zip(pdf["seq"], pdf["text"]):
+            seq = int(seq)
+            img = (40 + (seq * 37) % 200,
+                   30 + (seq * 53) % 150) if seq % 3 == 0 else None
+            sections.append((text, img))
+        cks, imgs = naive_merge_docx(sections)
+        return pd.DataFrame({
+            "url": pdf["url"].iloc[0],
+            "chunk_seq": range(len(cks)),
+            "chunk_text": cks,
+            "img_w": [i[0] if i else None for i in imgs],
+            "img_h": [i[1] if i else None for i in imgs],
+        })
+
+    return secs.groupBy("url").applyInPandas(
+        fold, schema="url string, chunk_seq int, chunk_text string, "
+                     "img_w int, img_h int")
+
+
 def _q_chunks_xlsx(spark: SparkSession, sf_dir: str) -> DataFrame:
     """XLSX path: from-scratch SpreadsheetML parse (workbook rels,
     inline strings, numeric cells) and the 'header：value; ...' row
@@ -874,6 +915,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tokenize_docs": _q_tokenize_docs,
         "tokenize_huqie": _q_tokenize_huqie,
         "chunks_docx": _q_chunks_docx,
+        "chunks_docx_img": _q_chunks_docx_img,
         "chunks_xlsx": _q_chunks_xlsx,
         "chunks_pptx": _q_chunks_pptx,
         "term_weights": _q_term_weights,
@@ -1255,6 +1297,44 @@ SELECT url, CAST(i - 1 AS INT) AS seq, 'table' AS kind,
 FROM (SELECT url, doc_id, unnest(range(1, 4 + doc_id % 4)) AS i
       FROM base WHERE doc_id % 2 = 1)
 """
+
+    # naive_merge_docx twin: para sections re-indexed consecutively
+    # (title, then heading/content pairs), same recursive overshoot
+    # fold as chunks_naive, stub image on every third 0-based seq;
+    # per-chunk image = (max width, summed height) over non-null
+    # sections, NULL when none (concat_img is associative on this)
+    chunks_docx_img_sql = _docx_base + f"""
+, psec AS (
+    SELECT url, 1 AS i, title AS s FROM base
+    UNION ALL
+    SELECT url, 2 * item.i AS i, item.i || ' Part ' || item.i AS s
+    {_docx_items}
+    UNION ALL
+    SELECT url, 2 * item.i + 1 AS i, item.p AS s
+    {_docx_items}
+), toks AS (
+    SELECT url, i, s, {_SEC_TOKENS} AS t,
+           CASE WHEN (i - 1) % 3 = 0
+                THEN 40 + ((i - 1) * 37) % 200 END AS w,
+           CASE WHEN (i - 1) % 3 = 0
+                THEN 30 + ((i - 1) * 53) % 150 END AS h
+    FROM psec
+), fold AS (
+    SELECT url, i, 0 AS cidx, t AS cur FROM toks WHERE i = 1
+    UNION ALL
+    SELECT s.url, s.i,
+           CASE WHEN f.cur > 128 THEN f.cidx + 1 ELSE f.cidx END,
+           CASE WHEN f.cur > 128 THEN s.t ELSE f.cur + s.t END
+    FROM fold f JOIN toks s ON s.url = f.url AND s.i = f.i + 1
+)
+SELECT f.url, CAST(f.cidx AS INT) AS chunk_seq,
+       array_to_string(list(s.s ORDER BY s.i), '') AS chunk_text,
+       CAST(MAX(s.w) AS INT) AS img_w, CAST(SUM(s.h) AS INT) AS img_h
+FROM fold f JOIN toks s ON s.url = f.url AND s.i = f.i
+GROUP BY f.url, f.cidx
+"""
+    chunks_docx_img_sql = chunks_docx_img_sql.replace(
+        "WITH doc AS", "WITH RECURSIVE doc AS", 1)
 
     # quirk mirrored: the reference skips FALSY cells ('if not
     # c.value', excel_parser.py:114) — a 0 cell drops its field
@@ -1949,6 +2029,7 @@ FROM documents
         "tokenize_docs": tokenize_docs_sql,
         "tokenize_huqie": tokenize_huqie_sql,
         "chunks_docx": chunks_docx_sql,
+        "chunks_docx_img": chunks_docx_img_sql,
         "chunks_xlsx": chunks_xlsx_sql,
         "chunks_pptx": chunks_pptx_sql,
         "term_weights": term_weights_sql,

@@ -328,6 +328,47 @@ def naive_merge(sections, chunk_token_num: int = 128,
     return cks
 
 
+def concat_img(img1, img2):
+    """Vertical image stack (reference rag/nlp/__init__.py:556-574) on
+    (width, height) metadata: new = (max widths, summed heights). The
+    pixel paste is PIL-bound in the reference; here images are the
+    multimodal stub-codec surface, so only the geometry is computed —
+    the None-propagation rules are kept verbatim."""
+    if img1 and not img2:
+        return img1
+    if not img1 and img2:
+        return img2
+    if not img1 and not img2:
+        return None
+    return (max(img1[0], img2[0]), img1[1] + img2[1])
+
+
+def naive_merge_docx(sections, chunk_token_num: int = 128,
+                     delimiter: str = "\n。；！？"):
+    """naive_merge + per-chunk image accumulation (reference
+    rag/nlp/__init__.py:577-606): same greedy overshoot accumulator,
+    each chunk carrying the vertical concat of its sections' images.
+    ``sections`` is [(text, (width, height) | None)]; returns
+    (chunks, images). The reference passes pos='' for every docx
+    section, so the tag branches reduce to plain append."""
+    if not sections:
+        return [], []
+    cks = [""]
+    images = [None]
+    tk_nums = [0]
+    for sec, image in sections:
+        tnum = num_tokens_from_string(sec)
+        if tk_nums[-1] > chunk_token_num:
+            cks.append(sec)
+            images.append(image)
+            tk_nums.append(tnum)
+        else:
+            cks[-1] += sec
+            images[-1] = concat_img(images[-1], image)
+            tk_nums[-1] += tnum
+    return cks, images
+
+
 def rm_space(txt: str) -> str:
     """Space removal around CJK-ish boundaries (rag/utils/__init__.py:
     37-39): spaces survive only between latin/digit/punct neighbors."""

@@ -2,11 +2,13 @@
 
 from ragflow_spark.extractlib.merge import (
     bullets_category,
+    concat_img,
     hierarchical_merge,
     is_chinese,
     is_english,
     make_colon_as_title,
     naive_merge,
+    naive_merge_docx,
     not_bullet,
     remove_contents_table,
 )
@@ -26,6 +28,30 @@ def test_naive_merge_overshoot_by_one_section():
 def test_naive_merge_single_small_section():
     assert naive_merge(["tiny"]) == ["tiny"]
     assert naive_merge([]) == []
+
+
+def test_concat_img_geometry_and_none_rules():
+    # None propagation verbatim (rag/nlp/__init__.py:557-562)
+    assert concat_img((10, 20), None) == (10, 20)
+    assert concat_img(None, (10, 20)) == (10, 20)
+    assert concat_img(None, None) is None
+    # vertical stack: max width, summed height
+    assert concat_img((10, 20), (30, 5)) == (30, 25)
+
+
+def test_naive_merge_docx_chunks_and_images():
+    secs = [(("x " * 60).strip(), (100, 10)),
+            (("y " * 60).strip(), None),
+            (("z " * 60).strip(), (50, 7)),
+            (("w " * 10).strip(), (200, 3))]
+    cks, imgs = naive_merge_docx(secs, chunk_token_num=100)
+    # same overshoot fold as naive_merge: [x+y], [z+w]
+    assert len(cks) == 2
+    assert cks[0] == secs[0][0] + secs[1][0]
+    # chunk images: concat over the chunk's sections
+    assert imgs[0] == (100, 10)
+    assert imgs[1] == (200, 10)
+    assert naive_merge_docx([]) == ([], [])
 
 
 def test_naive_merge_position_tag_rules():
