@@ -748,6 +748,44 @@ def _q_search_expanded(spark: SparkSession, sf_dir: str) -> DataFrame:
     return keyword_search_expanded(docs, _search_queries(spark), k=5)
 
 
+_CITE_CHUNKS = [
+    "fast query merge table scan",
+    "spark stream window data row",
+    "big small filter group sort",
+    "vector value column key line",
+    "customer order part batch join",
+    "hash dup slow key scan",
+]
+_CITE_ANSWERS = [
+    (0, "spark merges the fast query table"),
+    (1, "stream window rows flow past spark"),
+    (2, "small filters group big sorts"),
+    (3, "vector values fill the key column"),
+]
+
+
+def _q_cite_answers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """insert_citations (search.py:163-250): single-sentence answers
+    scored 0.1/0.9 token/vector hybrid against a 6-chunk retrieval
+    page; ##k$$ markers appended for every chunk within 1% of the
+    best similarity once it clears the decaying 0.63*0.8^n > 0.3
+    threshold. The answer vector (embedding-model seam) is
+    0.8*chunk_vec(qid) + 0.2*vec(20+qid) in double precision — close
+    to its topic chunk, so the gate genuinely fires."""
+    from ragflow_spark.operators.retrieval import cite_answers
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    vec = {r["vec_id"]: [float(x) for x in r["embedding"]]
+           for r in emb.where(F.col("vec_id") < 26).collect()}
+    chunk_v = [vec[i] for i in range(6)]
+    answers = spark.createDataFrame(
+        [(qid, a,
+          [0.8 * c + 0.2 * r for c, r in zip(vec[qid], vec[20 + qid])])
+         for qid, a in _CITE_ANSWERS],
+        schema="qid long, answer string, vec array<double>")
+    return cite_answers(answers, _CITE_CHUNKS, chunk_v)
+
+
 def _q_doc_tags(spark: SparkSession, sf_dir: str) -> DataFrame:
     """tag_content (search.py:466-477): each document's top-30 weighted
     keyword clauses (synonyms honored, msm = min(3, n/10)) searched
@@ -924,6 +962,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rerank_fusion": _q_rerank_fusion,
         "doc_tags": _q_doc_tags,
         "query_tags": _q_query_tags,
+        "cite_answers": _q_cite_answers,
         "events_rollup": _q_events_rollup,
         "events_props": _q_events_props,
         "chunks_txt": _q_chunks_txt,
@@ -1406,6 +1445,67 @@ r AS (SELECT qid, doc_id, score,
       FROM scores WHERE tftot > 0)
 SELECT qid, CAST(rank AS INT) AS rank, doc_id, score
 FROM r WHERE rank <= 5
+"""
+
+    # insert_citations twin: single-piece answers, so the decaying
+    # threshold reduces to one gate (0.63*0.8^3 — the float product,
+    # reproduced as the same expression) and the cite set is the
+    # >0.99*max band. Hand-verified hybrid inputs: every chunk has 5
+    # distinct equal-weight stems (dtwt = 1/5, |dtwt| = 5), answers
+    # have m equal-weight stems, k = stem overlap per chunk
+    _cite_rows = []
+    _cite_k = {0: (5, [4, 1, 0, 0, 0, 0]), 1: (6, [0, 4, 0, 0, 0, 0]),
+               2: (5, [0, 0, 5, 0, 0, 0]), 3: (5, [0, 0, 0, 4, 0, 1])}
+    for _qid, _ans in _CITE_ANSWERS:
+        _m, _ks = _cite_k[_qid]
+        for _cid, _k in enumerate(_ks):
+            _cite_rows.append(f"SELECT {_qid} AS qid, '{_ans}' AS "
+                              f"answer, {_cid} AS cid, {_k} AS k, "
+                              f"{_m} AS m")
+    _cite_k_sql = "\n    UNION ALL\n    ".join(_cite_rows)
+    _cite_dot = _DUCK_DOT.format(a="qn.v", b="cn.v")
+    _cite_nrm = _DUCK_NORM.format(v="v")
+    cite_answers_sql = f"""
+WITH n AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+                  {_cite_nrm} AS nrm
+           FROM embeddings),
+k AS (
+    {_cite_k_sql}
+),
+sims AS (
+    SELECT k.qid, k.answer, k.cid,
+           0.1 * sqrt(3.0 * ((1e-9 + k.k / (5.0 * k.m))
+                             / (1e-9 + 1.0 / k.m) / log10(517.0)))
+           + 0.9 * COALESCE({_cite_dot} / (qn.nrm * cn.nrm), 0.0) AS sim
+    FROM k
+    LEFT JOIN n cn ON cn.vec_id = k.cid
+    LEFT JOIN (
+        SELECT c.vec_id AS qid,
+               list_transform(range(len(c.v)),
+                              i -> 0.8 * c.v[i + 1] + 0.2 * r.v[i + 1])
+                   AS v,
+               {_DUCK_NORM.format(v=('list_transform(range(len(c.v)), '
+                                     'i -> 0.8 * c.v[i + 1] + '
+                                     '0.2 * r.v[i + 1])'))} AS nrm
+        FROM n c JOIN n r ON r.vec_id = c.vec_id + 20
+        WHERE c.vec_id < 4
+    ) qn ON qn.qid = k.qid
+),
+g AS (SELECT qid, answer, max(sim) * 0.99 AS mx
+      FROM sims GROUP BY qid, answer),
+cited AS (
+    SELECT s.qid, s.cid,
+           row_number() OVER (PARTITION BY s.qid ORDER BY s.cid) AS rk
+    FROM sims s JOIN g USING (qid)
+    WHERE g.mx >= 0.63 * 0.8 * 0.8 * 0.8 AND s.sim > g.mx
+)
+SELECT g.qid,
+       g.answer || COALESCE(string_agg(' ##' || c.cid || '$$', ''
+                                       ORDER BY c.cid), '') AS cited,
+       COALESCE(string_agg(CAST(c.cid AS VARCHAR), ','
+                           ORDER BY c.cid), '') AS cites
+FROM g LEFT JOIN (SELECT * FROM cited WHERE rk <= 4) c USING (qid)
+GROUP BY g.qid, g.answer
 """
 
     # expanded-search twin: base terms at equal shares w = x/m, synonyms
@@ -2038,6 +2138,7 @@ FROM documents
         "rerank_fusion": rerank_fusion_sql,
         "doc_tags": doc_tags_sql,
         "query_tags": query_tags_sql,
+        "cite_answers": cite_answers_sql,
         "media_features": media_features_sql,
         "frame_sample": frame_sample_sql,
         "audio_features": audio_features_sql,

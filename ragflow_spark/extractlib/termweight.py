@@ -54,6 +54,59 @@ def rm_www(txt: str) -> str:
     return txt
 
 
+def to_weight_dict(dealer: "TermWeightDealer",
+                   tks: list[str]) -> dict[str, float]:
+    """query.py:216-222 toDict: normalized Dealer weights accumulated
+    per term (duplicate occurrences sum)."""
+    d: dict[str, float] = {}
+    for t, w in dealer.weights(tks, preprocess=False):
+        d[t] = d.get(t, 0.0) + w
+    return d
+
+
+def similarity(qtwt: dict[str, float], dtwt: dict[str, float]) -> float:
+    """query.py:228-241: sqrt(3 * s / q / log10(|dtwt| + 512)) with the
+    1e-9 floors."""
+    s = 1e-9
+    for k, v in qtwt.items():
+        if k in dtwt:
+            s += v * dtwt[k]
+    q = 1e-9
+    for v in qtwt.values():
+        q += v * v
+    return math.sqrt(3.0 * (s / q / math.log10(len(dtwt) + 512)))
+
+
+def token_similarity(dealer: "TermWeightDealer", atks: list[str],
+                     btkss: list[list[str]]) -> list[float]:
+    """query.py:215-226."""
+    qtwt = to_weight_dict(dealer, atks)
+    return [similarity(qtwt, to_weight_dict(dealer, btks))
+            for btks in btkss]
+
+
+def hybrid_similarity(avec, bvecs, atks: list[str],
+                      btkss: list[list[str]], dealer: "TermWeightDealer",
+                      tkweight: float = 0.3, vtweight: float = 0.7):
+    """query.py:205-213: cosine fusion with the all-cosines-zero
+    fallback to pure token similarity. Returns (sim, tksim, vtsim) as
+    lists."""
+    import numpy as np
+
+    a = np.asarray(avec, dtype=float)
+    b = np.asarray(bvecs, dtype=float)
+    an = np.linalg.norm(a)
+    bn = np.linalg.norm(b, axis=1)
+    denom = an * bn
+    sims = np.where(denom > 0, b @ a / np.where(denom > 0, denom, 1.0),
+                    0.0)
+    tksim = token_similarity(dealer, atks, btkss)
+    if float(np.sum(sims)) == 0.0:
+        return list(np.array(tksim)), tksim, list(sims)
+    fused = sims * vtweight + np.array(tksim) * tkweight
+    return list(fused), tksim, list(sims)
+
+
 class TermWeightDealer:
     """term_weight.py Dealer (module docstring for the seam notes)."""
 

@@ -224,6 +224,37 @@ def keyword_search_expanded(docs: DataFrame, queries: DataFrame,
     )
 
 
+def cite_answers(answers: DataFrame, chunks: list[str],
+                 chunk_v: list[list[float]], tkweight: float = 0.1,
+                 vtweight: float = 0.9) -> DataFrame:
+    """(qid, cited, cites): insert_citations (search.py:163-250) over a
+    DataFrame of answers carrying their piece embedding in ``vec``
+    (the embedding-model seam composes upstream; single-sentence
+    answers need exactly one vector). ``chunks``/``chunk_v`` are the
+    retrieval page for the answer — a per-query handful of rows, passed
+    by value into the Arrow closure the way the reference passes them
+    by argument. Map-only plan: answers never shuffle."""
+    def gen(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from ragflow_spark.extractlib.citations import insert_citations
+
+        for pdf in it:
+            qids, cited, cites = [], [], []
+            for qid, answer, vec in zip(pdf["qid"], pdf["answer"],
+                                        pdf["vec"]):
+                res, seted = insert_citations(
+                    answer, chunks, chunk_v,
+                    encode=lambda texts, v=vec: [list(v)] * len(texts),
+                    tkweight=tkweight, vtweight=vtweight)
+                qids.append(qid)
+                cited.append(res)
+                cites.append(",".join(sorted(seted, key=int)))
+            yield pd.DataFrame({"qid": qids, "cited": cited,
+                                "cites": cites})
+
+    return answers.select("qid", "answer", "vec").mapInPandas(
+        gen, schema="qid long, cited string, cites string")
+
+
 def doc_term_weights(docs: DataFrame, id_col: str = "doc_id",
                      text_col: str = "text") -> DataFrame:
     """(id, term, dw): the document side of token_similarity
