@@ -148,6 +148,27 @@ def main() -> None:
     run("fingerprints", lambda: fingerprints(docs)
         .write.format("noop").mode("overwrite").save())
 
+    # retrieval stack (round 2): keyword search over the full corpus +
+    # hybrid rerank of its candidates + tag-KB lift scoring
+    from ragflow_spark.operators.retrieval import (keyword_search,
+                                                   rerank_fusion)
+    from ragflow_spark.operators.tagging import kb_from_docs, tag_features
+
+    queries = spark.createDataFrame(
+        [(0, "what is the fast query merge"),
+         (1, "where does the spark stream window flow"),
+         (2, "how big is the small table scan"),
+         (3, "which column group has the vector value")],
+        schema="qid long, question string")
+    run("search_docs", lambda: keyword_search(docs, queries)
+        .write.format("noop").mode("overwrite").save())
+    run("rerank_fusion", lambda: rerank_fusion(docs, emb, queries)
+        .write.format("noop").mode("overwrite").save())
+    kb_terms, kb_tags = kb_from_docs(docs)
+    run("doc_tags", lambda: tag_features(docs, kb_terms, kb_tags,
+                                         smooth=50)
+        .write.format("noop").mode("overwrite").save())
+
     total = round(sum(timings.values()), 3)
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     print(json.dumps({

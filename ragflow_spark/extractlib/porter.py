@@ -12,6 +12,8 @@ stemming there is corpus-bound and is a documented divergence
 
 from __future__ import annotations
 
+from functools import lru_cache
+
 _VOWELS = set("aeiou")
 
 
@@ -79,6 +81,7 @@ _STEP4 = ["al", "ance", "ence", "er", "ic", "able", "ible", "ant",
           "ive", "ize"]
 
 
+@lru_cache(maxsize=1 << 16)
 def stem(word: str) -> str:
     w = word.lower()
     if len(w) <= 2:

@@ -118,6 +118,7 @@ class TermWeightDealer:
         self.sk = set()
         self.stop_words = stop_words or set(STOP_WORDS)
         self._tok = default_tokenizer()
+        self._memo: dict[str, float] = {}
 
     def pretoken(self, txt: str, num: bool = False,
                  stpwd: bool = True) -> list[str]:
@@ -245,14 +246,23 @@ class TermWeightDealer:
     def _idf(s: float, n: float) -> float:
         return math.log10(10 + ((n - s + 0.5) / (s + 0.5)))
 
-    def weights(self, tks: list[str],
-                preprocess: bool = True) -> list[tuple[str, float]]:
-        def one(t: str) -> float:
+    def _one(self, t: str) -> float:
+        """Unnormalized weight of one term — a pure function of the
+        term, memoized (Zipf makes the distinct-term set tiny relative
+        to the token stream; this is the tokenization hot path)."""
+        w = self._memo.get(t)
+        if w is None:
             idf1 = self._idf(self._freq(t), 10000000)
             idf2 = self._idf(self._df(t), 1000000000)
-            return ((0.3 * idf1 + 0.7 * idf2)
-                    * self._ner_mult(t) * self._postag_mult(t))
+            w = ((0.3 * idf1 + 0.7 * idf2)
+                 * self._ner_mult(t) * self._postag_mult(t))
+            if len(self._memo) < (1 << 16):
+                self._memo[t] = w
+        return w
 
+    def weights(self, tks: list[str],
+                preprocess: bool = True) -> list[tuple[str, float]]:
+        one = self._one
         tw: list[tuple[str, float]] = []
         if not preprocess:
             tw = [(t, one(t)) for t in tks]

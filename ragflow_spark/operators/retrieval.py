@@ -305,14 +305,19 @@ def rerank_fusion(docs: DataFrame, embeddings: DataFrame,
     broadcast; the only exchanges carry (qid, doc_id, scalar) rows.
     Missing embeddings fall back to the reference's zero vector
     (search.py:288-295) -> cosine 0."""
-    cands = keyword_search(docs, queries, k=topn).select("qid", "doc_id")
+    # the candidate set (<= n_queries * topn rows) feeds three branches;
+    # cache it so Spark's tree-shaped plans don't re-derive the whole
+    # keyword_search DAG (postings + top-k) once per branch
+    cands = keyword_search(docs, queries, k=topn) \
+        .select("qid", "doc_id").cache()
     cand_ids = cands.select("doc_id").distinct()
-    dtw = doc_term_weights(docs.join(F.broadcast(cand_ids), "doc_id"))
+    dtw = doc_term_weights(
+        docs.join(F.broadcast(cand_ids), "doc_id")).cache()
     dstats = dtw.groupBy("doc_id").agg(F.count("*").alias("dlen"))
     # toDict accumulates duplicate stems into one entry (query.py:218-221)
     # BEFORE the norm, so collapse repeats here too
     qtw = query_terms(queries).groupBy("qid", "term").agg(
-        F.sum("weight").alias("weight"))
+        F.sum("weight").alias("weight")).cache()
     qnorm = qtw.groupBy("qid").agg(
         F.sum(F.col("weight") * F.col("weight")).alias("qq"))
 
