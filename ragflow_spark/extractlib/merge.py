@@ -328,6 +328,26 @@ def naive_merge(sections, chunk_token_num: int = 128,
     return cks
 
 
+def docx_question_level(text: str, style_name: str = "",
+                        bull: int = -1) -> tuple[int, str]:
+    """Heading level of a docx paragraph (reference
+    rag/nlp/__init__.py:544-555): 'Heading N' styles win outright;
+    otherwise the bullet-pattern group index + 1, with the two
+    reference fallbacks (0 when no bullet family was voted, the
+    family's size when nothing matches). Takes (text, style name)
+    instead of a python-docx paragraph object — that is what
+    docxparse emits."""
+    txt = re.sub("　", " ", text).strip()
+    if style_name.startswith("Heading"):
+        return int(style_name.split(" ")[-1]), txt
+    if bull < 0:
+        return 0, txt
+    for j, title in enumerate(BULLET_PATTERN[bull]):
+        if re.match(title, txt):
+            return j + 1, txt
+    return len(BULLET_PATTERN[bull]), txt
+
+
 def concat_img(img1, img2):
     """Vertical image stack (reference rag/nlp/__init__.py:556-574) on
     (width, height) metadata: new = (max widths, summed heights). The

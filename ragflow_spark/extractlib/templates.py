@@ -74,6 +74,20 @@ def chunks_with_ids(chunks: list[str], url: str) -> list[tuple[int, str, str]]:
     return out
 
 
+def chunks_with_ids_docx(chunks: list[str], images: list,
+                         url: str) -> list[tuple[int, str, str, object]]:
+    """tokenize_chunks_docx (rag/nlp/__init__.py:280-292): the docx
+    variant rides each chunk's accumulated image along into the output
+    row; whitespace-only chunks are skipped together with their image.
+    """
+    out = []
+    for seq, (text, image) in enumerate(zip(chunks, images)):
+        if not text.strip():
+            continue
+        out.append((seq, text, chunk_id(text, url), image))
+    return out
+
+
 def chunk_paper_pdf(binary: bytes,
                     keep_tags: bool = False) -> list[str]:
     """paper template, Plain-PDF path (rag/app/paper.py:186-208): pivot on

@@ -54,6 +54,39 @@ def test_naive_merge_docx_chunks_and_images():
     assert naive_merge_docx([]) == ([], [])
 
 
+def test_docx_question_level():
+    from ragflow_spark.extractlib.merge import docx_question_level
+
+    # Heading styles win outright
+    assert docx_question_level("Intro", "Heading 2") == (2, "Intro")
+    # no bullet family voted -> level 0
+    assert docx_question_level("plain text") == (0, "plain text")
+    # english family (group 3): Section -> index 2 -> level 3
+    assert docx_question_level("Section 4 overview", "Normal", 3) == \
+        (3, "Section 4 overview")
+    # no pattern matches -> the family's size
+    assert docx_question_level("free prose", "Normal", 3) == \
+        (4, "free prose")
+    # ideographic space normalized before matching
+    assert docx_question_level("　Article 7　", "Normal", 3) == \
+        (4 , "Article 7")
+
+
+def test_chunks_with_ids_docx_rides_images():
+    from ragflow_spark.extractlib.templates import (chunks_with_ids,
+                                                    chunks_with_ids_docx)
+
+    chunks = ["first chunk", "   ", "third chunk"]
+    images = [(10, 20), (5, 5), None]
+    rows = chunks_with_ids_docx(chunks, images, "http://u")
+    # whitespace-only chunk skipped together with its image
+    assert [(r[0], r[1], r[3]) for r in rows] == \
+        [(0, "first chunk", (10, 20)), (2, "third chunk", None)]
+    # ids agree with the text-only variant
+    plain = {r[1]: r[2] for r in chunks_with_ids(chunks, "http://u")}
+    assert all(r[2] == plain[r[1]] for r in rows)
+
+
 def test_naive_merge_position_tag_rules():
     # tags dropped for sections under 8 tokens; appended otherwise
     small = [("tiny sec", "@@1\t0\t0\t0\t0##")]
