@@ -660,6 +660,35 @@ def _q_chunks_docx_img(spark: SparkSession, sf_dir: str) -> DataFrame:
                      "img_w int, img_h int")
 
 
+def _q_chunks_laws_docx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """laws template, DOCX branch (rag/app/laws.py:57-100): Heading
+    styles + bullet-family levels drive the nested outline walk —
+    the title chunk collects every heading as its children (first
+    populated deeper level), each heading chunk collects its body,
+    and visited one-line spans are skipped."""
+    import pandas as pd
+
+    from ragflow_spark.corpus.gen import build_docx_pages
+
+    pages = build_docx_pages(spark, sf_dir)
+
+    def gen(it):
+        from ragflow_spark.extractlib.templates import chunk_laws_docx
+
+        for pdf in it:
+            urls, seqs, texts = [], [], []
+            for url, blob in zip(pdf["url"], pdf["html"]):
+                for seq, text in enumerate(chunk_laws_docx(bytes(blob))):
+                    urls.append(url)
+                    seqs.append(seq)
+                    texts.append(text)
+            yield pd.DataFrame({"url": urls, "chunk_seq": seqs,
+                                "chunk_text": texts})
+
+    return pages.select("url", "html").mapInPandas(
+        gen, schema="url string, chunk_seq int, chunk_text string")
+
+
 def _q_chunks_xlsx(spark: SparkSession, sf_dir: str) -> DataFrame:
     """XLSX path: from-scratch SpreadsheetML parse (workbook rels,
     inline strings, numeric cells) and the 'header：value; ...' row
@@ -954,6 +983,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tokenize_huqie": _q_tokenize_huqie,
         "chunks_docx": _q_chunks_docx,
         "chunks_docx_img": _q_chunks_docx_img,
+        "chunks_laws_docx": _q_chunks_laws_docx,
         "chunks_xlsx": _q_chunks_xlsx,
         "chunks_pptx": _q_chunks_pptx,
         "term_weights": _q_term_weights,
@@ -1336,6 +1366,21 @@ SELECT url, CAST(i - 1 AS INT) AS seq, 'table' AS kind,
 FROM (SELECT url, doc_id, unnest(range(1, 4 + doc_id % 4)) AS i
       FROM base WHERE doc_id % 2 = 1)
 """
+
+    # laws-docx twin: 'heading 1' title collects every 'heading 2' as
+    # its children (level 2 is the first populated deeper level); each
+    # heading collects its Normal body (level = unmatched bullet-family
+    # size); visited one-line spans vanish
+    chunks_laws_docx_sql = _docx_base + """
+SELECT url, 0 AS chunk_seq,
+       title || chr(10) || array_to_string(
+           list_transform(paras, (p, i) -> i || ' Part ' || i),
+           chr(10)) AS chunk_text
+FROM base
+UNION ALL
+SELECT url, CAST(item.i AS INT) AS chunk_seq,
+       item.i || ' Part ' || item.i || chr(10) || item.p AS chunk_text
+""" + _docx_items
 
     # naive_merge_docx twin: para sections re-indexed consecutively
     # (title, then heading/content pairs), same recursive overshoot
@@ -2130,6 +2175,7 @@ FROM documents
         "tokenize_huqie": tokenize_huqie_sql,
         "chunks_docx": chunks_docx_sql,
         "chunks_docx_img": chunks_docx_img_sql,
+        "chunks_laws_docx": chunks_laws_docx_sql,
         "chunks_xlsx": chunks_xlsx_sql,
         "chunks_pptx": chunks_pptx_sql,
         "term_weights": term_weights_sql,

@@ -338,7 +338,9 @@ def docx_question_level(text: str, style_name: str = "",
     instead of a python-docx paragraph object — that is what
     docxparse emits."""
     txt = re.sub("　", " ", text).strip()
-    if style_name.startswith("Heading"):
+    # python-docx maps the spec's lowercase 'heading N' w:name to the
+    # UI name 'Heading N' the reference matches on; compare folded
+    if style_name.lower().startswith("heading"):
         return int(style_name.split(" ")[-1]), txt
     if bull < 0:
         return 0, txt

@@ -173,6 +173,50 @@ def chunk_laws_html(binary: bytes) -> list[str]:
     return ["\n".join(ck) for ck in hierarchical_merge(bull, sections, 5)]
 
 
+def chunk_laws_docx(binary: bytes) -> list[str]:
+    """laws template, DOCX branch (rag/app/laws.py:57-100): paragraph
+    question levels (Heading styles > bullet families) drive a nested
+    outline walk — each line opens a span up to the next line at its
+    level or higher, collects the first populated deeper level as its
+    children (marking them visited), and a span of one that is already
+    someone's child is skipped. Page-break counting is honored by
+    parse_docx's window; the default window never truncates."""
+    from .docxparse import parse_docx
+    from .merge import docx_question_level
+
+    secs, _tbls = parse_docx(binary)
+    bull = bullets_category([t for t, _s in secs])
+    lines: list[tuple[int, str]] = []
+    for text, style in secs:
+        level, txt = docx_question_level(text, style, bull)
+        if not txt.strip("\n"):
+            continue
+        lines.append((level, txt))
+
+    visit = [False] * len(lines)
+    sections: list[str] = []
+    for s in range(len(lines)):
+        e = s + 1
+        while e < len(lines):
+            if lines[e][0] <= lines[s][0]:
+                break
+            e += 1
+        if e - s == 1 and visit[s]:
+            continue
+        sec: list[str] = []
+        next_level = lines[s][0] + 1
+        while not sec and next_level < 22:
+            for i in range(s + 1, e):
+                if lines[i][0] != next_level:
+                    continue
+                sec.append(lines[i][1])
+                visit[i] = True
+            next_level += 1
+        sec.insert(0, lines[s][1])
+        sections.append("\n".join(sec))
+    return [s for s in sections if s]
+
+
 def chunk_laws_pdf(binary: bytes) -> list[str]:
     """laws template, PDF branch (laws.py:165-169,198-208): rule-chain
     sections with position tags, same hierarchical merge, tags stripped

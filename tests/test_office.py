@@ -160,3 +160,33 @@ def test_malformed_inputs():
     assert parse_docx(b"") == ([], [])
     assert parse_docx(b"PK\x03\x04junk") == ([], [])
     assert load_sheets(b"PK\x03\x04junk") == []
+
+
+def test_chunk_laws_docx_outline_walk():
+    from ragflow_spark.extractlib.officegen import build_docx
+    from ragflow_spark.extractlib.templates import chunk_laws_docx
+
+    paras = [("My Title", "Heading1"),
+             ("1 Part 1", "Heading2"), ("alpha beta gamma", None),
+             ("2 Part 2", "Heading2"), ("delta words", None)]
+    out = chunk_laws_docx(build_docx(paras, []))
+    # title collects the headings (first populated deeper level);
+    # each heading collects its body; visited bodies vanish
+    assert out == ["My Title\n1 Part 1\n2 Part 2",
+                   "1 Part 1\nalpha beta gamma",
+                   "2 Part 2\ndelta words"]
+
+
+def test_chunk_laws_docx_bullet_levels_without_styles():
+    from ragflow_spark.extractlib.officegen import build_docx
+    from ragflow_spark.extractlib.templates import chunk_laws_docx
+
+    # all Normal paragraphs: levels come from the voted bullet family
+    # (group 3: Chapter=2, Section=3, Article=4)
+    paras = [("Chapter I", None),
+             ("Section 1", None), ("Article 1 first rule", None),
+             ("Section 2", None), ("Article 2 second rule", None)]
+    out = chunk_laws_docx(build_docx(paras, []))
+    assert out[0] == "Chapter I\nSection 1\nSection 2"
+    assert "Section 1\nArticle 1 first rule" in out
+    assert "Section 2\nArticle 2 second rule" in out
