@@ -689,6 +689,38 @@ def _q_chunks_laws_docx(spark: SparkSession, sf_dir: str) -> DataFrame:
         gen, schema="url string, chunk_seq int, chunk_text string")
 
 
+def _q_chunks_qa_docx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """QA template, DOCX branch (rag/app/qa.py:201-239): Heading
+    paragraphs stack into hierarchical questions, Normal paragraphs
+    accumulate answers (leading-newline quirk kept), each new
+    same-or-higher heading flushes a (stacked question, answer) pair.
+    """
+    import pandas as pd
+
+    from ragflow_spark.corpus.gen import build_docx_pages
+
+    pages = build_docx_pages(spark, sf_dir)
+
+    def gen(it):
+        from ragflow_spark.extractlib.qa import qa_pairs_from_docx
+
+        for pdf in it:
+            urls, seqs, qs, ans = [], [], [], []
+            for url, blob in zip(pdf["url"], pdf["html"]):
+                for seq, (q, a) in enumerate(
+                        qa_pairs_from_docx(bytes(blob))):
+                    urls.append(url)
+                    seqs.append(seq)
+                    qs.append(q)
+                    ans.append(a)
+            yield pd.DataFrame({"url": urls, "pair_seq": seqs,
+                                "question": qs, "answer": ans})
+
+    return pages.select("url", "html").mapInPandas(
+        gen, schema="url string, pair_seq int, question string, "
+                    "answer string")
+
+
 def _q_chunks_xlsx(spark: SparkSession, sf_dir: str) -> DataFrame:
     """XLSX path: from-scratch SpreadsheetML parse (workbook rels,
     inline strings, numeric cells) and the 'header：value; ...' row
@@ -984,6 +1016,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "chunks_docx": _q_chunks_docx,
         "chunks_docx_img": _q_chunks_docx_img,
         "chunks_laws_docx": _q_chunks_laws_docx,
+        "chunks_qa_docx": _q_chunks_qa_docx,
         "chunks_xlsx": _q_chunks_xlsx,
         "chunks_pptx": _q_chunks_pptx,
         "term_weights": _q_term_weights,
@@ -1381,6 +1414,17 @@ UNION ALL
 SELECT url, CAST(item.i AS INT) AS chunk_seq,
        item.i || ' Part ' || item.i || chr(10) || item.p AS chunk_text
 """ + _docx_items
+
+    # qa-docx twin: every (heading i, body i) pair flushes as
+    # ('title\n' heading, '\n' body) — the stack never holds two
+    # level-2 headings at once
+    chunks_qa_docx_sql = _docx_base + """
+SELECT url, CAST(item.i - 1 AS INT) AS pair_seq,
+       title || chr(10) || item.i || ' Part ' || item.i AS question,
+       chr(10) || item.p AS answer
+FROM (SELECT url, title, unnest(list_transform(paras,
+          (p, i) -> {'p': p, 'i': i})) AS item FROM base)
+"""
 
     # naive_merge_docx twin: para sections re-indexed consecutively
     # (title, then heading/content pairs), same recursive overshoot
@@ -2176,6 +2220,7 @@ FROM documents
         "chunks_docx": chunks_docx_sql,
         "chunks_docx_img": chunks_docx_img_sql,
         "chunks_laws_docx": chunks_laws_docx_sql,
+        "chunks_qa_docx": chunks_qa_docx_sql,
         "chunks_xlsx": chunks_xlsx_sql,
         "chunks_pptx": chunks_pptx_sql,
         "term_weights": term_weights_sql,

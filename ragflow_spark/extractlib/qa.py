@@ -171,3 +171,46 @@ def tag_pairs_from_txt(txt: str) -> list[tuple[str, list[str]]]:
             out.append((content, tags))
             content = ""
     return out
+
+
+def qa_pairs_from_docx(blob: bytes) -> list[tuple[str, str]]:
+    """QA template, DOCX paragraph branch (rag/app/qa.py:201-239):
+    Heading paragraphs (docx_question_level without a bullet family —
+    only styles count) maintain a question stack; Normal paragraphs
+    accumulate the answer with the reference's leading-newline quirk;
+    a new question at level L pops the stack to above L and flushes
+    the previous (joined-stack question, answer) pair. Images ride the
+    concat_img seam (no embedded media in this parser -> None, the
+    reference's own no-image path). Tables flow through the table
+    pipeline instead (docxparse.compose_table_content)."""
+    from .docxparse import parse_docx
+    from .merge import concat_img, docx_question_level
+
+    secs, _tbls = parse_docx(blob)
+    last_answer, last_image = "", None
+    question_stack: list[str] = []
+    level_stack: list[int] = []
+    out: list[tuple[str, str]] = []
+    for text, style in secs:
+        question_level, p_text = 0, ""
+        if text.strip():
+            question_level, p_text = docx_question_level(text, style)
+        if not question_level or question_level > 6:
+            last_answer = f"{last_answer}\n{p_text}"
+            last_image = concat_img(last_image, None)
+        else:
+            if last_answer or last_image:
+                sum_question = "\n".join(question_stack)
+                if sum_question:
+                    out.append((sum_question, last_answer))
+                last_answer, last_image = "", None
+            while question_stack and question_level <= level_stack[-1]:
+                question_stack.pop()
+                level_stack.pop()
+            question_stack.append(p_text)
+            level_stack.append(question_level)
+    if last_answer:
+        sum_question = "\n".join(question_stack)
+        if sum_question:
+            out.append((sum_question, last_answer))
+    return out

@@ -190,3 +190,28 @@ def test_chunk_laws_docx_bullet_levels_without_styles():
     assert out[0] == "Chapter I\nSection 1\nSection 2"
     assert "Section 1\nArticle 1 first rule" in out
     assert "Section 2\nArticle 2 second rule" in out
+
+
+def test_qa_pairs_from_docx_stack_semantics():
+    from ragflow_spark.extractlib.officegen import build_docx
+    from ragflow_spark.extractlib.qa import qa_pairs_from_docx
+
+    paras = [("My Title", "Heading1"),
+             ("1 Part 1", "Heading2"), ("alpha beta", None),
+             ("Sub A", "Heading3"), ("deep answer", None),
+             ("2 Part 2", "Heading2"), ("delta words", None)]
+    out = qa_pairs_from_docx(build_docx(paras, []))
+    # deeper heading stacks under its parent; a same-level heading
+    # pops back to the parent; answers keep the leading-newline quirk
+    assert out == [("My Title\n1 Part 1", "\nalpha beta"),
+                   ("My Title\n1 Part 1\nSub A", "\ndeep answer"),
+                   ("My Title\n2 Part 2", "\ndelta words")]
+
+
+def test_qa_pairs_from_docx_no_heading_no_pairs():
+    from ragflow_spark.extractlib.officegen import build_docx
+    from ragflow_spark.extractlib.qa import qa_pairs_from_docx
+
+    out = qa_pairs_from_docx(build_docx(
+        [("just text", None), ("more text", None)], []))
+    assert out == []
