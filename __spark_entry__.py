@@ -721,6 +721,61 @@ def _q_chunks_qa_docx(spark: SparkSession, sf_dir: str) -> DataFrame:
                     "answer string")
 
 
+def _q_chunks_manual_docx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Manual template, DOCX branch (rag/app/manual.py:111-151): the
+    QA heading-stack walk emitting '{stacked question}\\n{answer}'
+    texts (double newline — the answer carries its own)."""
+    import pandas as pd
+
+    from ragflow_spark.corpus.gen import build_docx_pages
+
+    pages = build_docx_pages(spark, sf_dir)
+
+    def gen(it):
+        from ragflow_spark.extractlib.qa import manual_sections_from_docx
+
+        for pdf in it:
+            urls, seqs, texts = [], [], []
+            for url, blob in zip(pdf["url"], pdf["html"]):
+                for seq, text in enumerate(
+                        manual_sections_from_docx(bytes(blob))):
+                    urls.append(url)
+                    seqs.append(seq)
+                    texts.append(text)
+            yield pd.DataFrame({"url": urls, "chunk_seq": seqs,
+                                "chunk_text": texts})
+
+    return pages.select("url", "html").mapInPandas(
+        gen, schema="url string, chunk_seq int, chunk_text string")
+
+
+def _q_docx_tables_html(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """QA/manual docx table render (qa.py:241-259): equal-cell runs
+    merge into colspans, with the reference's scan-all-later quirk
+    (a cell between two equal non-adjacent cells is never rendered)."""
+    import pandas as pd
+
+    from ragflow_spark.corpus.gen import build_docx_pages
+
+    pages = build_docx_pages(spark, sf_dir)
+
+    def gen(it):
+        from ragflow_spark.extractlib.docxparse import tables_html
+
+        for pdf in it:
+            urls, seqs, htmls = [], [], []
+            for url, blob in zip(pdf["url"], pdf["html"]):
+                for seq, html in enumerate(tables_html(bytes(blob))):
+                    urls.append(url)
+                    seqs.append(seq)
+                    htmls.append(html)
+            yield pd.DataFrame({"url": urls, "table_seq": seqs,
+                                "html": htmls})
+
+    return pages.select("url", "html").mapInPandas(
+        gen, schema="url string, table_seq int, html string")
+
+
 def _q_chunks_xlsx(spark: SparkSession, sf_dir: str) -> DataFrame:
     """XLSX path: from-scratch SpreadsheetML parse (workbook rels,
     inline strings, numeric cells) and the 'header：value; ...' row
@@ -1017,6 +1072,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "chunks_docx_img": _q_chunks_docx_img,
         "chunks_laws_docx": _q_chunks_laws_docx,
         "chunks_qa_docx": _q_chunks_qa_docx,
+        "chunks_manual_docx": _q_chunks_manual_docx,
+        "docx_tables_html": _q_docx_tables_html,
         "chunks_xlsx": _q_chunks_xlsx,
         "chunks_pptx": _q_chunks_pptx,
         "term_weights": _q_term_weights,
@@ -1424,6 +1481,53 @@ SELECT url, CAST(item.i - 1 AS INT) AS pair_seq,
        chr(10) || item.p AS answer
 FROM (SELECT url, title, unnest(list_transform(paras,
           (p, i) -> {'p': p, 'i': i})) AS item FROM base)
+"""
+
+    # manual-docx twin: same pair walk as qa-docx, flushed as one text
+    chunks_manual_docx_sql = _docx_base + """
+SELECT url, CAST(item.i - 1 AS INT) AS chunk_seq,
+       title || chr(10) || item.i || ' Part ' || item.i || chr(10) ||
+       chr(10) || item.p AS chunk_text
+FROM (SELECT url, title, unnest(list_transform(paras,
+          (p, i) -> {'p': p, 'i': i})) AS item FROM base)
+"""
+
+    # colspan table twin: cell texts are the closed-form ints; the
+    # scan-all-later merge reduces to 5 equality patterns over
+    # (metric, value, delta) — incl. the skipped middle cell when
+    # metric equals delta but not value — plus the never-equal code td
+    _m = "CAST((doc_id * 7 + i) % 1000 AS VARCHAR)"
+    _v = "CAST((doc_id * 13 + i * i) % 1000 AS VARCHAR)"
+    _d = "CAST((doc_id + i * 31) % 100 AS VARCHAR)"
+    _tr_mvd = f"""
+CASE WHEN {_m} = {_v} AND {_v} = {_d}
+         THEN '<td colspan=''3''>' || {_m} || '</td>'
+     WHEN {_m} = {_v}
+         THEN '<td colspan=''2''>' || {_m} || '</td><td>' || {_d}
+              || '</td>'
+     WHEN {_m} = {_d}
+         THEN '<td colspan=''2''>' || {_m} || '</td>'
+     WHEN {_v} = {_d}
+         THEN '<td>' || {_m} || '</td><td colspan=''2''>' || {_v}
+              || '</td>'
+     ELSE '<td>' || {_m} || '</td><td>' || {_v} || '</td><td>' || {_d}
+          || '</td>'
+END"""
+    docx_tables_html_sql = _docx_base + f"""
+, rows_ AS (
+    SELECT url, doc_id, i,
+           '<tr>' || {_tr_mvd} ||
+           CASE WHEN doc_id % 2 = 1
+                THEN '<td>A' || i || '</td>' ELSE '' END ||
+           '</tr>' AS tr
+    FROM (SELECT url, doc_id, unnest(range(1, 4 + doc_id % 4)) AS i
+          FROM base)
+)
+SELECT url, 0 AS table_seq,
+       '<table><tr><td>metric</td><td>value</td><td>delta</td>' ||
+       CASE WHEN doc_id % 2 = 1 THEN '<td>code</td>' ELSE '' END ||
+       '</tr>' || string_agg(tr, '' ORDER BY i) || '</table>' AS html
+FROM rows_ GROUP BY url, doc_id
 """
 
     # naive_merge_docx twin: para sections re-indexed consecutively
@@ -2221,6 +2325,8 @@ FROM documents
         "chunks_docx_img": chunks_docx_img_sql,
         "chunks_laws_docx": chunks_laws_docx_sql,
         "chunks_qa_docx": chunks_qa_docx_sql,
+        "chunks_manual_docx": chunks_manual_docx_sql,
+        "docx_tables_html": docx_tables_html_sql,
         "chunks_xlsx": chunks_xlsx_sql,
         "chunks_pptx": chunks_pptx_sql,
         "term_weights": term_weights_sql,

@@ -190,3 +190,45 @@ def docx_sections(blob: bytes) -> tuple[list[str], list[str]]:
     texts = [t for t, _s in secs if t.strip()]
     lines = [ln for tb in tbls for ln in tb if ln]
     return texts, lines
+
+
+def tables_html(blob: bytes) -> list[str]:
+    """The QA/manual-template table render (rag/app/qa.py:241-259,
+    manual.py:152-170): one '<table>' string per docx table, merging a
+    run of equal-text cells into a colspan. The reference's scan is
+    kept verbatim, including its quirk: the inner loop compares the
+    anchor against EVERY later cell and jumps `i` to the last match,
+    so a cell between two equal non-adjacent cells is never rendered.
+    """
+    try:
+        zf = zipfile.ZipFile(io.BytesIO(blob))
+        root = ElementTree.fromstring(zf.read("word/document.xml"))
+    except (zipfile.BadZipFile, KeyError, ElementTree.ParseError):
+        return []
+    body = root.find(_w("body"))
+    if body is None:
+        return []
+    out: list[str] = []
+    for el in body:
+        if el.tag != _w("tbl"):
+            continue
+        html = "<table>"
+        for tr in el.iter(_w("tr")):
+            cells = ["\n".join(_para_text(p) for p in tc.iter(_w("p")))
+                     for tc in tr.findall(_w("tc"))]
+            html += "<tr>"
+            i = 0
+            while i < len(cells):
+                span = 1
+                c = cells[i]
+                for j in range(i + 1, len(cells)):
+                    if c == cells[j]:
+                        span += 1
+                        i = j
+                i += 1
+                html += (f"<td>{c}</td>" if span == 1
+                         else f"<td colspan='{span}'>{c}</td>")
+            html += "</tr>"
+        html += "</table>"
+        out.append(html)
+    return out

@@ -214,3 +214,11 @@ def qa_pairs_from_docx(blob: bytes) -> list[tuple[str, str]]:
         if sum_question:
             out.append((sum_question, last_answer))
     return out
+
+
+def manual_sections_from_docx(blob: bytes) -> list[str]:
+    """Manual template, DOCX paragraph branch (rag/app/manual.py:
+    111-151): the same heading-stack walk as the QA branch, emitting
+    one text per flush — f'{stacked question}\\n{answer}' (the answer
+    already carries its leading newline, so the join is double)."""
+    return [f"{q}\n{a}" for q, a in qa_pairs_from_docx(blob)]

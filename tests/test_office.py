@@ -215,3 +215,35 @@ def test_qa_pairs_from_docx_no_heading_no_pairs():
     out = qa_pairs_from_docx(build_docx(
         [("just text", None), ("more text", None)], []))
     assert out == []
+
+
+def test_tables_html_colspan_merge_and_skip_quirk():
+    from ragflow_spark.extractlib.docxparse import tables_html
+    from ragflow_spark.extractlib.officegen import build_docx
+
+    tbl = [["h1", "h2", "h3"],
+           ["7", "7", "9"],     # adjacent pair -> colspan 2
+           ["5", "5", "5"],     # full run -> colspan 3
+           ["4", "8", "4"],     # non-adjacent equal: middle NEVER rendered
+           ["1", "2", "2"],     # tail pair
+           ["1", "2", "3"]]     # distinct
+    out = tables_html(build_docx([("t", None)], [tbl]))
+    assert len(out) == 1
+    html = out[0]
+    assert "<tr><td>h1</td><td>h2</td><td>h3</td></tr>" in html
+    assert "<tr><td colspan='2'>7</td><td>9</td></tr>" in html
+    assert "<tr><td colspan='3'>5</td></tr>" in html
+    assert "<tr><td colspan='2'>4</td></tr>" in html  # '8' skipped
+    assert "<tr><td>1</td><td colspan='2'>2</td></tr>" in html
+    assert "<tr><td>1</td><td>2</td><td>3</td></tr>" in html
+
+
+def test_manual_sections_from_docx():
+    from ragflow_spark.extractlib.officegen import build_docx
+    from ragflow_spark.extractlib.qa import manual_sections_from_docx
+
+    paras = [("My Title", "Heading1"),
+             ("1 Part 1", "Heading2"), ("alpha beta", None)]
+    out = manual_sections_from_docx(build_docx(paras, []))
+    # question stack joined, then '\n', then the leading-newline answer
+    assert out == ["My Title\n1 Part 1\n\nalpha beta"]
