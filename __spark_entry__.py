@@ -721,6 +721,36 @@ def _q_chunks_qa_docx(spark: SparkSession, sf_dir: str) -> DataFrame:
                     "answer string")
 
 
+def _q_chunks_book_docx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """book template, DOCX branch (rag/app/book.py:79-88,128-134):
+    DocxParser sections through TOC removal, colon-title split, bullet
+    vote, hierarchical_merge depth 5; whitespace-only chunks dropped at
+    tokenize_chunks time (seq keeps its slot, reference parity)."""
+    import pandas as pd
+
+    from ragflow_spark.corpus.gen import build_docx_pages
+
+    pages = build_docx_pages(spark, sf_dir)
+
+    def gen(it):
+        from ragflow_spark.extractlib.templates import chunk_book_docx
+
+        for pdf in it:
+            urls, seqs, texts = [], [], []
+            for url, blob in zip(pdf["url"], pdf["html"]):
+                for seq, text in enumerate(chunk_book_docx(bytes(blob))):
+                    if not text.strip():
+                        continue
+                    urls.append(url)
+                    seqs.append(seq)
+                    texts.append(text)
+            yield pd.DataFrame({"url": urls, "chunk_seq": seqs,
+                                "chunk_text": texts})
+
+    return pages.select("url", "html").mapInPandas(
+        gen, schema="url string, chunk_seq int, chunk_text string")
+
+
 def _q_chunks_manual_docx(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Manual template, DOCX branch (rag/app/manual.py:111-151): the
     QA heading-stack walk emitting '{stacked question}\\n{answer}'
@@ -1073,6 +1103,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "chunks_laws_docx": _q_chunks_laws_docx,
         "chunks_qa_docx": _q_chunks_qa_docx,
         "chunks_manual_docx": _q_chunks_manual_docx,
+        "chunks_book_docx": _q_chunks_book_docx,
         "docx_tables_html": _q_docx_tables_html,
         "chunks_xlsx": _q_chunks_xlsx,
         "chunks_pptx": _q_chunks_pptx,
@@ -1490,6 +1521,31 @@ SELECT url, CAST(item.i - 1 AS INT) AS chunk_seq,
        chr(10) || item.p AS chunk_text
 FROM (SELECT url, title, unnest(list_transform(paras,
           (p, i) -> {'p': p, 'i': i})) AS item FROM base)
+"""
+
+    # book-docx twin: hierarchical_merge groups each heading with its
+    # body; the non-bullet title lands in the trailing text bucket and
+    # the leading empty chunk drops at tokenize time (its seq slot 0
+    # is preserved by the enumeration)
+    # hierarchical_merge's section filter (len > 1 after strip) drops
+    # one-char bodies, orphaning their heading — mirror the drop and
+    # renumber; the title chunk trails the kept items
+    chunks_book_docx_sql = _docx_base + """
+, kept AS (
+    SELECT url, item.i AS i, item.p AS p,
+           row_number() OVER (PARTITION BY url ORDER BY item.i) AS rk
+    FROM (SELECT url, unnest(list_transform(paras,
+              (p, i) -> {'p': p, 'i': i})) AS item FROM base)
+    WHERE len(trim(item.p)) > 1
+)
+SELECT url, CAST(rk AS INT) AS chunk_seq,
+       i || ' Part ' || i || chr(10) || p AS chunk_text
+FROM kept
+UNION ALL
+SELECT b.url, CAST(COALESCE(k.nk, 0) + 1 AS INT) AS chunk_seq,
+       b.title AS chunk_text
+FROM base b LEFT JOIN (SELECT url, count(*) AS nk FROM kept
+                       GROUP BY url) k USING (url)
 """
 
     # colspan table twin: cell texts are the closed-form ints; the
@@ -2326,6 +2382,7 @@ FROM documents
         "chunks_laws_docx": chunks_laws_docx_sql,
         "chunks_qa_docx": chunks_qa_docx_sql,
         "chunks_manual_docx": chunks_manual_docx_sql,
+        "chunks_book_docx": chunks_book_docx_sql,
         "docx_tables_html": docx_tables_html_sql,
         "chunks_xlsx": chunks_xlsx_sql,
         "chunks_pptx": chunks_pptx_sql,

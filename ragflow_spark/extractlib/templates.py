@@ -276,3 +276,27 @@ def chunk_manual_pdf(binary: bytes, keep_tags: bool = False) -> list[str]:
     if keep_tags:
         return chunks
     return [remove_tag(c) for c in chunks]
+
+
+def chunk_book_docx(binary: bytes) -> list[str]:
+    """book template, DOCX branch (rag/app/book.py:79-88,128-134):
+    DocxParser sections (text, style) through TOC removal, colon-title
+    split, bullet vote, hierarchical_merge depth 5; naive_merge(256)
+    fallback when no bullet family wins. The reference samples the
+    vote inputs with random.choices — nondeterministic; this port
+    votes on the full population (same canon as is_english)."""
+    from .docxparse import parse_docx
+
+    secs, _tbls = parse_docx(binary)
+    sections = list(secs)
+    remove_contents_table(sections, eng=is_english(
+        [t for t, _s in sections]))
+    make_colon_as_title(sections)
+    bull = bullets_category([t for t, _s in sections])
+    if bull >= 0:
+        return ["\n".join(ck)
+                for ck in hierarchical_merge(bull, sections, 5)]
+    parts = [s.split("@") for s, _ in sections]
+    pairs = [(pr[0], "@" + pr[1]) if len(pr) == 2 else (pr[0], "")
+             for pr in parts]
+    return naive_merge(pairs, 256)

@@ -247,3 +247,18 @@ def test_manual_sections_from_docx():
     out = manual_sections_from_docx(build_docx(paras, []))
     # question stack joined, then '\n', then the leading-newline answer
     assert out == ["My Title\n1 Part 1\n\nalpha beta"]
+
+
+def test_chunk_book_docx_hierarchical_and_orphan_heading():
+    from ragflow_spark.extractlib.officegen import build_docx
+    from ragflow_spark.extractlib.templates import chunk_book_docx
+
+    paras = [("My Title", "Heading1"),
+             ("1 Part 1", "Heading2"), ("alpha beta gamma", None),
+             ("2 Part 2", "Heading2"), ("a", None)]  # one-char body
+    out = [c for c in chunk_book_docx(build_docx(paras, [])) if c.strip()]
+    # heading 1 groups with its body; heading 2's body fails the
+    # len>1 section filter, so the heading is never seeded (orphan)
+    assert "1 Part 1\nalpha beta gamma" in out
+    assert all("2 Part 2" not in c for c in out)
+    assert "My Title" in out
