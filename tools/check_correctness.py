@@ -24,8 +24,13 @@ TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
 
 def value_hash(rows: list[tuple], cols: list[str]) -> str:
     order = sorted(range(len(cols)), key=lambda i: cols[i])
+    # nulls sort last within their column (python can't compare None
+    # to values); the key is order-isomorphic on non-null data so
+    # hashes of fully non-null results are unchanged
     canon = sorted(
-        tuple(_norm(r[i]) for i in order) for r in rows
+        (tuple(_norm(r[i]) for i in order) for r in rows),
+        key=lambda row: tuple((v is None, 0 if v is None else v)
+                              for v in row),
     )
     h = hashlib.sha256()
     for row in canon:
