@@ -956,6 +956,23 @@ def _q_query_tags(spark: SparkSession, sf_dir: str) -> DataFrame:
                         question=True, smooth=50)
 
 
+def _q_rank_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """_rank_feature_scores (search.py:252-277): tag-vector similarity
+    between each query's tag_query dict and each doc's tag_content
+    dict, scaled by 10 (pagerank addend seamed at 0)."""
+    from ragflow_spark.operators.tagging import (kb_from_docs,
+                                                 rank_feature_scores,
+                                                 tag_features)
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    kb_terms, kb_tags = kb_from_docs(docs)
+    dt = tag_features(docs, kb_terms, kb_tags, smooth=50)
+    qt = tag_features(_search_queries(spark), kb_terms, kb_tags,
+                      id_col="qid", text_col="question",
+                      question=True, smooth=50)
+    return rank_feature_scores(dt, qt)
+
+
 def _q_rerank_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hybrid rerank (search.py:279-317 Dealer.rerank + query.py:205-241
     token/hybrid similarity): keyword top-8 candidates re-scored by
@@ -1113,6 +1130,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rerank_fusion": _q_rerank_fusion,
         "doc_tags": _q_doc_tags,
         "query_tags": _q_query_tags,
+        "rank_features": _q_rank_features,
         "cite_answers": _q_cite_answers,
         "events_rollup": _q_events_rollup,
         "events_props": _q_events_props,
@@ -1832,8 +1850,7 @@ CASE WHEN round(x, 9) - floor(round(x, 9)) = 0.5
      ELSE CAST(round(round(x, 9)) AS BIGINT) END
 """
 
-    doc_tags_sql = f"""
-WITH {_TAG_KB},
+    _DOC_TAG_CTES = f"""
 nona AS (
   SELECT doc_id, string_split(text, ' ') AS ws,
          list_filter(string_split(text, ' '), t -> t != 'a') AS nws
@@ -1869,11 +1886,9 @@ r AS (SELECT *, row_number() OVER (PARTITION BY doc_id
                                    ORDER BY score DESC, c DESC, tag)
              AS rk
       FROM br)
-SELECT doc_id, tag, c, score FROM r WHERE rk <= 3 AND score > 0
 """
 
-    query_tags_sql = f"""
-WITH {_TAG_KB},
+    _QRY_TAG_CTES = f"""
 ql AS (
   SELECT 0 AS qid, ['the', 'fast', 'query', 'merge'] AS qs
   UNION ALL
@@ -1882,25 +1897,53 @@ ql AS (
   SELECT 2, ['big', 'the', 'small', 'table', 'scan']
   UNION ALL
   SELECT 3, ['column', 'group', 'the', 'vector', 'value']),
-ov AS (
+ov2 AS (
   SELECT ql.qid, kb.kb_id
   FROM ql, kb
   WHERE len(list_filter(ql.qs, s -> {_CLAUSE_HIT})) >= 1),
-c AS (
-  SELECT ov.qid, kbtag.tag, count(*) AS c
-  FROM ov JOIN kbtag ON kbtag.kb_id = ov.kb_id
-  GROUP BY ov.qid, kbtag.tag),
-sc AS (
-  SELECT c.qid, c.tag, c.c,
-         0.1 * (c.c + 1) / (SUM(c.c) OVER (PARTITION BY c.qid) + 50)
+c2 AS (
+  SELECT ov2.qid, kbtag.tag, count(*) AS c
+  FROM ov2 JOIN kbtag ON kbtag.kb_id = ov2.kb_id
+  GROUP BY ov2.qid, kbtag.tag),
+sc2 AS (
+  SELECT c2.qid, c2.tag, c2.c,
+         0.1 * (c2.c + 1)
+             / (SUM(c2.c) OVER (PARTITION BY c2.qid) + 50)
              / GREATEST(1e-6, prior.prior) AS x
-  FROM c JOIN prior USING (tag)),
-br AS (SELECT qid, tag, c, {_BANKERS} AS score FROM sc),
-r AS (SELECT *, row_number() OVER (PARTITION BY qid
-                                   ORDER BY score DESC, c DESC, tag)
-             AS rk
-      FROM br)
-SELECT qid, tag, c, GREATEST(1, score) AS score FROM r WHERE rk <= 3
+  FROM c2 JOIN prior USING (tag)),
+br2 AS (SELECT qid, tag, c, {_BANKERS} AS score FROM sc2),
+r2 AS (SELECT *, row_number() OVER (PARTITION BY qid
+                                    ORDER BY score DESC, c DESC, tag)
+              AS rk
+       FROM br2)
+"""
+
+    doc_tags_sql = f"""
+WITH {_TAG_KB}, {_DOC_TAG_CTES}
+SELECT doc_id, tag, c, score FROM r WHERE rk <= 3 AND score > 0
+"""
+
+    query_tags_sql = f"""
+WITH {_TAG_KB}, {_QRY_TAG_CTES}
+SELECT qid, tag, c, GREATEST(1, score) AS score FROM r2 WHERE rk <= 3
+"""
+
+    rank_features_sql = f"""
+WITH {_TAG_KB}, {_DOC_TAG_CTES}, {_QRY_TAG_CTES},
+dtag AS (SELECT doc_id, tag, score FROM r
+         WHERE rk <= 3 AND score > 0),
+qtag AS (SELECT qid, tag, GREATEST(1, score) AS score FROM r2
+         WHERE rk <= 3),
+qn AS (SELECT qid, sqrt(SUM(score * score)) AS q_denor
+       FROM qtag GROUP BY qid),
+dn AS (SELECT doc_id, SUM(score * score) AS denor
+       FROM dtag GROUP BY doc_id),
+nor AS (SELECT q.qid, d.doc_id, SUM(q.score * d.score) AS nor
+        FROM qtag q JOIN dtag d USING (tag)
+        GROUP BY q.qid, d.doc_id)
+SELECT nor.qid, nor.doc_id,
+       round(10.0 * nor.nor / sqrt(dn.denor) / qn.q_denor, 6) AS rfea
+FROM nor JOIN dn USING (doc_id) JOIN qn USING (qid)
 """
 
     # hybrid-rerank twin: the corpus vocabulary maps 1:1 surface->stem
@@ -2392,6 +2435,7 @@ FROM documents
         "rerank_fusion": rerank_fusion_sql,
         "doc_tags": doc_tags_sql,
         "query_tags": query_tags_sql,
+        "rank_features": rank_features_sql,
         "cite_answers": cite_answers_sql,
         "media_features": media_features_sql,
         "frame_sample": frame_sample_sql,

@@ -100,6 +100,42 @@ def subject_clauses(subjects: DataFrame, id_col: str = "doc_id",
                                  "match_key string, mult int, msm int")
 
 
+def rank_feature_scores(doc_tags: DataFrame,
+                        query_tags: DataFrame) -> DataFrame:
+    """(qid, doc_id, rfea): search.py:252-277 _rank_feature_scores —
+    the tag-vector similarity between a query's tag dict (tag_query
+    scores, already floored at 1) and each document's TAG_FLD dict
+    (tag_content scores):
+
+        rfea = 10 * nor / sqrt(denor) / q_denor
+
+    with nor the common-tag dot product, denor the doc's squared tag
+    mass, q_denor the query's tag norm. Docs sharing no tag with the
+    query score 0 in the reference and are omitted here (the pagerank
+    addend is an input column the driver tables don't carry — seam
+    kept at 0). Plan: tag tables are tiny (topn_tags rows per
+    subject); every join broadcasts the query side."""
+    qnorm = query_tags.groupBy("qid").agg(
+        F.sqrt(F.sum(F.col("score") * F.col("score"))).alias("q_denor"))
+    dnorm = doc_tags.groupBy("doc_id").agg(
+        F.sum(F.col("score") * F.col("score")).alias("denor"))
+    common = (
+        doc_tags.select("doc_id", "tag",
+                        F.col("score").alias("ds"))
+        .join(F.broadcast(query_tags.select(
+            "qid", "tag", F.col("score").alias("qs"))), "tag")
+        .groupBy("qid", "doc_id")
+        .agg(F.sum(F.col("qs") * F.col("ds")).alias("nor"))
+    )
+    return (
+        common.join(F.broadcast(dnorm), "doc_id")
+        .join(F.broadcast(qnorm), "qid")
+        .select("qid", "doc_id",
+                F.round(10.0 * F.col("nor") / F.sqrt(F.col("denor"))
+                        / F.col("q_denor"), 6).alias("rfea"))
+    )
+
+
 def kb_from_docs(docs: DataFrame) -> tuple[DataFrame, DataFrame]:
     """Deterministic tag KB both engines can derive from ``documents``:
     one KB row per doc whose match surface is the doc's FIRST huqie

@@ -96,3 +96,23 @@ def test_tag_features_question_mode_floor(spark):
     # scores floored at 1 even when the lift rounds to 0
     assert all(r["score"] >= 1 for r in rows.values())
     assert all(r["c"] == 1 for r in rows.values())
+
+
+def test_rank_feature_scores_formula(spark):
+    from ragflow_spark.operators.tagging import rank_feature_scores
+
+    dt = spark.createDataFrame(
+        [(1, "speed", 2), (1, "io", 1), (2, "lag", 3)],
+        schema="doc_id long, tag string, score long")
+    qt = spark.createDataFrame(
+        [(0, "speed", 1), (0, "lag", 2)],
+        schema="qid long, tag string, score long")
+    rows = {(r["qid"], r["doc_id"]): r["rfea"]
+            for r in rank_feature_scores(dt, qt).collect()}
+    import math
+    qd = math.sqrt(1 + 4)
+    # doc 1: common 'speed' -> 10 * (1*2) / sqrt(4+1) / qd
+    assert abs(rows[(0, 1)] - round(10 * 2 / math.sqrt(5) / qd, 6)) < 1e-9
+    # doc 2: common 'lag' -> 10 * (2*3) / sqrt(9) / qd
+    assert abs(rows[(0, 2)] - round(10 * 6 / 3 / qd, 6)) < 1e-9
+    assert set(rows) == {(0, 1), (0, 2)}
