@@ -214,6 +214,18 @@ def _q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return minhash_lsh_pairs(docs)
 
 
+def _q_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Connected components over the MinHash near-dup pairs — pairwise
+    detection turned into dedup groups (cluster_id = component min).
+    Min-label propagation with pointer jumping, O(log diameter)
+    rounds."""
+    from ragflow_spark.operators.dedup import (dup_clusters,
+                                               minhash_lsh_pairs)
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return dup_clusters(minhash_lsh_pairs(docs))
+
+
 def _q_dedup_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact word-bigram Jaccard pairs (>=0.5) via inverted shingle
     index self-join (set-similarity join shape)."""
@@ -956,6 +968,17 @@ def _q_query_tags(spark: SparkSession, sf_dir: str) -> DataFrame:
                         question=True, smooth=50)
 
 
+def _q_retrieval_page(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dealer.retrieval (search.py:347-430): keyword candidates capped
+    at RERANK_LIMIT 64, hybrid rerank at the flipped (0.7, 0.3)
+    default weights, page-1 window of 5, similarity threshold 0.2."""
+    from ragflow_spark.operators.retrieval import retrieval_page
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    return retrieval_page(docs, emb, _search_queries(spark))
+
+
 def _q_rank_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """_rank_feature_scores (search.py:252-277): tag-vector similarity
     between each query's tag_query dict and each doc's tag_content
@@ -1086,6 +1109,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_stats": _q_doc_stats,
         "quality_score": _q_quality_score,
         "dedup_minhash": _q_dedup_minhash,
+        "dup_clusters": _q_dup_clusters,
         "dedup_ngram": _q_dedup_ngram,
         "simhash_sigs": _q_simhash_sigs,
         "simhash_pairs": _q_simhash_pairs,
@@ -1131,6 +1155,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_tags": _q_doc_tags,
         "query_tags": _q_query_tags,
         "rank_features": _q_rank_features,
+        "retrieval_page": _q_retrieval_page,
         "cite_answers": _q_cite_answers,
         "events_rollup": _q_events_rollup,
         "events_props": _q_events_props,
@@ -1341,6 +1366,35 @@ SELECT doc_a, doc_b, jaccard FROM (
                  6) AS jaccard
     FROM sh a JOIN sh b ON a.doc_id < b.doc_id
 ) WHERE jaccard >= 0.8
+"""
+
+    # transitive-closure twin of the label-propagation components
+    dup_clusters_sql = f"""
+WITH RECURSIVE {_CORPUS_SQL},
+sh AS (
+    SELECT doc_id, list_distinct(list_transform(range(len(words) - 2),
+        i -> array_to_string(words[i + 1 : i + 3], ' '))) AS s
+    FROM (SELECT doc_id, string_split(text, ' ') AS words FROM corpus)
+    WHERE len(words) >= 3
+),
+p AS (
+    SELECT doc_a, doc_b FROM (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+               round(len(list_intersect(a.s, b.s)) /
+                     CAST(len(list_distinct(a.s || b.s)) AS DOUBLE),
+                     6) AS jaccard
+        FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+    ) WHERE jaccard >= 0.8
+),
+e AS (SELECT doc_a AS src, doc_b AS dst FROM p
+      UNION SELECT doc_b, doc_a FROM p),
+reach AS (
+    SELECT src AS node, src AS root FROM e
+    UNION
+    SELECT e.dst, r.root FROM reach r JOIN e ON e.src = r.node
+)
+SELECT node AS doc_id, min(root) AS cluster_id
+FROM reach GROUP BY node
 """
 
     dedup_ngram = f"""
@@ -1967,7 +2021,10 @@ FROM nor JOIN dn USING (doc_id) JOIN qn USING (qid)
 
     _rr_dot = _DUCK_DOT.format(a="qn.v", b="dn.v")
     _rr_nrm = _DUCK_NORM.format(v="v")
-    rerank_fusion_sql = f"""
+
+    def _mk_rerank_sql(topn: int, tkw: float, vtw: float,
+                       final_pred: str) -> str:
+        return f"""
 WITH b AS (SELECT {_B} AS x),
 d AS (SELECT doc_id, string_split(text, ' ') AS ws,
              list_distinct(string_split(text, ' ')) AS dws,
@@ -1992,7 +2049,7 @@ scores AS (
 c8 AS (SELECT * FROM (
     SELECT *, row_number() OVER (PARTITION BY qid
                                  ORDER BY kscore DESC, doc_id) AS krank
-    FROM scores WHERE tftot > 0) WHERE krank <= 8),
+    FROM scores WHERE tftot > 0) WHERE krank <= {topn}),
 n AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
              {_rr_nrm} AS nrm
       FROM embeddings),
@@ -2009,7 +2066,7 @@ f AS (
     SELECT qid, doc_id, tksim, vtsim,
            CASE WHEN SUM(vtsim) OVER (PARTITION BY qid) = 0
                 THEN round(tksim, 6)
-                ELSE round(0.3 * tksim + 0.7 * vtsim, 6)
+                ELSE round({tkw} * tksim + {vtw} * vtsim, 6)
            END AS score
     FROM sims
 )
@@ -2018,8 +2075,14 @@ SELECT qid, CAST(rank AS INT) AS rank, doc_id,
 FROM (SELECT *, row_number() OVER (PARTITION BY qid
                                    ORDER BY score DESC, doc_id) AS rank
       FROM f)
-WHERE rank <= 5
+WHERE {final_pred}
 """
+
+    rerank_fusion_sql = _mk_rerank_sql(8, 0.3, 0.7, "rank <= 5")
+    # retrieval(): RERANK_LIMIT 64, weights flipped to (0.7, 0.3),
+    # page-1 window of 5 then the 0.2 similarity cut
+    retrieval_page_sql = _mk_rerank_sql(
+        64, 0.7, 0.3, "rank <= 5 AND score >= 0.2")
 
     chunks_pptx_sql = _PDF_BASE_SQL.replace("/pdf/", "/pptx/") + """
 SELECT url, CAST(item.i - 1 AS INT) AS seq, 'slide' AS kind,
@@ -2391,6 +2454,7 @@ FROM documents
         "doc_stats": doc_stats,
         "quality_score": quality_score,
         "dedup_minhash": dedup_minhash,
+        "dup_clusters": dup_clusters_sql,
         "dedup_ngram": dedup_ngram,
         "simhash_sigs": simhash_sigs_sql,
         "simhash_pairs": simhash_pairs_sql,
@@ -2436,6 +2500,7 @@ FROM documents
         "doc_tags": doc_tags_sql,
         "query_tags": query_tags_sql,
         "rank_features": rank_features_sql,
+        "retrieval_page": retrieval_page_sql,
         "cite_answers": cite_answers_sql,
         "media_features": media_features_sql,
         "frame_sample": frame_sample_sql,

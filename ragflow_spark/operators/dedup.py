@@ -350,3 +350,55 @@ def dedup_exact(docs: DataFrame, col: str = "text") -> DataFrame:
         hashed.join(keepers, ["doc_id", "_th"], "left_semi")
         .drop("_th")
     )
+
+
+def dup_clusters(pairs: DataFrame, max_iters: int = 20,
+                 a_col: str = "doc_a", b_col: str = "doc_b") -> DataFrame:
+    """(doc_id, cluster_id): connected components over near-duplicate
+    pairs — the step that turns pairwise dup detection into dedup
+    GROUPS (keep one representative per component). cluster_id is the
+    component's minimum doc id.
+
+    Algorithm: iterative min-label propagation with pointer jumping —
+    each round every node takes min(own label, neighbors' labels,
+    label-of-label). The self-join squares propagation distance, so
+    convergence is O(log diameter) rounds (dup clusters are shallow;
+    CC-scale chains converge in a handful). Each round is two
+    broadcast-free joins keyed on 8-byte ids; the per-round
+    convergence check is one count action — the standard Spark shape
+    for iterative graph algorithms (GraphX/Pregel does the same under
+    the hood). Labels are cached per round and unpersisted after."""
+    edges = pairs.select(F.col(a_col).alias("src"),
+                         F.col(b_col).alias("dst"))
+    edges = edges.unionByName(
+        edges.select(F.col("dst").alias("src"),
+                     F.col("src").alias("dst"))).distinct().cache()
+    labels = edges.select("src").distinct() \
+        .withColumn("lbl", F.col("src")).cache()
+    for _ in range(max_iters):
+        nbr = (edges.join(labels.withColumnRenamed("src", "dst"), "dst")
+               .groupBy("src").agg(F.min("lbl").alias("nlbl")))
+        jump = (labels.select(F.col("src").alias("l_src"), "lbl")
+                .join(labels.select(F.col("src").alias("lbl"),
+                                    F.col("lbl").alias("jlbl")), "lbl")
+                .select(F.col("l_src").alias("src"), "jlbl"))
+        # localCheckpoint truncates the per-round lineage — without it
+        # every round's plan re-embeds all previous rounds and the job
+        # slows superlinearly with iteration count
+        new_labels = (
+            labels.join(nbr, "src", "left").join(jump, "src", "left")
+            .select("src", F.least(
+                "lbl", F.coalesce("nlbl", F.col("lbl")),
+                F.coalesce("jlbl", F.col("lbl"))).alias("lbl"))
+            .localCheckpoint()
+        )
+        changed = (new_labels.alias("n")
+                   .join(labels.alias("o"), "src")
+                   .where(F.col("n.lbl") != F.col("o.lbl")).count())
+        labels.unpersist()
+        labels = new_labels
+        if changed == 0:
+            break
+    edges.unpersist()
+    return labels.select(F.col("src").alias("doc_id"),
+                         F.col("lbl").alias("cluster_id"))

@@ -255,6 +255,31 @@ def cite_answers(answers: DataFrame, chunks: list[str],
         gen, schema="qid long, cited string, cites string")
 
 
+def retrieval_page(docs: DataFrame, embeddings: DataFrame,
+                   queries: DataFrame, page: int = 1, page_size: int = 5,
+                   similarity_threshold: float = 0.2,
+                   vector_similarity_weight: float = 0.3,
+                   rerank_limit: int = 64) -> DataFrame:
+    """Dealer.retrieval (search.py:347-430) as one relational flow:
+    keyword search caps candidates at RERANK_LIMIT, hybrid rerank runs
+    at (1 - w, w) — note the flipped default vs rerank's own 0.3/0.7 —
+    then the page window slices the fused ordering and the similarity
+    threshold cuts the tail (sorted, so the reference's break IS a
+    filter). doc_aggs and highlights are presentation-side; the
+    rerank-model path is the rerank_by_model seam."""
+    ranked = rerank_fusion(docs, embeddings, queries,
+                           topn=rerank_limit, k=rerank_limit,
+                           tkweight=1.0 - vector_similarity_weight,
+                           vtweight=vector_similarity_weight)
+    lo, hi = (page - 1) * page_size, page * page_size
+    return (
+        ranked.where((F.col("rank") > lo) & (F.col("rank") <= hi))
+        .where(F.col("score") >= similarity_threshold)
+        .select("qid", (F.col("rank") - lo).alias("rank"), "doc_id",
+                "tksim", "vtsim", "score")
+    )
+
+
 def doc_term_weights(docs: DataFrame, id_col: str = "doc_id",
                      text_col: str = "text") -> DataFrame:
     """(id, term, dw): the document side of token_similarity
