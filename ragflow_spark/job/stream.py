@@ -46,3 +46,46 @@ def stream_extract(spark: SparkSession, input_dir: str, output_dir: str,
     if available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def stream_dedup(spark: SparkSession, input_dir: str, output_dir: str,
+                 checkpoint_dir: str,
+                 available_now: bool = True) -> StreamingQuery:
+    """Streaming exact dedup: keep the first-seen copy of each document
+    body across ALL micro-batches.
+
+    ``dropDuplicates`` on a streaming DataFrame is stateful — the seen
+    set persists in the state store under ``checkpointLocation``, so a
+    document that arrived in an earlier micro-batch (or an earlier run
+    of the same checkpoint) is dropped, not re-emitted. The state key
+    is the 8-byte ``xxhash64(html)`` content fingerprint, never the
+    payload — the same scale posture as batch ``exact_dup_groups``
+    (state size = one long per distinct document). Without a watermark
+    the state is unbounded, which is the correct semantic for global
+    crawl dedup (the batch job's compaction runs bound it in
+    production; a ``warc_ts`` watermark column is the documented knob
+    when retention is acceptable)."""
+    from pyspark.sql import functions as F
+
+    from ragflow_spark.corpus.gen import PAGES_SCHEMA
+
+    pages = (
+        spark.readStream.schema(PAGES_SCHEMA)
+        .option("maxFilesPerTrigger", 8)
+        .parquet(input_dir)
+    )
+    deduped = (
+        pages.withColumn("content_key", F.xxhash64(F.col("html")))
+        .dropDuplicates(["content_key"])
+        .drop("content_key")
+    )
+    writer = (
+        deduped.writeStream
+        .format("parquet")
+        .option("path", output_dir)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("append")
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
