@@ -818,6 +818,37 @@ def _q_docx_tables_html(spark: SparkSession, sf_dir: str) -> DataFrame:
         gen, schema="url string, table_seq int, html string")
 
 
+def _q_docx_table_titles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """naive.Docx nearest-title table context (rag/app/naive.py:70-176):
+    each table's preceding heading chain (level-ascending parents),
+    prefixed with the extension-stripped document name, ' > '-joined."""
+    import re as _re
+
+    import pandas as pd
+
+    from ragflow_spark.corpus.gen import build_docx_pages
+
+    pages = build_docx_pages(spark, sf_dir)
+
+    def gen(it):
+        from ragflow_spark.extractlib.docxparse import table_title_context
+
+        for pdf in it:
+            urls, seqs, ctxs = [], [], []
+            for url, blob in zip(pdf["url"], pdf["html"]):
+                name = _re.sub(r"\.[a-zA-Z]+$", "", url)
+                for seq, ctx in enumerate(
+                        table_title_context(bytes(blob), name)):
+                    urls.append(url)
+                    seqs.append(seq)
+                    ctxs.append(ctx)
+            yield pd.DataFrame({"url": urls, "table_seq": seqs,
+                                "context": ctxs})
+
+    return pages.select("url", "html").mapInPandas(
+        gen, schema="url string, table_seq int, context string")
+
+
 def _q_chunks_xlsx(spark: SparkSession, sf_dir: str) -> DataFrame:
     """XLSX path: from-scratch SpreadsheetML parse (workbook rels,
     inline strings, numeric cells) and the 'header：value; ...' row
@@ -1146,6 +1177,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "chunks_manual_docx": _q_chunks_manual_docx,
         "chunks_book_docx": _q_chunks_book_docx,
         "docx_tables_html": _q_docx_tables_html,
+        "docx_table_titles": _q_docx_table_titles,
         "chunks_xlsx": _q_chunks_xlsx,
         "chunks_pptx": _q_chunks_pptx,
         "term_weights": _q_term_weights,
@@ -1656,6 +1688,15 @@ SELECT url, 0 AS table_seq,
        CASE WHEN doc_id % 2 = 1 THEN '<td>code</td>' ELSE '' END ||
        '</tr>' || string_agg(tr, '' ORDER BY i) || '</table>' AS html
 FROM rows_ GROUP BY url, doc_id
+"""
+
+    # nearest-title twin: the one table sits last, so its chain is the
+    # final heading-2 plus the heading-1 title, name-prefixed
+    docx_table_titles_sql = _docx_base + """
+SELECT url, 0 AS table_seq,
+       url || ' > ' || title || ' > ' || len(paras) || ' Part ' ||
+       len(paras) AS context
+FROM base
 """
 
     # naive_merge_docx twin: para sections re-indexed consecutively
@@ -2491,6 +2532,7 @@ FROM documents
         "chunks_manual_docx": chunks_manual_docx_sql,
         "chunks_book_docx": chunks_book_docx_sql,
         "docx_tables_html": docx_tables_html_sql,
+        "docx_table_titles": docx_table_titles_sql,
         "chunks_xlsx": chunks_xlsx_sql,
         "chunks_pptx": chunks_pptx_sql,
         "term_weights": term_weights_sql,

@@ -232,3 +232,74 @@ def tables_html(blob: bytes) -> list[str]:
         html += "</table>"
         out.append(html)
     return out
+
+
+def table_title_context(blob: bytes, doc_name: str) -> list[str]:
+    """The naive-template Docx table context (rag/app/naive.py:70-176
+    __get_nearest_title): for each table, the nearest preceding
+    non-empty Heading (level <= 7), then its parent chain (nearest
+    preceding heading with a strictly smaller level, repeated), sorted
+    by level and prefixed with the document name, joined ' > '.
+    Tables with no preceding heading get ''. ``doc_name`` arrives
+    extension-stripped by the caller (naive.py:79-81, with the
+    'Untitled Document' fallback kept here)."""
+    if not doc_name:
+        doc_name = "Untitled Document"
+    try:
+        zf = zipfile.ZipFile(io.BytesIO(blob))
+        root = ElementTree.fromstring(zf.read("word/document.xml"))
+    except (zipfile.BadZipFile, KeyError, ElementTree.ParseError):
+        return []
+    body = root.find(_w("body"))
+    if body is None:
+        return []
+    styles = _style_names(zf)
+
+    blocks: list[tuple[str, int, str, str]] = []
+    for i, el in enumerate(body):
+        if el.tag == _w("p"):
+            blocks.append(("p", i, _para_text(el),
+                           _para_style(el, styles)))
+        elif el.tag == _w("tbl"):
+            blocks.append(("t", i, "", ""))
+
+    def heading_level(style: str) -> int | None:
+        if not re.search(r"Heading\s*(\d+)", style, re.I):
+            return None
+        m = re.search(r"(\d+)", style)
+        return int(m.group(1)) if m else None
+
+    out: list[str] = []
+    for kind, pos, _t, _s in blocks:
+        if kind != "t":
+            continue
+        nearest = None
+        for bk, bp, btext, bstyle in reversed(blocks):
+            if bp >= pos or bk != "p":
+                continue
+            level = heading_level(bstyle)
+            if level is not None and level <= 7 and btext.strip():
+                nearest = (level, btext.strip())
+                break
+        if nearest is None:
+            out.append("")
+            continue
+        titles = [nearest]
+        current = nearest[0]
+        while current > 1:
+            found = False
+            for bk, bp, btext, bstyle in reversed(blocks):
+                if bp >= pos or bk != "p":
+                    continue
+                level = heading_level(bstyle)
+                if level is not None and level < current \
+                        and btext.strip():
+                    titles.append((level, btext.strip()))
+                    current = level
+                    found = True
+                    break
+            if not found:
+                break
+        titles.sort(key=lambda x: x[0])
+        out.append(" > ".join([doc_name] + [t[1] for t in titles]))
+    return out

@@ -262,3 +262,21 @@ def test_chunk_book_docx_hierarchical_and_orphan_heading():
     assert "1 Part 1\nalpha beta gamma" in out
     assert all("2 Part 2" not in c for c in out)
     assert "My Title" in out
+
+
+def test_table_title_context_parent_chain_and_fallbacks():
+    from ragflow_spark.extractlib.docxparse import table_title_context
+    from ragflow_spark.extractlib.officegen import build_docx
+
+    tbl = [[["h", "h2"], ["1", "2"]]]
+    # deep chain: H1 -> H3 (cross-level parent search skips missing H2)
+    paras = [("Top", "Heading1"), ("Deep", "Heading3"), ("body", None)]
+    out = table_title_context(build_docx(paras, tbl), "doc")
+    assert out == ["doc > Top > Deep"]
+    # no heading before the table -> ''
+    out2 = table_title_context(
+        build_docx([("just text", None)], tbl), "doc")
+    assert out2 == [""]
+    # empty doc name falls back
+    out3 = table_title_context(build_docx(paras, tbl), "")
+    assert out3 == ["Untitled Document > Top > Deep"]
