@@ -1069,6 +1069,33 @@ def _q_tokenize_huqie(spark: SparkSession, sf_dir: str) -> DataFrame:
         gen, schema="doc_id long, seg_tks string, fine_tks string")
 
 
+def _q_xlsx_html(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """naive template XLSX branch (rag/app/naive.py:419 with
+    excel_parser.html chunk_rows=12): per-sheet <table> chunks with
+    repeated <th> header and the sheet-name caption."""
+    import pandas as pd
+
+    from ragflow_spark.corpus.gen import build_xlsx_pages
+
+    pages = build_xlsx_pages(spark, sf_dir)
+
+    def gen(it):
+        from ragflow_spark.extractlib.xlsxparse import xlsx_html
+
+        for pdf in it:
+            urls, seqs, htmls = [], [], []
+            for url, blob in zip(pdf["url"], pdf["html"]):
+                for seq, html in enumerate(xlsx_html(bytes(blob), 12)):
+                    urls.append(url)
+                    seqs.append(seq)
+                    htmls.append(html)
+            yield pd.DataFrame({"url": urls, "chunk_seq": seqs,
+                                "html": htmls})
+
+    return pages.select("url", "html").mapInPandas(
+        gen, schema="url string, chunk_seq int, html string")
+
+
 def _q_events_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Daily rollup per event type over a ts-filtered scan (pushed
     predicate + map-side partial aggregation — the lineage/metrics agg
@@ -1179,6 +1206,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "docx_tables_html": _q_docx_tables_html,
         "docx_table_titles": _q_docx_table_titles,
         "chunks_xlsx": _q_chunks_xlsx,
+        "xlsx_html": _q_xlsx_html,
         "chunks_pptx": _q_chunks_pptx,
         "term_weights": _q_term_weights,
         "search_docs": _q_search_docs,
@@ -1736,6 +1764,23 @@ GROUP BY f.url, f.cidx
 """
     chunks_docx_img_sql = chunks_docx_img_sql.replace(
         "WITH doc AS", "WITH RECURSIVE doc AS", 1)
+
+    # xlsx html twin: one sheet, <=6 data rows << chunk_rows 12 ->
+    # exactly one chunk per doc; sheet name by parity
+    xlsx_html_sql = _PDF_BASE_SQL.replace("/pdf/", "/xlsx/") + """
+SELECT url, 0 AS chunk_seq,
+       '<table><caption>' ||
+       CASE WHEN doc_id % 2 = 0 THEN 'metrics' ELSE 'Sheet1' END ||
+       '</caption><tr><th>metric</th><th>value</th><th>delta</th></tr>'
+       || string_agg(
+           '<tr><td>' || (doc_id * 7 + i) % 1000 ||
+           '</td><td>' || (doc_id * 13 + i * i) % 1000 ||
+           '</td><td>' || (doc_id + i * 31) % 100 || '</td></tr>',
+           '' ORDER BY i) || '</table>' || chr(10) AS html
+FROM (SELECT url, doc_id, unnest(range(1, 4 + doc_id % 4)) AS i
+      FROM base)
+GROUP BY url, doc_id
+"""
 
     # quirk mirrored: the reference skips FALSY cells ('if not
     # c.value', excel_parser.py:114) — a 0 cell drops its field
@@ -2534,6 +2579,7 @@ FROM documents
         "docx_tables_html": docx_tables_html_sql,
         "docx_table_titles": docx_table_titles_sql,
         "chunks_xlsx": chunks_xlsx_sql,
+        "xlsx_html": xlsx_html_sql,
         "chunks_pptx": chunks_pptx_sql,
         "term_weights": term_weights_sql,
         "search_docs": search_docs_sql,
