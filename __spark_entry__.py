@@ -926,6 +926,34 @@ def _q_search_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return keyword_search(docs, _search_queries(spark), k=5)
 
 
+_CJK_DOCS = [
+    (1, "数据 分析 数据 管道"),
+    (2, "中华人民共和国 数据 研究"),
+    (3, "研究 生命 起源 生命"),
+    (4, "管道 研究 处理"),
+    (5, "文档 提取 模型"),
+    (6, "数据 数据 数据"),
+]
+
+
+def _q_search_cjk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keyword retrieval through the CJK path end-to-end: trie
+    segmentation (huqie max-forward/backward + DFS), dictionary
+    freq/postag-driven Dealer weights, postings join — on literal
+    dictionary-word documents so the oracle can carry independently
+    derived weight constants (the same derivation hand-verified for
+    the term_weights oracle, at full precision)."""
+    from ragflow_spark.operators.retrieval import keyword_search
+
+    docs = spark.createDataFrame(_CJK_DOCS,
+                                 schema="doc_id long, text string")
+    queries = spark.createDataFrame(
+        [(0, "数据分析 管道"), (1, "中华人民共和国 数据"),
+         (2, "研究生命起源")],
+        schema="qid long, question string")
+    return keyword_search(docs, queries, k=5)
+
+
 def _q_search_expanded(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Synonym + phrase expanded keyword search (query.py:84-110 english
     branch + synonym.py lookup): base terms at Dealer weight, synonyms
@@ -1210,6 +1238,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "chunks_pptx": _q_chunks_pptx,
         "term_weights": _q_term_weights,
         "search_docs": _q_search_docs,
+        "search_cjk": _q_search_cjk,
         "search_expanded": _q_search_expanded,
         "rerank_fusion": _q_rerank_fusion,
         "doc_tags": _q_doc_tags,
@@ -1915,6 +1944,49 @@ FROM g LEFT JOIN (SELECT * FROM cited WHERE rk <= 4) c USING (qid)
 GROUP BY g.qid, g.answer
 """
 
+    # CJK search twin: documents are literal space-separated dictionary
+    # words (the trie segments each run to exactly that word); weights
+    # are the independently derived Dealer constants (embedded-dict
+    # freq/postag through the published idf blend — same derivation the
+    # term_weights literals were verified against, at full precision)
+    _cjk_docs_sql = " UNION ALL ".join(
+        f"SELECT {i} AS doc_id, '{t}' AS text" for i, t in _CJK_DOCS)
+    _cjk_w = {
+        0: [("数据", "0.3939536778197191"),
+            ("分析", "0.19697683890985954"),
+            ("管道", "0.40906948327042136")],
+        1: [("中华人民共和国", "0.6090014511780308"),
+            ("数据", "0.39099854882196916")],
+        2: [("研究", "0.1955039290962596"),
+            ("生命", "0.3984854368852809"),
+            ("起源", "0.40601063401845944")],
+    }
+
+    def _cjk_sql(qid: int) -> str:
+        score = " + ".join(f"{w} * ({_TF.format(w=t)})"
+                           for t, w in _cjk_w[qid])
+        tf = " + ".join(_TF.format(w=t) for t, _w in _cjk_w[qid])
+        return (f"SELECT {qid} AS qid, doc_id, "
+                f"round({score}, 6) AS score, ({tf}) AS tftot FROM tf")
+
+    search_cjk_sql = f"""
+WITH cd AS ({_cjk_docs_sql}),
+tf AS (SELECT doc_id, string_split(text, ' ') AS ws FROM cd),
+scores AS (
+    {_cjk_sql(0)}
+    UNION ALL
+    {_cjk_sql(1)}
+    UNION ALL
+    {_cjk_sql(2)}
+),
+r AS (SELECT qid, doc_id, score,
+             row_number() OVER (PARTITION BY qid
+                                ORDER BY score DESC, doc_id) AS rank
+      FROM scores WHERE tftot > 0)
+SELECT qid, CAST(rank AS INT) AS rank, doc_id, score
+FROM r WHERE rank <= 5
+"""
+
     # expanded-search twin: base terms at equal shares w = x/m, synonyms
     # at w/4 (only 'merge'->'join' maps into the corpus vocabulary; the
     # zero-tf expansions — quick/speedy/sweep/array — contribute nothing
@@ -2583,6 +2655,7 @@ FROM documents
         "chunks_pptx": chunks_pptx_sql,
         "term_weights": term_weights_sql,
         "search_docs": search_docs_sql,
+        "search_cjk": search_cjk_sql,
         "search_expanded": search_expanded_sql,
         "rerank_fusion": rerank_fusion_sql,
         "doc_tags": doc_tags_sql,
