@@ -280,3 +280,43 @@ def test_table_title_context_parent_chain_and_fallbacks():
     # empty doc name falls back
     out3 = table_title_context(build_docx(paras, tbl), "")
     assert out3 == ["Untitled Document > Top > Deep"]
+
+
+def test_hostile_office_inputs_never_raise():
+    """Every round-2 office entry point must degrade, not raise, on
+    malformed bytes (the extraction job feeds them raw crawl payloads).
+    """
+    import zipfile
+    import io
+
+    from ragflow_spark.extractlib.docxparse import (parse_docx,
+                                                    table_title_context,
+                                                    tables_html)
+    from ragflow_spark.extractlib.qa import (manual_sections_from_docx,
+                                             qa_pairs_from_docx)
+    from ragflow_spark.extractlib.templates import (chunk_book_docx,
+                                                    chunk_laws_docx)
+    from ragflow_spark.extractlib.xlsxparse import xlsx_html, xlsx_rows
+
+    # a zip that is not OOXML at all
+    buf = io.BytesIO()
+    with zipfile.ZipFile(buf, "w") as zf:
+        zf.writestr("hello.txt", "not office")
+    evil_zip = buf.getvalue()
+
+    payloads = [b"", b"PK\x03\x04", bytes(range(256)) * 4, evil_zip,
+                b"<html><p>not a zip</p></html>"]
+    for blob in payloads:
+        assert parse_docx(blob) == ([], [])
+        assert tables_html(blob) == []
+        assert table_title_context(blob, "d") == []
+        assert qa_pairs_from_docx(blob) == []
+        assert manual_sections_from_docx(blob) == []
+        assert chunk_laws_docx(blob) == []
+        assert chunk_book_docx(blob) == []
+        # xlsx keeps the reference's CSV fallback: plain text bytes
+        # parse as a 'Data' sheet rather than erroring — only assert
+        # no-raise plus emptiness for the zip-shaped payloads
+        xh, xr = xlsx_html(blob), xlsx_rows(blob)
+        if blob[:2] == b"PK" or not blob:
+            assert xh == [] and xr == []

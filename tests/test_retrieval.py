@@ -1,6 +1,7 @@
 """Term weighting (termweight.py) + keyword retrieval (retrieval.py)."""
 
 import pytest
+from pyspark.sql import functions as F
 
 from ragflow_spark.extractlib.termweight import TermWeightDealer, rm_www
 
@@ -190,6 +191,41 @@ def test_rerank_fusion_zero_vector_fallback():
     for r in rows:
         assert r["vtsim"] == 0.0
         assert r["score"] == r["tksim"]
+
+
+def test_bucketed_postings_join_is_shuffle_free():
+    """The 100-TB posture claim from the retrieval docstrings, proven
+    on a plan: postings persisted BUCKETED BY doc_id co-locate with
+    identically bucketed doc metadata, so the join carries no Exchange
+    (no shuffle) — the posting table IS the index, maintained once and
+    joined for free thereafter."""
+    from ragflow_spark.job.session import get_spark
+    from ragflow_spark.operators.retrieval import doc_postings
+
+    spark = get_spark("local[4]", shuffle_partitions=4)
+    docs = spark.createDataFrame(
+        [(i, f"fast query merge row {i % 7}") for i in range(50)],
+        schema="doc_id long, text string")
+    spark.sql("DROP TABLE IF EXISTS post_bkt")
+    spark.sql("DROP TABLE IF EXISTS meta_bkt")
+    doc_postings(docs).write.bucketBy(8, "doc_id").sortBy("doc_id") \
+        .mode("overwrite").saveAsTable("post_bkt")
+    docs.select("doc_id").withColumn("lang", F.lit("en")) \
+        .write.bucketBy(8, "doc_id").sortBy("doc_id") \
+        .mode("overwrite").saveAsTable("meta_bkt")
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        j = spark.table("post_bkt").join(spark.table("meta_bkt"),
+                                         "doc_id")
+        plan = j._jdf.queryExecution().executedPlan().toString()
+        assert "SortMergeJoin" in plan
+        assert "Exchange" not in plan
+        assert j.count() == doc_postings(docs).count()
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+        spark.sql("DROP TABLE IF EXISTS post_bkt")
+        spark.sql("DROP TABLE IF EXISTS meta_bkt")
 
 
 def test_keyword_search_end_to_end():
