@@ -247,3 +247,32 @@ def test_keyword_search_end_to_end():
     assert (1, 1) in by_rank and (2, 2) in by_rank
     assert all(r["qid"] == 0 for r in rows)
     assert len(rows) == 2  # doc 3 matches nothing
+
+
+def test_retrieval_page_window_and_threshold():
+    from ragflow_spark.job.session import get_spark
+    from ragflow_spark.operators.retrieval import retrieval_page
+
+    spark = get_spark("local[4]", shuffle_partitions=4)
+    docs = spark.createDataFrame(
+        [(i, "fast query merge " + " ".join(["row"] * i))
+         for i in range(1, 7)],
+        schema="doc_id long, text string")
+    emb = spark.createDataFrame([], schema="vec_id long, embedding array<float>")
+    queries = spark.createDataFrame(
+        [(0, "what is the fast query merge")],
+        schema="qid long, question string")
+    p1 = retrieval_page(docs, emb, queries, page=1, page_size=2,
+                        similarity_threshold=0.0)
+    p2 = retrieval_page(docs, emb, queries, page=2, page_size=2,
+                        similarity_threshold=0.0)
+    r1 = sorted((r["rank"], r["doc_id"]) for r in p1.collect())
+    r2 = sorted((r["rank"], r["doc_id"]) for r in p2.collect())
+    # pages are disjoint windows over the same fused ordering, each
+    # re-numbered from 1
+    assert len(r1) == 2 and len(r2) == 2
+    assert [r for r, _d in r1] == [1, 2] and [r for r, _d in r2] == [1, 2]
+    assert {d for _r, d in r1}.isdisjoint({d for _r, d in r2})
+    # a sky-high threshold empties the page
+    assert retrieval_page(docs, emb, queries,
+                          similarity_threshold=99.0).count() == 0
