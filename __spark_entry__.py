@@ -1038,6 +1038,17 @@ def _q_retrieval_page(spark: SparkSession, sf_dir: str) -> DataFrame:
     return retrieval_page(docs, emb, _search_queries(spark))
 
 
+def _q_retrieval_aggs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """retrieval()'s doc_aggs (search.py:415-424): per-query matched
+    counts per source document over all above-threshold candidates
+    (pagination ignored, reference parity)."""
+    from ragflow_spark.operators.retrieval import retrieval_doc_aggs
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    return retrieval_doc_aggs(docs, emb, _search_queries(spark))
+
+
 def _q_rank_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """_rank_feature_scores (search.py:252-277): tag-vector similarity
     between each query's tag_query dict and each doc's tag_content
@@ -1245,6 +1256,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "query_tags": _q_query_tags,
         "rank_features": _q_rank_features,
         "retrieval_page": _q_retrieval_page,
+        "retrieval_aggs": _q_retrieval_aggs,
         "cite_answers": _q_cite_answers,
         "events_rollup": _q_events_rollup,
         "events_props": _q_events_props,
@@ -2241,6 +2253,11 @@ WHERE {final_pred}
     # page-1 window of 5 then the 0.2 similarity cut
     retrieval_page_sql = _mk_rerank_sql(
         64, 0.7, 0.3, "rank <= 5 AND score >= 0.2")
+    # doc_aggs: count per (qid, doc) over ALL above-threshold rows
+    retrieval_aggs_sql = (
+        "SELECT qid, doc_id, count(*) AS count FROM ("
+        + _mk_rerank_sql(64, 0.7, 0.3, "score >= 0.2")
+        + ") GROUP BY qid, doc_id")
 
     chunks_pptx_sql = _PDF_BASE_SQL.replace("/pdf/", "/pptx/") + """
 SELECT url, CAST(item.i - 1 AS INT) AS seq, 'slide' AS kind,
@@ -2662,6 +2679,7 @@ FROM documents
         "query_tags": query_tags_sql,
         "rank_features": rank_features_sql,
         "retrieval_page": retrieval_page_sql,
+        "retrieval_aggs": retrieval_aggs_sql,
         "cite_answers": cite_answers_sql,
         "media_features": media_features_sql,
         "frame_sample": frame_sample_sql,

@@ -280,6 +280,28 @@ def retrieval_page(docs: DataFrame, embeddings: DataFrame,
     )
 
 
+def retrieval_doc_aggs(docs: DataFrame, embeddings: DataFrame,
+                       queries: DataFrame,
+                       similarity_threshold: float = 0.2,
+                       vector_similarity_weight: float = 0.3,
+                       rerank_limit: int = 64) -> DataFrame:
+    """(qid, doc_id, count): the doc_aggs side of Dealer.retrieval
+    (search.py:415-424) — per query, matched-chunk counts per source
+    document over EVERY above-threshold candidate (the reference keeps
+    counting past the page window; aggs ignore pagination). The driver
+    corpus is one chunk per document, so counts are 1 — the shape, not
+    the cardinality, is what the aggregation contributes."""
+    ranked = rerank_fusion(docs, embeddings, queries,
+                           topn=rerank_limit, k=rerank_limit,
+                           tkweight=1.0 - vector_similarity_weight,
+                           vtweight=vector_similarity_weight)
+    return (
+        ranked.where(F.col("score") >= similarity_threshold)
+        .groupBy("qid", "doc_id")
+        .agg(F.count("*").alias("count"))
+    )
+
+
 def doc_term_weights(docs: DataFrame, id_col: str = "doc_id",
                      text_col: str = "text") -> DataFrame:
     """(id, term, dw): the document side of token_similarity

@@ -92,3 +92,67 @@ def test_token_count_monotone_under_concat(t):
     b = num_tokens_from_string(t + " extra")
     assert b >= a
     assert num_tokens_from_string("") == 0
+
+
+@given(st.lists(st.text(alphabet="abcdefgh", min_size=1, max_size=8),
+                min_size=1, max_size=30))
+@settings(max_examples=60, deadline=None)
+def test_term_weights_normalize_for_any_words(words):
+    from ragflow_spark.extractlib.termweight import TermWeightDealer
+
+    dealer = TermWeightDealer()
+    tw = dealer.weights(words, preprocess=False)
+    total = sum(w for _t, w in tw)
+    assert abs(total - 1.0) < 1e-9 or total == 0.0
+    assert all(w >= 0 for _t, w in tw)
+
+
+@given(st.lists(st.text(alphabet="abcdefgh", min_size=1, max_size=8),
+                min_size=1, max_size=20),
+       st.lists(st.text(alphabet="abcdefgh", min_size=1, max_size=8),
+                min_size=1, max_size=40))
+@settings(max_examples=60, deadline=None)
+def test_token_similarity_bounded(qtks, dtks):
+    from ragflow_spark.extractlib.termweight import (TermWeightDealer,
+                                                     token_similarity)
+
+    dealer = TermWeightDealer()
+    sim = token_similarity(dealer, qtks, [dtks])[0]
+    # Cauchy: s <= sqrt(q) * ||d||2 <= sqrt(q), so s/q <= 1/sqrt(q)
+    # and q >= 1/|distinct| for unit-mass weights; damping >= log10(513)
+    import math
+    bound = math.sqrt(3.0 * math.sqrt(len(set(qtks))) / math.log10(513))
+    assert 0.0 <= sim <= bound + 1e-9
+
+
+@given(st.text(alphabet="abcdefg .!?", min_size=1, max_size=120))
+@settings(max_examples=60, deadline=None)
+def test_insert_citations_marker_removal_restores_answer(answer):
+    import re
+
+    from ragflow_spark.extractlib.citations import insert_citations
+
+    chunks = ["fast query merge scan", "spark stream window row"]
+    unit = [[1.0, 0.0], [0.0, 1.0]]
+    res, _seted = insert_citations(
+        answer, chunks, unit,
+        encode=lambda texts: [[1.0, 0.0]] * len(texts))
+    assert re.sub(r" ##\d+\$\$", "", res) == answer
+
+
+@given(st.lists(st.tuples(
+    st.text(alphabet="abc ", min_size=1, max_size=40),
+    st.one_of(st.none(), st.tuples(st.integers(1, 500),
+                                   st.integers(1, 500)))),
+    min_size=1, max_size=12))
+@settings(max_examples=60, deadline=None)
+def test_naive_merge_docx_text_lossless(sections):
+    from ragflow_spark.extractlib.merge import naive_merge_docx
+
+    cks, imgs = naive_merge_docx(sections, chunk_token_num=8)
+    assert "".join(cks) == "".join(t for t, _i in sections)
+    assert len(cks) == len(imgs)
+    # total image height is conserved across chunk folds
+    want = sum(i[1] for _t, i in sections if i)
+    got = sum(i[1] for i in imgs if i)
+    assert got == want
