@@ -226,6 +226,34 @@ def _q_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dup_clusters(minhash_lsh_pairs(docs))
 
 
+def _entities_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic entity table both engines derive from documents:
+    name = the doc's first word mutated by doc_id % 5 (identity, +x,
+    +yz, reversed, uppercased), type by parity."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    w = F.split(F.col("text"), " ").getItem(0)
+    name = (F.when(F.col("doc_id") % 5 == 1, F.concat(w, F.lit("x")))
+            .when(F.col("doc_id") % 5 == 2, F.concat(w, F.lit("yz")))
+            .when(F.col("doc_id") % 5 == 3, F.reverse(w))
+            .when(F.col("doc_id") % 5 == 4, F.upper(w))
+            .otherwise(w))
+    return docs.select(
+        F.col("doc_id").alias("ent_id"), name.alias("name"),
+        F.when(F.col("doc_id") % 2 == 0, F.lit("org"))
+        .otherwise(F.lit("person")).alias("ent_type"))
+
+
+def _q_entity_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Entity-resolution candidate pairs (graphrag/
+    entity_resolution.py:94,184-192): same-type pairs passing
+    is_similarity (latin edit-distance bound OR >1 shared chars),
+    generated through char-inverted and log-length-band blocking with
+    an exact verify."""
+    from ragflow_spark.operators.entities import entity_candidate_pairs
+
+    return entity_candidate_pairs(_entities_frame(spark, sf_dir))
+
+
 def _q_dedup_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact word-bigram Jaccard pairs (>=0.5) via inverted shingle
     index self-join (set-similarity join shape)."""
@@ -1207,6 +1235,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality_score": _q_quality_score,
         "dedup_minhash": _q_dedup_minhash,
         "dup_clusters": _q_dup_clusters,
+        "entity_candidates": _q_entity_candidates,
         "dedup_ngram": _q_dedup_ngram,
         "simhash_sigs": _q_simhash_sigs,
         "simhash_pairs": _q_simhash_pairs,
@@ -1467,6 +1496,31 @@ SELECT doc_a, doc_b, jaccard FROM (
                  6) AS jaccard
     FROM sh a JOIN sh b ON a.doc_id < b.doc_id
 ) WHERE jaccard >= 0.8
+"""
+
+    # entity-candidate twin: the O(n^2) gate evaluated directly (the
+    # Spark side blocks first and verifies with the same gate; every
+    # derived name is >80%-latin so the is_english vote is constant
+    # true and the gate is lev <= min//2 OR >1 shared distinct chars)
+    entity_candidates_sql = """
+WITH e AS (
+    SELECT doc_id AS ent_id,
+           CASE doc_id % 5
+               WHEN 1 THEN string_split(text, ' ')[1] || 'x'
+               WHEN 2 THEN string_split(text, ' ')[1] || 'yz'
+               WHEN 3 THEN reverse(string_split(text, ' ')[1])
+               WHEN 4 THEN upper(string_split(text, ' ')[1])
+               ELSE string_split(text, ' ')[1]
+           END AS name,
+           CASE WHEN doc_id % 2 = 0 THEN 'org' ELSE 'person' END AS ty
+    FROM documents
+)
+SELECT a.ent_id AS ent_a, b.ent_id AS ent_b
+FROM e a JOIN e b ON a.ent_id < b.ent_id AND a.ty = b.ty
+WHERE levenshtein(a.name, b.name)
+          <= CAST(floor(LEAST(len(a.name), len(b.name)) / 2) AS INT)
+   OR len(list_intersect(list_distinct(string_split(a.name, '')),
+                         list_distinct(string_split(b.name, '')))) > 1
 """
 
     # transitive-closure twin of the label-propagation components
@@ -2630,6 +2684,7 @@ FROM documents
         "quality_score": quality_score,
         "dedup_minhash": dedup_minhash,
         "dup_clusters": dup_clusters_sql,
+        "entity_candidates": entity_candidates_sql,
         "dedup_ngram": dedup_ngram,
         "simhash_sigs": simhash_sigs_sql,
         "simhash_pairs": simhash_pairs_sql,

@@ -16,3 +16,52 @@ def test_dup_clusters_components():
     assert got[30] == got[31] == got[32] == 30
     assert got[50] == got[51] == 50
     assert len(got) == 9 + 3 + 2
+
+
+def test_levenshtein_vectors():
+    from ragflow_spark.extractlib.textdist import levenshtein
+
+    assert levenshtein("", "") == 0
+    assert levenshtein("abc", "") == 3
+    assert levenshtein("kitten", "sitting") == 3
+    assert levenshtein("fast", "fastx") == 1
+    assert levenshtein("flaw", "lawn") == 2
+    assert levenshtein("abc", "abc") == 0
+
+
+def test_is_similar_entity_gate_branches():
+    from ragflow_spark.extractlib.textdist import is_similar_entity
+
+    # latin edit branch
+    assert is_similar_entity("merge", "merges")        # lev 1 <= 2
+    assert not is_similar_entity("ab", "xy")           # lev 2 > 1, no chars
+    # char-overlap branch rescues non-latin and distant-latin pairs
+    assert is_similar_entity("数据分析", "分析报告")     # shares 分,析
+    assert not is_similar_entity("数据", "报告")        # shares none
+    assert is_similar_entity("alphabet", "beta")       # chars a,b,e,t
+    # the latin bound uses the SHORTER name, but the shared-chars
+    # branch still fires for this pair (a and b in common)
+    assert is_similar_entity("ab", "abcdef")
+
+
+def test_entity_candidate_pairs_blocking_is_lossless():
+    from ragflow_spark.extractlib.textdist import is_similar_entity
+    from ragflow_spark.job.session import get_spark
+    from ragflow_spark.operators.entities import entity_candidate_pairs
+
+    spark = get_spark("local[4]", shuffle_partitions=4)
+    ents = [(1, "merge", "org"), (2, "merges", "org"),
+            (3, "merge", "person"),      # same name, other type
+            (4, "xq", "org"), (5, "zw", "org"),  # short, no overlap
+            (6, "ab", "org"), (7, "ac", "org"),  # edit-branch only
+            (8, "数据分析", "org"), (9, "分析报告", "org")]
+    df = spark.createDataFrame(ents,
+                               schema="ent_id long, name string, ent_type string")
+    got = {(r["ent_a"], r["ent_b"]) for r in
+           entity_candidate_pairs(df).collect()}
+    want = {(a, b) for i, (a, na, ta) in enumerate(ents)
+            for b, nb, tb in ents[i + 1:]
+            if ta == tb and is_similar_entity(na, nb)}
+    assert got == want
+    assert (1, 2) in got and (6, 7) in got and (8, 9) in got
+    assert (1, 3) not in got  # type block holds

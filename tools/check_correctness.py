@@ -6,7 +6,7 @@ Usage: python tools/check_correctness.py [sf_dir] [--skip q1,q2,...]
 
 --skip: omit queries whose DuckDB oracle is O(n^2) in corpus size (the
 pair-dedup family: dedup_minhash, dedup_ngram, simhash_pairs,
-embed_neardup, dup_clusters) when stress-probing larger scale factors;
+embed_neardup, dup_clusters, entity_candidates) when stress-probing larger scale factors;
 the driver gate itself runs at sf0.01 where they complete in seconds.
 """
 
