@@ -168,6 +168,10 @@ def main() -> None:
     run("doc_tags", lambda: tag_features(docs, kb_terms, kb_tags,
                                          smooth=50)
         .write.format("noop").mode("overwrite").save())
+    from ragflow_spark.operators.dedup import dup_clusters, \
+        minhash_lsh_pairs as _mlp
+    run("dup_clusters", lambda: dup_clusters(_mlp(docs))
+        .write.format("noop").mode("overwrite").save())
 
     total = round(sum(timings.values()), 3)
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]

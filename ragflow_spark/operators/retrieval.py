@@ -79,15 +79,19 @@ def doc_postings(docs: DataFrame, id_col: str = "doc_id",
 
 
 def keyword_search(docs: DataFrame, queries: DataFrame,
-                   k: int = 5) -> DataFrame:
+                   k: int = 5, postings: DataFrame | None = None
+                   ) -> DataFrame:
     """(qid, rank, doc_id, score): boost-weighted term-match top-k.
 
     Plan: postings (map-only) JOIN broadcast(query terms) -> partial-agg
     score per (qid, doc) -> Arrow local top-k -> tiny merge. The corpus
     never shuffles full documents; the exchange carries scored id pairs.
+    ``postings`` accepts a pre-materialized (doc_id, term, tf) table —
+    the persisted-index path (bucketed by doc_id at scale) that skips
+    re-tokenizing the corpus per query batch.
     """
     terms = query_terms(queries)
-    post = doc_postings(docs)
+    post = doc_postings(docs) if postings is None else postings
     # ranking happens on the 6-decimal score: float summation order
     # inside the partial agg is engine/partition dependent at the last
     # ulp, and ranking must be reproducible across engines and runs

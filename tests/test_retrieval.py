@@ -228,6 +228,36 @@ def test_bucketed_postings_join_is_shuffle_free():
         spark.sql("DROP TABLE IF EXISTS meta_bkt")
 
 
+def test_keyword_search_over_persisted_postings_matches_inline():
+    """The persisted-index path: postings materialized once (bucketed
+    at scale) and handed to keyword_search must score identically to
+    the tokenize-per-query path."""
+    from ragflow_spark.job.session import get_spark
+    from ragflow_spark.operators.retrieval import (doc_postings,
+                                                   keyword_search)
+
+    spark = get_spark("local[4]", shuffle_partitions=4)
+    docs = spark.createDataFrame(
+        [(i, f"fast query merge row {i % 5} scan table")
+         for i in range(30)],
+        schema="doc_id long, text string")
+    queries = spark.createDataFrame(
+        [(0, "what is the fast query merge")],
+        schema="qid long, question string")
+    spark.sql("DROP TABLE IF EXISTS postings_tbl")
+    doc_postings(docs).write.bucketBy(4, "doc_id").sortBy("doc_id") \
+        .mode("overwrite").saveAsTable("postings_tbl")
+    try:
+        inline = sorted(map(tuple, keyword_search(docs, queries, k=5)
+                            .collect()))
+        persisted = sorted(map(tuple, keyword_search(
+            docs, queries, k=5,
+            postings=spark.table("postings_tbl")).collect()))
+        assert inline == persisted and inline
+    finally:
+        spark.sql("DROP TABLE IF EXISTS postings_tbl")
+
+
 def test_keyword_search_end_to_end():
     from ragflow_spark.job.session import get_spark
     from ragflow_spark.operators.retrieval import keyword_search
