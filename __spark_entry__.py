@@ -1031,6 +1031,47 @@ def _q_cite_answers(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cite_answers(answers, _CITE_CHUNKS, chunk_v)
 
 
+def _q_chunks_resume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Resume template post-parse assembly (rag/app/resume.py:95-171):
+    the proprietary parse is the model seam — deterministic parsed
+    dicts are synthesized from doc_id, and the field-map content
+    (paren-stripped labels, list joins, rmSpace'd tks fields) plus the
+    flattened scalars are value-checked."""
+    import pandas as pd
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+    def gen(it):
+        from ragflow_spark.extractlib.resume import chunk_resume
+
+        for pdf in it:
+            out = {"doc_id": [], "content": [], "name_kwd": [],
+                   "gender_kwd": [], "age_int": []}
+            for doc_id in pdf["doc_id"]:
+                did = int(doc_id)
+                resume = {
+                    "name_kwd": f"Name{did % 50}",
+                    "gender_kwd": "男" if did % 2 == 0 else "女",
+                    "age_int": 20 + did % 30,
+                    "email_tks": f"u{did}@mail.com",
+                    "position_name_tks": f"engineer level {did % 9}",
+                    "work_exp_flt": (did % 20) / 2.0,
+                    "degree_kwd": (["本科", "硕士"] if did % 3 == 0
+                                   else ["本科"]),
+                }
+                doc = chunk_resume(resume, f"resume_{did}.pdf")
+                out["doc_id"].append(doc_id)
+                out["content"].append(doc["content_with_weight"])
+                out["name_kwd"].append(doc["name_kwd"])
+                out["gender_kwd"].append(doc["gender_kwd"])
+                out["age_int"].append(doc["age_int"])
+            yield pd.DataFrame(out)
+
+    return docs.select("doc_id").mapInPandas(
+        gen, schema="doc_id long, content string, name_kwd string, "
+                    "gender_kwd string, age_int int")
+
+
 def _q_doc_tags(spark: SparkSession, sf_dir: str) -> DataFrame:
     """tag_content (search.py:466-477): each document's top-30 weighted
     keyword clauses (synonyms honored, msm = min(3, n/10)) searched
@@ -1285,6 +1326,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "query_tags": _q_query_tags,
         "rank_features": _q_rank_features,
         "retrieval_page": _q_retrieval_page,
+        "chunks_resume": _q_chunks_resume,
         "retrieval_aggs": _q_retrieval_aggs,
         "cite_answers": _q_cite_answers,
         "events_rollup": _q_events_rollup,
@@ -1947,6 +1989,29 @@ r AS (SELECT qid, doc_id, score,
       FROM scores WHERE tftot > 0)
 SELECT qid, CAST(rank AS INT) AS rank, doc_id, score
 FROM r WHERE rank <= 5
+"""
+
+    # resume twin: field lines in FIELD_MAP order for the synthesized
+    # fields, labels stripped of full-width parentheticals; work_exp
+    # renders through str(float) (x.0 keeps its .0)
+    chunks_resume_sql = """
+SELECT doc_id,
+       '姓名/名字: Name' || (doc_id % 50) || chr(10) ||
+       '性别: ' || CASE WHEN doc_id % 2 = 0 THEN '男' ELSE '女' END ||
+       chr(10) ||
+       '年龄/岁/年纪: ' || (20 + doc_id % 30) || chr(10) ||
+       'email/e-mail/邮箱: u' || doc_id || '@mail.com' || chr(10) ||
+       '职位/职能/岗位/职责: engineer level ' || (doc_id % 9) ||
+       chr(10) ||
+       CASE WHEN doc_id % 20 = 0 THEN ''
+            ELSE '工作年限/工作年份/N年经验/毕业了多少年: ' ||
+                 CAST((doc_id % 20) / 2.0 AS VARCHAR) || chr(10) END ||
+       '过往学历: ' || CASE WHEN doc_id % 3 = 0 THEN '本科 硕士'
+                           ELSE '本科' END AS content,
+       'Name' || (doc_id % 50) AS name_kwd,
+       CASE WHEN doc_id % 2 = 0 THEN '男' ELSE '女' END AS gender_kwd,
+       CAST(20 + doc_id % 30 AS INT) AS age_int
+FROM documents
 """
 
     # insert_citations twin: single-piece answers, so the decaying
@@ -2735,6 +2800,7 @@ FROM documents
         "rank_features": rank_features_sql,
         "retrieval_page": retrieval_page_sql,
         "retrieval_aggs": retrieval_aggs_sql,
+        "chunks_resume": chunks_resume_sql,
         "cite_answers": cite_answers_sql,
         "media_features": media_features_sql,
         "frame_sample": frame_sample_sql,
