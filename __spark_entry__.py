@@ -1204,6 +1204,39 @@ def _q_xlsx_html(spark: SparkSession, sf_dir: str) -> DataFrame:
         gen, schema="url string, chunk_seq int, html string")
 
 
+def _q_csv_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CSV fallback path (excel_parser.py:36-43): non-zip bytes route
+    through the CSV reader into a 'Data' workbook with pandas-typed
+    numeric cells (zero drops its field), rendered by the same
+    'header：value; ...' row renderer with the non-default sheet
+    suffix."""
+    import pandas as pd
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+    def gen(it):
+        from ragflow_spark.extractlib.xlsxparse import xlsx_rows
+
+        for pdf in it:
+            ids, seqs, rows = [], [], []
+            for doc_id in pdf["doc_id"]:
+                did = int(doc_id)
+                body = "\n".join(
+                    f"{(did * 7 + i) % 1000},{(did * 13 + i * i) % 1000}"
+                    f",{(did + i * 31) % 100}"
+                    for i in range(1, 4 + did % 4))
+                blob = ("metric,value,delta\n" + body).encode()
+                for seq, row in enumerate(xlsx_rows(blob)):
+                    ids.append(doc_id)
+                    seqs.append(seq)
+                    rows.append(row)
+            yield pd.DataFrame({"doc_id": ids, "row_seq": seqs,
+                                "row": rows})
+
+    return docs.select("doc_id").mapInPandas(
+        gen, schema="doc_id long, row_seq int, row string")
+
+
 def _q_events_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Daily rollup per event type over a ts-filtered scan (pushed
     predicate + map-side partial aggregation — the lineage/metrics agg
@@ -1316,6 +1349,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "docx_table_titles": _q_docx_table_titles,
         "chunks_xlsx": _q_chunks_xlsx,
         "xlsx_html": _q_xlsx_html,
+        "csv_rows": _q_csv_rows,
         "chunks_pptx": _q_chunks_pptx,
         "term_weights": _q_term_weights,
         "search_docs": _q_search_docs,
@@ -1917,6 +1951,22 @@ SELECT url, 0 AS chunk_seq,
 FROM (SELECT url, doc_id, unnest(range(1, 4 + doc_id % 4)) AS i
       FROM base)
 GROUP BY url, doc_id
+"""
+
+    # csv twin: same falsy-cell skip as xlsx (pandas-typed zeros), the
+    # 'Data' sheet name always suffixes
+    csv_rows_sql = """
+SELECT doc_id, CAST(i - 1 AS INT) AS row_seq,
+       array_to_string(list_filter([
+           CASE WHEN (doc_id * 7 + i) % 1000 <> 0
+                THEN 'metric：' || ((doc_id * 7 + i) % 1000) END,
+           CASE WHEN (doc_id * 13 + i * i) % 1000 <> 0
+                THEN 'value：' || ((doc_id * 13 + i * i) % 1000) END,
+           CASE WHEN (doc_id + i * 31) % 100 <> 0
+                THEN 'delta：' || ((doc_id + i * 31) % 100) END
+       ], x -> x IS NOT NULL), '; ') || ' ——Data' AS row
+FROM (SELECT doc_id, unnest(range(1, 4 + doc_id % 4)) AS i
+      FROM documents)
 """
 
     # quirk mirrored: the reference skips FALSY cells ('if not
@@ -2789,6 +2839,7 @@ FROM documents
         "docx_table_titles": docx_table_titles_sql,
         "chunks_xlsx": chunks_xlsx_sql,
         "xlsx_html": xlsx_html_sql,
+        "csv_rows": csv_rows_sql,
         "chunks_pptx": chunks_pptx_sql,
         "term_weights": term_weights_sql,
         "search_docs": search_docs_sql,

@@ -141,13 +141,28 @@ def load_sheets(blob: bytes) -> list[tuple[str, list[list]]]:
 
 
 def _load_csv(blob: bytes) -> list[tuple[str, list[list]]]:
+    """CSV fallback (excel_parser.py:36-43 + _dataframe_to_workbook):
+    the reference routes non-zip bytes through pandas.read_csv into a
+    'Data'-named workbook, so simple numeric cells arrive TYPED — a
+    '0' cell is int 0 and falls to the falsy-skip in the row renderer.
+    Plain int/float literals are coerced here for that parity; richer
+    pandas inference (dates, NA tokens) is out of scope."""
     import csv
+    import re as _re
 
     from .codec import find_codec
 
+    def coerce(c: str):
+        if _re.fullmatch(r"[-+]?[0-9]+", c):
+            return int(c)
+        if _re.fullmatch(r"[-+]?[0-9]*\.[0-9]+", c):
+            return float(c)
+        return c
+
     try:
         txt = blob.decode(find_codec(blob), errors="ignore")
-        rows = [list(r) for r in csv.reader(io.StringIO(txt))]
+        rows = [[coerce(c) for c in r]
+                for r in csv.reader(io.StringIO(txt))]
     except Exception:
         return []
     if not rows:

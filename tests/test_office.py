@@ -320,3 +320,11 @@ def test_hostile_office_inputs_never_raise():
         xh, xr = xlsx_html(blob), xlsx_rows(blob)
         if blob[:2] == b"PK" or not blob:
             assert xh == [] and xr == []
+
+
+def test_csv_fallback_zero_cells_skip_like_reference():
+    from ragflow_spark.extractlib.xlsxparse import xlsx_rows
+
+    # pandas-typed parity: numeric '0' is falsy and drops its field
+    assert xlsx_rows(b"qty,delta\n0,5\n3,0") == \
+        ["delta：5 ——Data", "qty：3 ——Data"]
