@@ -118,3 +118,28 @@ def test_pdf_fixture_real_world_streams():
     assert n == GOLD["test.pdf"]["n_sections"]
     assert _h(text) == GOLD["test.pdf"]["extract_pdf"]
     assert _h(chunk_naive_pdf(blob)) == GOLD["test.pdf"]["chunk_naive_pdf"]
+
+
+def test_docx_fixture_round2_branches():
+    """The round-2 docx template branches pinned on the real fixture —
+    heading outlines, QA stacks, colspan tables, nearest-title chains
+    all exercise a hostile Word document the synthetic corpus cannot
+    produce."""
+    from ragflow_spark.extractlib.docxparse import (table_title_context,
+                                                    tables_html)
+    from ragflow_spark.extractlib.qa import (manual_sections_from_docx,
+                                             qa_pairs_from_docx)
+    from ragflow_spark.extractlib.templates import (chunk_book_docx,
+                                                    chunk_laws_docx)
+
+    blob = _blob("test.docx")
+    g = GOLD["test.docx.r2"]
+    laws = chunk_laws_docx(blob)
+    assert len(laws) == g["laws_n"] and _h(laws) == g["laws"]
+    book = chunk_book_docx(blob)
+    assert len(book) == g["book_n"] and _h(book) == g["book"]
+    qa = qa_pairs_from_docx(blob)
+    assert len(qa) == g["qa_n"] and _h(qa) == g["qa"]
+    assert _h(manual_sections_from_docx(blob)) == g["manual"]
+    assert _h(tables_html(blob)) == g["tables_html"]
+    assert table_title_context(blob, "test") == g["table_titles"]
