@@ -143,3 +143,22 @@ def test_docx_fixture_round2_branches():
     assert _h(manual_sections_from_docx(blob)) == g["manual"]
     assert _h(tables_html(blob)) == g["tables_html"]
     assert table_title_context(blob, "test") == g["table_titles"]
+
+
+def test_retrieval_machinery_on_real_text():
+    """Trie tokenization (Porter path), Dealer weights, and
+    fine-grained re-segmentation pinned over the real RagFlow intro
+    text — 592 real-world tokens through the full pipeline."""
+    from ragflow_spark.extractlib.huqie import (default_tokenizer,
+                                                tokenize)
+    from ragflow_spark.extractlib.termweight import TermWeightDealer
+
+    txt = open(BASE + "ragflow_test.txt", encoding="utf-8").read()
+    g = GOLD["ragflow_test.txt.retrieval"]
+    tks = tokenize(txt).split()
+    assert len(tks) == g["n_tokens"]
+    assert _h(tks) == g["tokens_hash"]
+    tw = TermWeightDealer().weights(tks[:200], preprocess=False)
+    assert _h([[t, round(w, 9)] for t, w in tw]) == g["weights_hash"]
+    assert _h(default_tokenizer().fine_grained_tokenize(
+        " ".join(tks[:100]))) == g["fine_hash"]
