@@ -982,6 +982,22 @@ def _q_search_cjk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return keyword_search(docs, queries, k=5)
 
 
+def _q_search_cjk_minmatch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The CJK question branch's minimum_should_match (query.py:75,
+    default 0.6): a document qualifies only when >= ceil(0.6 * terms)
+    distinct query terms hit — q0 (3 terms) and q2 (3 terms) need 2+,
+    q1 (2 terms) needs 2."""
+    from ragflow_spark.operators.retrieval import keyword_search
+
+    docs = spark.createDataFrame(_CJK_DOCS,
+                                 schema="doc_id long, text string")
+    queries = spark.createDataFrame(
+        [(0, "数据分析 管道"), (1, "中华人民共和国 数据"),
+         (2, "研究生命起源")],
+        schema="qid long, question string")
+    return keyword_search(docs, queries, k=5, min_match=0.6)
+
+
 def _q_search_expanded(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Synonym + phrase expanded keyword search (query.py:84-110 english
     branch + synonym.py lookup): base terms at Dealer weight, synonyms
@@ -1354,6 +1370,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "term_weights": _q_term_weights,
         "search_docs": _q_search_docs,
         "search_cjk": _q_search_cjk,
+        "search_cjk_minmatch": _q_search_cjk_minmatch,
         "search_expanded": _q_search_expanded,
         "rerank_fusion": _q_rerank_fusion,
         "doc_tags": _q_doc_tags,
@@ -2168,6 +2185,38 @@ SELECT qid, CAST(rank AS INT) AS rank, doc_id, score
 FROM r WHERE rank <= 5
 """
 
+    # minimum_should_match twin: the distinct-hit count per (query,
+    # doc) must reach ceil(0.6 * |terms|) — 2 for every query here
+    def _cjk_mm_sql(qid: int) -> str:
+        score = " + ".join(f"{w} * ({_TF.format(w=t)})"
+                           for t, w in _cjk_w[qid])
+        tf = " + ".join(_TF.format(w=t) for t, _w in _cjk_w[qid])
+        nm = " + ".join(
+            f"CASE WHEN ({_TF.format(w=t)}) > 0 THEN 1 ELSE 0 END"
+            for t, _w in _cjk_w[qid])
+        need = -(-len(_cjk_w[qid]) * 6 // 10)  # ceil(0.6 * m)
+        return (f"SELECT {qid} AS qid, doc_id, "
+                f"round({score}, 6) AS score, ({tf}) AS tftot, "
+                f"({nm}) AS nm, {need} AS need FROM tf")
+
+    search_cjk_minmatch_sql = f"""
+WITH cd AS ({_cjk_docs_sql}),
+tf AS (SELECT doc_id, string_split(text, ' ') AS ws FROM cd),
+scores AS (
+    {_cjk_mm_sql(0)}
+    UNION ALL
+    {_cjk_mm_sql(1)}
+    UNION ALL
+    {_cjk_mm_sql(2)}
+),
+r AS (SELECT qid, doc_id, score,
+             row_number() OVER (PARTITION BY qid
+                                ORDER BY score DESC, doc_id) AS rank
+      FROM scores WHERE tftot > 0 AND nm >= need)
+SELECT qid, CAST(rank AS INT) AS rank, doc_id, score
+FROM r WHERE rank <= 5
+"""
+
     # expanded-search twin: base terms at equal shares w = x/m, synonyms
     # at w/4 (only 'merge'->'join' maps into the corpus vocabulary; the
     # zero-tf expansions — quick/speedy/sweep/array — contribute nothing
@@ -2844,6 +2893,7 @@ FROM documents
         "term_weights": term_weights_sql,
         "search_docs": search_docs_sql,
         "search_cjk": search_cjk_sql,
+        "search_cjk_minmatch": search_cjk_minmatch_sql,
         "search_expanded": search_expanded_sql,
         "rerank_fusion": rerank_fusion_sql,
         "doc_tags": doc_tags_sql,

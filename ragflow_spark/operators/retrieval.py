@@ -79,8 +79,8 @@ def doc_postings(docs: DataFrame, id_col: str = "doc_id",
 
 
 def keyword_search(docs: DataFrame, queries: DataFrame,
-                   k: int = 5, postings: DataFrame | None = None
-                   ) -> DataFrame:
+                   k: int = 5, postings: DataFrame | None = None,
+                   min_match: float = 0.0) -> DataFrame:
     """(qid, rank, doc_id, score): boost-weighted term-match top-k.
 
     Plan: postings (map-only) JOIN broadcast(query terms) -> partial-agg
@@ -88,7 +88,11 @@ def keyword_search(docs: DataFrame, queries: DataFrame,
     never shuffles full documents; the exchange carries scored id pairs.
     ``postings`` accepts a pre-materialized (doc_id, term, tf) table —
     the persisted-index path (bucketed by doc_id at scale) that skips
-    re-tokenizing the corpus per query batch.
+    re-tokenizing the corpus per query batch. ``min_match`` is the ES
+    minimum_should_match fraction the CJK question branch passes
+    (query.py:75 default 0.6): a document qualifies only when at least
+    ceil(min_match * |query terms|) distinct terms hit — a HAVING
+    clause on the same partial aggregation, no extra shuffle.
     """
     terms = query_terms(queries)
     post = doc_postings(docs) if postings is None else postings
@@ -99,8 +103,16 @@ def keyword_search(docs: DataFrame, queries: DataFrame,
         post.join(F.broadcast(terms), "term")
         .groupBy("qid", "doc_id")
         .agg(F.round(F.sum(F.col("weight") * F.col("tf")),
-                     6).alias("score"))
+                     6).alias("score"),
+             F.countDistinct("term").alias("nmatched"))
     )
+    if min_match > 0:
+        nterms = terms.groupBy("qid").agg(
+            F.countDistinct("term").alias("nterms"))
+        scored = (scored.join(F.broadcast(nterms), "qid")
+                  .where(F.col("nmatched") >=
+                         F.ceil(min_match * F.col("nterms"))))
+    scored = scored.select("qid", "doc_id", "score")
 
     def local_topk(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:

@@ -306,3 +306,26 @@ def test_retrieval_page_window_and_threshold():
     # a sky-high threshold empties the page
     assert retrieval_page(docs, emb, queries,
                           similarity_threshold=99.0).count() == 0
+
+
+def test_keyword_search_min_match_gate():
+    from ragflow_spark.job.session import get_spark
+    from ragflow_spark.operators.retrieval import keyword_search
+
+    spark = get_spark("local[4]", shuffle_partitions=4)
+    docs = spark.createDataFrame(
+        [(1, "fast query merge"),   # 3/3 terms
+         (2, "fast table scan"),    # 1/3
+         (3, "query merge row")],   # 2/3
+        schema="doc_id long, text string")
+    queries = spark.createDataFrame(
+        [(0, "what is the fast query merge")],
+        schema="qid long, question string")
+    # terms: the/fast/queri/merg -> 4 terms; ceil(0.6*4)=3
+    open_ids = {r["doc_id"] for r in
+                keyword_search(docs, queries, k=5).collect()}
+    gated_ids = {r["doc_id"] for r in
+                 keyword_search(docs, queries, k=5,
+                                min_match=0.6).collect()}
+    assert open_ids == {1, 2, 3}
+    assert gated_ids == {1}  # only doc 1 reaches 3 distinct hits
