@@ -1047,6 +1047,35 @@ def _q_cite_answers(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cite_answers(answers, _CITE_CHUNKS, chunk_v)
 
 
+def _q_rerank_model(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """rerank_by_model (search.py:318-339): keyword top-8 candidates
+    scored by a deterministic cross-encoder stand-in (cosine of
+    embeddings vec 20+qid vs the doc vector — the rerank_mdl seam),
+    fused 0.3/0.7 with the non-dedup'd token similarity."""
+    from ragflow_spark.operators.retrieval import (keyword_search,
+                                                   rerank_by_model)
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    queries = _search_queries(spark)
+    cands = keyword_search(docs, queries, k=8).select("qid", "doc_id")
+    n = emb.withColumn("v", F.col("embedding").cast("array<double>")) \
+        .select("vec_id", "v") \
+        .withColumn("nrm", F.expr(
+            "sqrt(aggregate(v, cast(0 as double), (s, x) -> s + x * x))"))
+    qv = n.select((F.col("vec_id") - 20).alias("qid"),
+                  F.col("v").alias("qv"), F.col("nrm").alias("qn"))
+    dot = F.expr("aggregate(zip_with(qv, v, (x, y) -> x * y), "
+                 "cast(0 as double), (s, v) -> s + v)")
+    msims = (
+        cands.join(n, F.col("doc_id") == F.col("vec_id"), "left")
+        .join(F.broadcast(qv), "qid", "left")
+        .select("qid", "doc_id", F.coalesce(
+            dot / (F.col("qn") * F.col("nrm")), F.lit(0.0)).alias("msim"))
+    )
+    return rerank_by_model(docs, queries, msims)
+
+
 def _q_chunks_resume(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Resume template post-parse assembly (rag/app/resume.py:95-171):
     the proprietary parse is the model seam — deterministic parsed
@@ -1379,6 +1408,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "retrieval_page": _q_retrieval_page,
         "chunks_resume": _q_chunks_resume,
         "retrieval_aggs": _q_retrieval_aggs,
+        "rerank_model": _q_rerank_model,
         "cite_answers": _q_cite_answers,
         "events_rollup": _q_events_rollup,
         "events_props": _q_events_props,
@@ -2471,6 +2501,64 @@ WHERE {final_pred}
     # page-1 window of 5 then the 0.2 similarity cut
     retrieval_page_sql = _mk_rerank_sql(
         64, 0.7, 0.3, "rank <= 5 AND score >= 0.2")
+
+    # rerank_by_model twin: same top-8 candidates; the token side keeps
+    # occurrence multiplicity (dtwt = tf-weighted with the 'a'
+    # occurrences at 0.01), the model stand-in is the plain embedding
+    # cosine (vec 20+qid vs doc vector)
+    rerank_model_sql = f"""
+WITH b AS (SELECT {_B} AS x),
+d AS (SELECT doc_id, string_split(text, ' ') AS ws,
+             list_distinct(string_split(text, ' ')) AS dws,
+             len(list_distinct(string_split(text, ' '))) AS dlen,
+             len(string_split(text, ' ')) AS ntok,
+             len(list_filter(string_split(text, ' '), t -> t = 'a'))
+                 AS na,
+             (len(list_distinct(string_split(text, ' ')))
+              - CASE WHEN list_contains(
+                    list_distinct(string_split(text, ' ')), 'a')
+                THEN 1 ELSE 0 END)
+             + CASE WHEN list_contains(
+                   list_distinct(string_split(text, ' ')), 'a')
+               THEN 0.01 ELSE 0 END AS summ
+      FROM documents),
+scores AS (
+    {_rr_sql(0, ['the', 'fast', 'query', 'merge'])}
+    UNION ALL
+    {_rr_sql(1, ['the', 'spark', 'stream', 'window', 'flow'])}
+    UNION ALL
+    {_rr_sql(2, ['big', 'the', 'small', 'table', 'scan'])}
+    UNION ALL
+    {_rr_sql(3, ['column', 'group', 'the', 'vector', 'value'])}
+),
+c8 AS (SELECT s.*, d.ntok, d.na FROM (
+    SELECT *, row_number() OVER (PARTITION BY qid
+                                 ORDER BY kscore DESC, doc_id) AS krank
+    FROM scores WHERE tftot > 0) s
+    JOIN d USING (doc_id) WHERE krank <= 8),
+n AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+             {_rr_nrm} AS nrm
+      FROM embeddings),
+sims AS (
+    SELECT c8.qid, c8.doc_id,
+           sqrt(3.0 * (qw * tftot
+                       / ((c8.ntok - c8.na) + 0.01 * c8.na) + 1e-9)
+                / (qq + 1e-9) / log10(dlen + 512)) AS tksim,
+           COALESCE({_rr_dot} / (qn.nrm * dn.nrm), 0.0) AS msim
+    FROM c8
+    LEFT JOIN n dn ON dn.vec_id = c8.doc_id
+    LEFT JOIN n qn ON qn.vec_id = 20 + c8.qid
+)
+SELECT qid, CAST(rank AS INT) AS rank, doc_id,
+       round(tksim, 6) AS tksim, round(msim, 6) AS msim,
+       round(0.3 * tksim + 0.7 * msim, 6) AS score
+FROM (SELECT *, row_number() OVER (
+          PARTITION BY qid
+          ORDER BY round(0.3 * tksim + 0.7 * msim, 6) DESC, doc_id)
+          AS rank
+      FROM sims)
+WHERE rank <= 5
+"""
     # doc_aggs: count per (qid, doc) over ALL above-threshold rows
     retrieval_aggs_sql = (
         "SELECT qid, doc_id, count(*) AS count FROM ("
@@ -2901,6 +2989,7 @@ FROM documents
         "rank_features": rank_features_sql,
         "retrieval_page": retrieval_page_sql,
         "retrieval_aggs": retrieval_aggs_sql,
+        "rerank_model": rerank_model_sql,
         "chunks_resume": chunks_resume_sql,
         "cite_answers": cite_answers_sql,
         "media_features": media_features_sql,

@@ -271,6 +271,60 @@ def cite_answers(answers: DataFrame, chunks: list[str],
         gen, schema="qid long, cited string, cites string")
 
 
+def rerank_by_model(docs: DataFrame, queries: DataFrame,
+                    model_sims: DataFrame, k: int = 5,
+                    tkweight: float = 0.3,
+                    vtweight: float = 0.7) -> DataFrame:
+    """search.py:318-339 rerank_by_model: the cross-encoder similarity
+    arrives as an input column (the rerank_mdl seam — (qid, doc_id,
+    msim) for the candidate page it scored); this operator supplies
+    the token side verbatim — ins_tw WITHOUT the dedup/boost treatment
+    of plain rerank (content tokens keep multiplicity, so dtwt is
+    tf-weighted) — and fuses
+
+        score = tkweight * (tksim + rank_fea) + vtweight * msim
+
+    with rank_fea 0 absent rank features. Same broadcast shape as
+    rerank_fusion; the model-scored page is the tiny side."""
+    cands = model_sims.select("qid", "doc_id", "msim").cache()
+    cand_ids = cands.select("doc_id").distinct()
+    dtw = doc_term_weights(
+        docs.join(F.broadcast(cand_ids), "doc_id"),
+        dedup=False).cache()
+    dstats = dtw.groupBy("doc_id").agg(F.count("*").alias("dlen"))
+    qtw = query_terms(queries).groupBy("qid", "term").agg(
+        F.sum("weight").alias("weight")).cache()
+    qnorm = qtw.groupBy("qid").agg(
+        F.sum(F.col("weight") * F.col("weight")).alias("qq"))
+    overlap = (
+        cands.join(dtw, "doc_id")
+        .join(F.broadcast(qtw), ["qid", "term"])
+        .groupBy("qid", "doc_id")
+        .agg(F.sum(F.col("weight") * F.col("dw")).alias("s"))
+    )
+    scored = (
+        cands
+        .join(overlap, ["qid", "doc_id"], "left")
+        .join(F.broadcast(dstats), "doc_id")
+        .join(F.broadcast(qnorm), "qid")
+        .withColumn("tksim", F.sqrt(
+            3.0 * (F.coalesce(F.col("s"), F.lit(0.0)) + 1e-9)
+            / (F.col("qq") + 1e-9)
+            / F.log10(F.col("dlen") + 512)))
+        .withColumn("score", F.round(
+            tkweight * F.col("tksim") + vtweight * F.col("msim"), 6))
+    )
+    rank = F.row_number().over(
+        Window.partitionBy("qid").orderBy(
+            F.col("score").desc(), F.col("doc_id")))
+    return (
+        scored.withColumn("rank", rank).where(F.col("rank") <= k)
+        .select("qid", "rank", "doc_id",
+                F.round("tksim", 6).alias("tksim"),
+                F.round("msim", 6).alias("msim"), "score")
+    )
+
+
 def retrieval_page(docs: DataFrame, embeddings: DataFrame,
                    queries: DataFrame, page: int = 1, page_size: int = 5,
                    similarity_threshold: float = 0.2,
@@ -319,26 +373,33 @@ def retrieval_doc_aggs(docs: DataFrame, embeddings: DataFrame,
 
 
 def doc_term_weights(docs: DataFrame, id_col: str = "doc_id",
-                     text_col: str = "text") -> DataFrame:
+                     text_col: str = "text",
+                     dedup: bool = True) -> DataFrame:
     """(id, term, dw): the document side of token_similarity
     (rag/nlp/query.py:215-222 toDict over search.py:301-306 ins_tw with
     the reference's own empty-field paths for title/kwd/question):
     huqie tokens deduped preserving first occurrence
     (OrderedDict.fromkeys, search.py:302), then Dealer normalized
-    weights with preprocess=False. One row per distinct term; the row
-    count per doc is len(dtwt) for the similarity log-damping."""
+    weights with preprocess=False, accumulated per term. One row per
+    distinct term; the row count per doc is len(dtwt) for the
+    similarity log-damping. ``dedup=False`` is rerank_by_model's
+    surface (search.py:323-331): occurrences keep their multiplicity,
+    so dtwt is tf-weighted."""
     def gen(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         from collections import OrderedDict
 
         from ragflow_spark.extractlib.huqie import tokenize
-        from ragflow_spark.extractlib.termweight import TermWeightDealer
+        from ragflow_spark.extractlib.termweight import (TermWeightDealer,
+                                                         to_weight_dict)
 
         dealer = TermWeightDealer()
         for pdf in it:
             ids, terms, dws = [], [], []
             for did, text in zip(pdf[id_col], pdf[text_col]):
-                tks = list(OrderedDict.fromkeys(tokenize(text).split()))
-                for t, w in dealer.weights(tks, preprocess=False):
+                tks = tokenize(text).split()
+                if dedup:
+                    tks = list(OrderedDict.fromkeys(tks))
+                for t, w in to_weight_dict(dealer, tks).items():
                     ids.append(did)
                     terms.append(t)
                     dws.append(w)
