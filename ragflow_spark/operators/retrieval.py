@@ -90,9 +90,12 @@ def keyword_search(docs: DataFrame, queries: DataFrame,
     the persisted-index path (bucketed by doc_id at scale) that skips
     re-tokenizing the corpus per query batch. ``min_match`` is the ES
     minimum_should_match fraction the CJK question branch passes
-    (query.py:75 default 0.6): a document qualifies only when at least
-    ceil(min_match * |query terms|) distinct terms hit — a HAVING
-    clause on the same partial aggregation, no extra shuffle.
+    (query.py:75 default 0.6): ES rounds percentage values DOWN, so a
+    document qualifies when at least max(floor(min_match * |query
+    terms|), 1) distinct terms hit — a HAVING clause on the same
+    partial aggregation, no extra shuffle. The >=1 clamp matches the
+    engine: a pure-should match with a zero requirement still only
+    returns documents hitting at least one clause.
     """
     terms = query_terms(queries)
     post = doc_postings(docs) if postings is None else postings
@@ -110,8 +113,8 @@ def keyword_search(docs: DataFrame, queries: DataFrame,
         nterms = terms.groupBy("qid").agg(
             F.countDistinct("term").alias("nterms"))
         scored = (scored.join(F.broadcast(nterms), "qid")
-                  .where(F.col("nmatched") >=
-                         F.ceil(min_match * F.col("nterms"))))
+                  .where(F.col("nmatched") >= F.greatest(
+                      F.floor(min_match * F.col("nterms")), F.lit(1))))
     scored = scored.select("qid", "doc_id", "score")
 
     def local_topk(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -133,6 +136,46 @@ def keyword_search(docs: DataFrame, queries: DataFrame,
         .select("qid", (F.col("pos") + 1).alias("rank"),
                 (-F.col("c.nid")).alias("doc_id"), "c.score")
     )
+
+
+def rerank_query_terms(queries: DataFrame) -> DataFrame:
+    """(qid, term, weight): the query token side of the RERANK paths.
+
+    Both rerank entries (search.py:283,321) take ``keywords`` from
+    FulltextQueryer.question(), whose non-Chinese branch extends the
+    huqie base tokens with each term's huqie-tokenized synonyms
+    (query.py:93-96 keywords.extend(syn)) — so the toDict weights
+    (query.py:216-222, preprocess=False, normalized over the WHOLE
+    list, duplicates accumulated) shift whenever any query term has a
+    synonym, even one with zero corpus hits. This differs from
+    query_terms (the match side) where synonyms ride as quarter-boost
+    DSL clauses instead."""
+    def gen(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from ragflow_spark.extractlib.huqie import tokenize
+        from ragflow_spark.extractlib.synonyms import SynonymDealer
+        from ragflow_spark.extractlib.termweight import (TermWeightDealer,
+                                                         rm_www,
+                                                         to_weight_dict)
+
+        dealer = TermWeightDealer()
+        syn = SynonymDealer()
+        for pdf in it:
+            qids, terms, weights = [], [], []
+            for qid, question in zip(pdf["qid"], pdf["question"]):
+                base = tokenize(rm_www(question)).split()
+                kws = list(base)
+                for t in base[:256]:
+                    kws.extend(tokenize(" ".join(syn.lookup(t))).split())
+                for t, w in to_weight_dict(dealer, kws).items():
+                    qids.append(qid)
+                    terms.append(t)
+                    weights.append(w)
+            yield pd.DataFrame({"qid": qids, "term": terms,
+                                "weight": weights})
+
+    return queries.mapInPandas(gen,
+                               schema="qid long, term string, "
+                                      "weight double")
 
 
 def query_expansion(queries: DataFrame) -> DataFrame:
@@ -251,12 +294,24 @@ def cite_answers(answers: DataFrame, chunks: list[str],
     by value into the Arrow closure the way the reference passes them
     by argument. Map-only plan: answers never shuffle."""
     def gen(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        from ragflow_spark.extractlib.citations import insert_citations
+        from ragflow_spark.extractlib.citations import (insert_citations,
+                                                        split_pieces)
 
         for pdf in it:
             qids, cited, cites = [], [], []
             for qid, answer, vec in zip(pdf["qid"], pdf["answer"],
                                         pdf["vec"]):
+                # the single answer-level vector stands in for the
+                # per-piece embedding ONLY when there is exactly one
+                # scorable piece — enforce the documented constraint
+                # instead of silently scoring every piece with it
+                npieces = sum(1 for p in split_pieces(answer)
+                              if len(p) >= 5)
+                if npieces > 1:
+                    raise ValueError(
+                        f"cite_answers: answer for qid={qid} splits "
+                        f"into {npieces} scorable pieces but carries "
+                        "one embedding; supply per-piece vectors")
                 res, seted = insert_citations(
                     answer, chunks, chunk_v,
                     encode=lambda texts, v=vec: [list(v)] * len(texts),
@@ -292,8 +347,7 @@ def rerank_by_model(docs: DataFrame, queries: DataFrame,
         docs.join(F.broadcast(cand_ids), "doc_id"),
         dedup=False).cache()
     dstats = dtw.groupBy("doc_id").agg(F.count("*").alias("dlen"))
-    qtw = query_terms(queries).groupBy("qid", "term").agg(
-        F.sum("weight").alias("weight")).cache()
+    qtw = rerank_query_terms(queries).cache()
     qnorm = qtw.groupBy("qid").agg(
         F.sum(F.col("weight") * F.col("weight")).alias("qq"))
     overlap = (
@@ -302,15 +356,20 @@ def rerank_by_model(docs: DataFrame, queries: DataFrame,
         .groupBy("qid", "doc_id")
         .agg(F.sum(F.col("weight") * F.col("dw")).alias("s"))
     )
+    # dstats/qnorm LEFT-join: the reference scores every candidate in
+    # sres.ids — a model-scored candidate whose text tokenizes to
+    # nothing (dtwt = {}) still gets tksim = sqrt(3e-9 / q / log10(512))
+    # and its vtweight * msim share; an inner join would silently drop
+    # it from the page (search.py:318-339)
     scored = (
         cands
         .join(overlap, ["qid", "doc_id"], "left")
-        .join(F.broadcast(dstats), "doc_id")
-        .join(F.broadcast(qnorm), "qid")
+        .join(F.broadcast(dstats), "doc_id", "left")
+        .join(F.broadcast(qnorm), "qid", "left")
         .withColumn("tksim", F.sqrt(
             3.0 * (F.coalesce(F.col("s"), F.lit(0.0)) + 1e-9)
-            / (F.col("qq") + 1e-9)
-            / F.log10(F.col("dlen") + 512)))
+            / (F.coalesce(F.col("qq"), F.lit(0.0)) + 1e-9)
+            / F.log10(F.coalesce(F.col("dlen"), F.lit(0)) + 512)))
         .withColumn("score", F.round(
             tkweight * F.col("tksim") + vtweight * F.col("msim"), 6))
     )
@@ -351,22 +410,28 @@ def retrieval_page(docs: DataFrame, embeddings: DataFrame,
 
 
 def retrieval_doc_aggs(docs: DataFrame, embeddings: DataFrame,
-                       queries: DataFrame,
+                       queries: DataFrame, page: int = 1,
+                       page_size: int = 5,
                        similarity_threshold: float = 0.2,
                        vector_similarity_weight: float = 0.3,
                        rerank_limit: int = 64) -> DataFrame:
-    """(qid, doc_id, count): the doc_aggs side of Dealer.retrieval
-    (search.py:415-424) — per query, matched-chunk counts per source
-    document over EVERY above-threshold candidate (the reference keeps
-    counting past the page window; aggs ignore pagination). The driver
-    corpus is one chunk per document, so counts are 1 — the shape, not
-    the cardinality, is what the aggregation contributes."""
+    """(qid, doc_id, count): the doc_aggs side of Dealer.retrieval —
+    per query, matched-chunk counts per source document over the
+    above-threshold candidates INSIDE the page window: search.py:377
+    slices idx to [(page-1)*page_size, page*page_size) BEFORE the
+    doc_aggs loop, so reference aggs only ever see in-page chunks
+    (the aggs=True `continue` at :389 can only matter after the
+    doc_ids branch widens page_size). The driver corpus is one chunk
+    per document, so counts are 1 — the shape, not the cardinality,
+    is what the aggregation contributes."""
     ranked = rerank_fusion(docs, embeddings, queries,
                            topn=rerank_limit, k=rerank_limit,
                            tkweight=1.0 - vector_similarity_weight,
                            vtweight=vector_similarity_weight)
+    lo, hi = (page - 1) * page_size, page * page_size
     return (
-        ranked.where(F.col("score") >= similarity_threshold)
+        ranked.where((F.col("rank") > lo) & (F.col("rank") <= hi))
+        .where(F.col("score") >= similarity_threshold)
         .groupBy("qid", "doc_id")
         .agg(F.count("*").alias("count"))
     )
@@ -438,10 +503,10 @@ def rerank_fusion(docs: DataFrame, embeddings: DataFrame,
     dtw = doc_term_weights(
         docs.join(F.broadcast(cand_ids), "doc_id")).cache()
     dstats = dtw.groupBy("doc_id").agg(F.count("*").alias("dlen"))
-    # toDict accumulates duplicate stems into one entry (query.py:218-221)
-    # BEFORE the norm, so collapse repeats here too
-    qtw = query_terms(queries).groupBy("qid", "term").agg(
-        F.sum("weight").alias("weight")).cache()
+    # the rerank token side is question()'s keywords — base tokens PLUS
+    # huqie-tokenized synonyms (query.py:93-96), normalized together and
+    # accumulated per term (toDict, query.py:218-221)
+    qtw = rerank_query_terms(queries).cache()
     qnorm = qtw.groupBy("qid").agg(
         F.sum(F.col("weight") * F.col("weight")).alias("qq"))
 

@@ -321,11 +321,61 @@ def test_keyword_search_min_match_gate():
     queries = spark.createDataFrame(
         [(0, "what is the fast query merge")],
         schema="qid long, question string")
-    # terms: the/fast/queri/merg -> 4 terms; ceil(0.6*4)=3
+    # terms: the/fast/queri/merg -> 4 terms; ES rounds the percentage
+    # DOWN: floor(0.6*4)=2 distinct hits required (a ceil would demand
+    # 3 and silently drop doc 3, which the reference stack returns)
     open_ids = {r["doc_id"] for r in
                 keyword_search(docs, queries, k=5).collect()}
     gated_ids = {r["doc_id"] for r in
                  keyword_search(docs, queries, k=5,
                                 min_match=0.6).collect()}
     assert open_ids == {1, 2, 3}
-    assert gated_ids == {1}  # only doc 1 reaches 3 distinct hits
+    assert gated_ids == {1, 3}  # docs reaching 2 distinct hits
+    # the floor clamps at 1: floor(0.2*4)=0 still needs one real hit
+    low_ids = {r["doc_id"] for r in
+               keyword_search(docs, queries, k=5,
+                              min_match=0.2).collect()}
+    assert low_ids == {1, 2, 3}
+
+
+def test_rerank_query_terms_include_synonyms():
+    from ragflow_spark.job.session import get_spark
+    from ragflow_spark.operators.retrieval import rerank_query_terms
+
+    spark = get_spark("local[4]", shuffle_partitions=4)
+    queries = spark.createDataFrame(
+        [(0, "what is the fast query merge")],
+        schema="qid long, question string")
+    rows = {r["term"]: r["weight"]
+            for r in rerank_query_terms(queries).collect()}
+    # question() keywords = base tokens + huqie-tokenized synonyms
+    # (query.py:93-96): fast->quick,speedi and merg->join extend the
+    # 4 base stems to 7 equal-fallback-weight terms
+    assert set(rows) == {"the", "fast", "queri", "merg",
+                         "quick", "speedi", "join"}
+    for w in rows.values():
+        assert abs(w - 1.0 / 7.0) < 1e-9
+
+
+def test_rerank_by_model_keeps_tokenless_candidates():
+    from ragflow_spark.job.session import get_spark
+    from ragflow_spark.operators.retrieval import rerank_by_model
+
+    spark = get_spark("local[4]", shuffle_partitions=4)
+    # doc 2's text tokenizes to nothing -> dtwt is empty; the reference
+    # still scores it (tksim ~ sqrt(3e-9/q/log10(512)), vt share kept)
+    docs = spark.createDataFrame(
+        [(1, "fast query merge"), (2, "???")],
+        schema="doc_id long, text string")
+    queries = spark.createDataFrame(
+        [(0, "what is the fast query merge")],
+        schema="qid long, question string")
+    msims = spark.createDataFrame(
+        [(0, 1, 0.4), (0, 2, 0.9)],
+        schema="qid long, doc_id long, msim double")
+    out = {r["doc_id"]: r for r in
+           rerank_by_model(docs, queries, msims, k=5).collect()}
+    assert set(out) == {1, 2}
+    # the tokenless candidate's fused score is dominated by its msim
+    assert out[2]["score"] > 0.6
+    assert out[2]["tksim"] < 0.01
