@@ -1120,6 +1120,152 @@ def _q_chunks_resume(spark: SparkSession, sf_dir: str) -> DataFrame:
                     "gender_kwd string, age_int int")
 
 
+_RESUME_SCHOOLS = [
+    "tsinghua university", "peking university", "fudan university",
+    "soochow university", "massachusetts institute of technology",
+    "stanford university", "hebei university",
+]
+_RESUME_NAMES = ["李伟", "张敏", "王军",
+                 "John Smith", "John", "伟伟"]
+
+
+def _q_chunks_resume_enriched(spark: SparkSession,
+                              sf_dir: str) -> DataFrame:
+    """Resume enrichment chain (rag/app/resume.py:66-68 ->
+    step_one.refactor -> step_two.parse): the remote parse is the model
+    seam, so deterministic service dicts are synthesized from doc_id
+    and the full enrichment — school rank bands, 211/985 features,
+    first/highest degree chains incl. the top-up rewrites, good-school/
+    good-corp/corp-tag tagging, durations, birth/age, pinyin-backed
+    name gate, phone normalization, integrity scoring — is value-hashed
+    against closed-form arithmetic over the same doc_id patterns.  The
+    clock is pinned to 2025-06-01 on both sides (the determinism
+    adaptation documented in resume_enrich)."""
+    import pandas as pd
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+    def gen(it):
+        import datetime
+        import json as _json
+
+        from ragflow_spark.extractlib.resume_enrich import enrich
+
+        today = datetime.date(2025, 6, 1)
+        for pdf in it:
+            rows = []
+            for doc_id in pdf["doc_id"]:
+                did = int(doc_id)
+                s, s2 = did % 7, (did + 1) % 7
+                g, w, b, n = did % 4, did % 3, did % 5, did % 6
+                if g == 0:
+                    edu = [("2004-09-01", "2008-06-30", s, "1",
+                            "computer science")]
+                elif g == 1:
+                    edu = [("2000-09-01", "2003-06-30", s, "4",
+                            "accounting"),
+                           ("2004-09-01", "2008-06-30", s2, "1",
+                            "computer science")]
+                elif g == 2:
+                    edu = [("2004-09-01", "2008-06-30", s, "1",
+                            "computer science"),
+                           ("2008-09-01", "2010-06-30", s2, "2",
+                            "data science")]
+                else:
+                    edu = [("2004-09-01", "2008-06-30", s, "3",
+                            "physics")]
+                education = {
+                    str(i): {"start_time": st, "end_time": et,
+                             "school_name": _RESUME_SCHOOLS[si],
+                             "degree": dg, "discipline_name": dc}
+                    for i, (st, et, si, dg, dc) in enumerate(edu)}
+                work = {}
+                if w == 1:
+                    work = {"0": {"corporation_name": "Google Inc.",
+                                  "start_time": "2012-03-01",
+                                  "end_time": "2018-06-01",
+                                  "position_name": "engineer",
+                                  "responsibilities": "build"}}
+                elif w == 2:
+                    work = {"0": {"corporation_name": "Plain Shop",
+                                  "start_time": "2016-01-01",
+                                  "end_time": "2019-01-01",
+                                  "position_name": "manager",
+                                  "responsibilities": "run"},
+                            "1": {"corporation_name": "Google Inc.",
+                                  "start_time": "2010-05-01",
+                                  "end_time": "2015-12-01",
+                                  "position_name": "engineer",
+                                  "responsibilities": "build",
+                                  "scale": "500-999"}}
+                basic = {"gender": "M" if did % 2 == 0 else "F",
+                         "degree": {0: "1", 1: "4", 2: "2", 3: "3"}[g],
+                         "marital": "Y" if did % 2 == 0 else "N"}
+                if b != 4:
+                    basic["birth"] = "19%d-%02d-1%d" % (80 + b, 2 + b, b)
+                obj = {"basic": basic,
+                       "contact": {
+                           "name": _RESUME_NAMES[n],
+                           "phone": "+86 138" + str(did % 10**8).zfill(8),
+                           "email": "u%d@mail.com" % did},
+                       "education": education}
+                if work:
+                    obj["work"] = work
+                if did % 2 == 0:
+                    obj["project"] = {"0": {"name": "Apollo %d" % (did % 10),
+                                            "describe": "demo"}}
+                cv = enrich(_json.dumps(obj, ensure_ascii=False),
+                            str(did), "2021-06-01 00:00:00", today=today)
+                rows.append({
+                    "doc_id": did,
+                    "sch_rank": cv["sch_rank_kwd"][0],
+                    "highest_deg": cv.get("highest_degree_kwd", ""),
+                    "first_deg": (cv.get("first_degree_kwd") or [""])[0],
+                    "first_school":
+                        (cv.get("first_school_name_kwd") or [""])[0],
+                    "degrees": "|".join(cv.get("degree_kwd", [])),
+                    "edu_end_int": cv["edu_end_int"],
+                    "school_rank_int": cv["school_rank_int"],
+                    "tags": "|".join(cv.get("tag_kwd", [])),
+                    "corp_deg":
+                        "|".join(cv.get("corp_proj_sch_deg_kwd", [])),
+                    "corp_kwd": cv.get("corporation_name_kwd", ""),
+                    "name_kwd": cv.get("name_kwd", ""),
+                    "gender": (cv.get("gender_kwd") or [""])[0],
+                    "phone": (cv.get("phone_kwd") or [""])[0],
+                    "birth_dt": cv.get("birth_dt", ""),
+                    "birthday_kwd": cv.get("birthday_kwd", ""),
+                    "age_int": cv.get("age_int"),
+                    "work_exp_flt": float(cv["work_exp_flt"]),
+                    "job_num_int": cv.get("job_num_int"),
+                    "cur_dua_int": cv.get("cur_dua_int"),
+                    "dua_flt": cv.get("dua_flt"),
+                    "scale_flt": (float(cv["scale_flt"])
+                                  if "scale_flt" in cv else None),
+                    "latest_job_dt": cv.get("latest_job_dt", ""),
+                    "integerity_flt": cv["integerity_flt"],
+                    "proj": (cv.get("project_kwd") or [""])[0],
+                })
+            out = pd.DataFrame(rows)
+            for c in ["age_int", "cur_dua_int", "job_num_int"]:
+                out[c] = out[c].astype("Int64")
+            for c in ["dua_flt", "scale_flt"]:
+                out[c] = out[c].astype("Float64")
+            yield out
+
+    return docs.select("doc_id").mapInPandas(
+        gen,
+        schema="doc_id long, sch_rank string, highest_deg string, "
+               "first_deg string, first_school string, degrees string, "
+               "edu_end_int long, school_rank_int long, tags string, "
+               "corp_deg string, corp_kwd string, name_kwd string, "
+               "gender string, phone string, birth_dt string, "
+               "birthday_kwd string, age_int long, work_exp_flt double, "
+               "job_num_int long, cur_dua_int long, dua_flt double, "
+               "scale_flt double, latest_job_dt string, "
+               "integerity_flt double, proj string")
+
+
 def _q_doc_tags(spark: SparkSession, sf_dir: str) -> DataFrame:
     """tag_content (search.py:466-477): each document's top-30 weighted
     keyword clauses (synonyms honored, msm = min(3, n/10)) searched
@@ -1364,6 +1510,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "csv_rows": _q_csv_rows,
         "chunks_pptx": _q_chunks_pptx,
         "chunks_resume": _q_chunks_resume,
+        "chunks_resume_enriched": _q_chunks_resume_enriched,
         "media_features": _q_media_features,
         "frame_sample": _q_frame_sample,
         "audio_features": _q_audio_features,
@@ -2122,6 +2269,108 @@ SELECT doc_id,
        CASE WHEN doc_id % 2 = 0 THEN '男' ELSE '女' END AS gender_kwd,
        CAST(20 + doc_id % 30 AS INT) AS age_int
 FROM documents
+"""
+
+    # the enrichment twin: every output is closed-form arithmetic over
+    # (doc_id % 7, % 4, % 3, % 5, % 6, % 2) and the mini school table,
+    # mirroring the synthetic service dicts the Spark side feeds
+    # through step_one+step_two; the clock is 2025-06-01 on both sides
+    chunks_resume_enriched_sql = """
+WITH sch(idx, nm, rank, is985, is211, good) AS (VALUES
+  (0, 'tsinghua university', 2, 1, 1, 1),
+  (1, 'peking university', 1, 1, 1, 1),
+  (2, 'fudan university', 30, 1, 1, 1),
+  (3, 'soochow university', 80, 0, 1, 0),
+  (4, 'massachusetts institute of technology', 10, 0, 0, 1),
+  (5, 'stanford university', 15, 0, 0, 1),
+  (6, 'hebei university', 1000000, 0, 0, 0)),
+d AS (SELECT doc_id, doc_id % 7 AS s, (doc_id + 1) % 7 AS s2,
+             doc_id % 4 AS g, doc_id % 3 AS w, doc_id % 5 AS b,
+             doc_id % 6 AS n
+      FROM documents),
+e AS (SELECT d.*, a.nm AS nm1,
+        CASE WHEN g IN (1,2) THEN least(a.rank, c.rank)
+             ELSE a.rank END AS rmin,
+        CASE WHEN g IN (1,2) THEN greatest(a.is985, c.is985)
+             ELSE a.is985 END AS f985,
+        CASE WHEN g IN (1,2) THEN greatest(a.is211, c.is211)
+             ELSE a.is211 END AS f211,
+        CASE WHEN g IN (1,2) THEN greatest(a.good, c.good)
+             ELSE a.good END AS goodsch,
+        CASE WHEN g = 2 THEN 2010 ELSE 2008 END AS eend,
+        CASE WHEN w = 1 THEN 2012 WHEN w = 2 THEN 2010 END AS wy
+      FROM d JOIN sch a ON a.idx = d.s JOIN sch c ON c.idx = d.s2),
+f AS (SELECT *,
+        CASE WHEN rmin <= 20 THEN '顶尖学校'
+             WHEN rmin <= 50 THEN '精英学校'
+             WHEN f985 = 1 OR f211 = 1 THEN '优质学校'
+             ELSE '一般学校' END AS band,
+        CASE g WHEN 0 THEN '本科' WHEN 1 THEN '专升本'
+               WHEN 2 THEN '硕士' ELSE '博士' END AS hideg,
+        (goodsch = 1 AND g IN (0, 2, 3)) AS cond1,
+        (g IN (2, 3)) AS cond2
+      FROM e)
+SELECT doc_id,
+  band AS sch_rank,
+  hideg AS highest_deg,
+  CASE g WHEN 0 THEN '本科' WHEN 1 THEN '专科'
+         WHEN 2 THEN '本科' ELSE '' END AS first_deg,
+  CASE WHEN g = 3 THEN '' ELSE nm1 END AS first_school,
+  CASE g WHEN 0 THEN '本科' WHEN 1 THEN '专升本|专科'
+         WHEN 2 THEN '本科|硕士' ELSE '博士' END AS degrees,
+  CAST(eend AS BIGINT) AS edu_end_int,
+  CAST(rmin AS BIGINT) AS school_rank_int,
+  array_to_string(list_sort(list_filter([
+      CASE WHEN doc_id % 2 = 0 THEN '已婚' ELSE '未婚' END,
+      CASE WHEN cond1 THEN '好学校' END,
+      CASE WHEN cond1 OR cond2 THEN '好学历' END,
+      CASE WHEN w = 1 THEN '好公司' END,
+      CASE WHEN w = 1 THEN '综合好公司' END,
+      CASE WHEN w = 2 THEN '好公司(曾)' END,
+      CASE WHEN w = 2 THEN '综合好公司(曾)' END
+    ], x -> x IS NOT NULL)), '|') AS tags,
+  CASE WHEN w = 1 THEN '综合好公司+' || band || '+' || hideg
+       WHEN w = 2 THEN '综合好公司(曾)+' || band || '+' || hideg
+       ELSE '' END AS corp_deg,
+  CASE w WHEN 1 THEN 'googl' WHEN 2 THEN 'plain shop'
+         ELSE '' END AS corp_kwd,
+  CASE n WHEN 0 THEN '李伟' WHEN 1 THEN '张敏'
+         WHEN 2 THEN '王军' WHEN 3 THEN 'John Smith'
+         ELSE '' END AS name_kwd,
+  CASE WHEN doc_id % 2 = 0 THEN '男' ELSE '女' END AS gender,
+  '138' || lpad(CAST(doc_id % 100000000 AS VARCHAR), 8, '0') AS phone,
+  CASE WHEN b = 4 THEN '' ELSE '19' || (80 + b) || '-' ||
+       lpad(CAST(2 + b AS VARCHAR), 2, '0') || '-1' || b END AS birth_dt,
+  CASE WHEN b = 4 THEN '' ELSE
+       lpad(CAST(2 + b AS VARCHAR), 2, '0') || '1' || b
+       END AS birthday_kwd,
+  CASE WHEN b = 4 THEN NULL
+       ELSE CAST(45 - b AS BIGINT) END AS age_int,
+  CAST(2025 - greatest(eend, COALESCE(wy, 0)) AS DOUBLE)
+      AS work_exp_flt,
+  CAST(CASE w WHEN 1 THEN 1 WHEN 2 THEN 2 END AS BIGINT)
+      AS job_num_int,
+  CASE WHEN w = 1
+         THEN date_diff('day', DATE '2012-03-01', DATE '2018-06-01')
+       WHEN w = 2
+         THEN date_diff('day', DATE '2016-01-01', DATE '2019-01-01')
+       END AS cur_dua_int,
+  CASE WHEN w = 1
+         THEN CAST(date_diff('day', DATE '2012-03-01',
+                             DATE '2018-06-01') AS DOUBLE)
+       WHEN w = 2
+         THEN (date_diff('day', DATE '2016-01-01', DATE '2019-01-01')
+               + date_diff('day', DATE '2010-05-01', DATE '2015-12-01'))
+              / 2.0 END AS dua_flt,
+  CASE WHEN w = 2 THEN 500.0 END AS scale_flt,
+  CASE w WHEN 1 THEN '2012-03-01' WHEN 2 THEN '2010-05-01'
+         ELSE '' END AS latest_job_dt,
+  (6.0 / 45.0) * CASE WHEN w = 0 THEN 0.7 ELSE 1.0 END
+               * CASE WHEN b = 4 THEN 0.9 ELSE 1.0 END
+      AS integerity_flt,
+  CASE WHEN doc_id % 2 = 0 THEN 'apollo ' || (doc_id % 10)
+       ELSE '' END AS proj
+FROM f
 """
 
     # insert_citations twin: single-piece answers, so the decaying
@@ -3016,6 +3265,7 @@ FROM documents
         "retrieval_aggs": retrieval_aggs_sql,
         "rerank_model": rerank_model_sql,
         "chunks_resume": chunks_resume_sql,
+        "chunks_resume_enriched": chunks_resume_enriched_sql,
         "cite_answers": cite_answers_sql,
         "media_features": media_features_sql,
         "frame_sample": frame_sample_sql,
