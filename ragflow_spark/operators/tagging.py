@@ -187,30 +187,47 @@ def tag_features(subjects: DataFrame, kb_terms: DataFrame,
     # Match against KB *signatures*, not KB rows: whether a subject
     # matches a KB row depends only on the row's distinct term set, so
     # rows sharing a term set are interchangeable. Dedup the KB to its
-    # signatures (here 31 vs 5000 rows), evaluate the clause-hit count
-    # once per (subject, signature) pair as a JVM expression inside a
-    # broadcast nested-loop join, then expand through per-signature tag
-    # counts. Nothing shuffles before the (id, tag) aggregation, and
-    # the pair count is |subjects| * |signatures|, not * |KB| (a
-    # term-level join shuffled ~24M hit rows through a combiner-less
-    # (id, kb) groupBy: 41 s at sf0.1; this path is ~4 s).
+    # signatures (here 31 vs 5000 rows) and evaluate the clause-hit
+    # count as a JVM expression per (subject, signature) pair — but
+    # only on PLAUSIBLE pairs: a signature can satisfy a clause only if
+    # it shares >= 1 match key with the subject (ov >= msm >= 1 implies
+    # a shared key, so the pre-filter is lossless). The term-level
+    # semi-join below produces exactly those pairs, so the pair count
+    # is bounded by real key overlap instead of
+    # |subjects| * |signatures| — the crossJoin variant this replaces
+    # degraded linearly with KB signature count (12.8 s at sf0.1 with
+    # 31 signatures; a production KB has thousands). Shuffles carry
+    # 8-byte sig_ids and subject ids only; qarr is already partitioned
+    # by id from its groupBy, so the candidate join adds one small
+    # exchange on the candidate side.
     qarr = (
         clauses.groupBy("id", "msm", "term", "mult")
         .agg(F.collect_list("match_key").alias("keys"))
-        .groupBy("id", "msm")
-        .agg(F.collect_list(F.struct("keys", "mult")).alias("qarr"))
+        .groupBy("id")
+        .agg(F.first("msm").alias("msm"),
+             F.collect_list(F.struct("keys", "mult")).alias("qarr"))
     )
     kb_sets = kb_terms.groupBy("kb_id").agg(
         F.sort_array(F.collect_set("term")).alias("kbt"))
     sig_tag = (kb_sets.join(kb_tags, "kb_id")
                .groupBy("kbt", "tag").agg(F.count("*").alias("n"))
                .cache())
-    sig_list = sig_tag.select("kbt").distinct()
+    # deterministic 8-byte signature id (hash of the sorted term set)
+    sigs = sig_tag.select("kbt").distinct().withColumn(
+        "sig_id", F.xxhash64(F.concat_ws(" ", "kbt")))
+    sig_terms = sigs.select(
+        "sig_id", F.explode("kbt").alias("match_key"))
+    cand = (
+        clauses.select("id", "match_key").distinct()
+        .join(F.broadcast(sig_terms), "match_key")
+        .select("id", "sig_id").distinct()
+    )
     ov = F.expr(
         "aggregate(qarr, 0, (acc, q) -> acc + IF("
         "exists(q.keys, k -> array_contains(kbt, k)), q.mult, 0))")
     matched = (
-        qarr.crossJoin(F.broadcast(sig_list))
+        qarr.join(cand, "id")
+        .join(F.broadcast(sigs), "sig_id")
         .where(ov >= F.col("msm"))
         .select("id", "kbt")
     )
