@@ -476,8 +476,8 @@ def doc_term_weights(docs: DataFrame, id_col: str = "doc_id",
 
 def rerank_fusion(docs: DataFrame, embeddings: DataFrame,
                   queries: DataFrame, topn: int = 8, k: int = 5,
-                  tkweight: float = 0.3,
-                  vtweight: float = 0.7) -> DataFrame:
+                  tkweight: float = 0.3, vtweight: float = 0.7,
+                  postings: DataFrame | None = None) -> DataFrame:
     """Hybrid rerank of keyword-search candidates
     (rag/nlp/search.py:279-317 Dealer.rerank + query.py:205-241
     hybrid_similarity/token_similarity/similarity, rank_feature=None):
@@ -497,7 +497,7 @@ def rerank_fusion(docs: DataFrame, embeddings: DataFrame,
     # the candidate set (<= n_queries * topn rows) feeds three branches;
     # cache it so Spark's tree-shaped plans don't re-derive the whole
     # keyword_search DAG (postings + top-k) once per branch
-    cands = keyword_search(docs, queries, k=topn) \
+    cands = keyword_search(docs, queries, k=topn, postings=postings) \
         .select("qid", "doc_id").cache()
     cand_ids = cands.select("doc_id").distinct()
     dtw = doc_term_weights(
