@@ -1266,6 +1266,108 @@ def _q_chunks_resume_enriched(spark: SparkSession,
                "integerity_flt double, proj string")
 
 
+def _graph_chain_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Synthetic entity graph: 40-node chains (component g spans doc
+    ids [40g, 40g+sz)); an edge (i, i+1) exists when both endpoints
+    share a group — closed-form components and greedy splits."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet") \
+        .select("doc_id")
+    e = docs.select(F.col("doc_id").alias("src"),
+                    (F.col("doc_id") + 1).alias("dst")) \
+        .where((F.col("src") % 40) < 39)
+    return e.join(docs.select(F.col("doc_id").alias("dst")), "dst") \
+        .select("src", "dst")
+
+
+def _q_communities(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """hierarchical_leiden contract (graphrag/general/leiden.py:72-91):
+    level 0 = components (pointer-jumping CC); communities above
+    max_cluster_size split at level+1 via the deterministic greedy
+    size-capped union (the seeded graspologic optimizer is the
+    algorithm seam).  Chain components of 40 -> level-1 chunks of
+    12/12/12/4 — closed-form row arithmetic for the twin."""
+    from ragflow_spark.operators.graph import hierarchical_communities
+
+    return hierarchical_communities(
+        _graph_chain_edges(spark, sf_dir), max_cluster_size=12) \
+        .select("level", "node", "cluster")
+
+
+def _q_community_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """leiden.py run() community weights (:117-137): sum(rank * weight)
+    per community, normalized by the level's max."""
+    from ragflow_spark.operators.graph import (community_weights,
+                                               hierarchical_communities)
+
+    assigns = hierarchical_communities(
+        _graph_chain_edges(spark, sf_dir), max_cluster_size=12)
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    attrs = docs.select(F.col("doc_id").alias("node"),
+                        (F.col("doc_id") % 5).alias("rank"),
+                        F.lit(1.0).alias("weight"))
+    return community_weights(assigns, attrs) \
+        .select("level", "cluster", "weight")
+
+
+def _q_graph_nodes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """graph_merge node side (graphrag/utils.py:197-228): per-entity
+    descriptions <SEP>-joined in chunk order, source ids accumulated,
+    rank = merged-graph degree."""
+    from ragflow_spark.operators.graph import merge_graphs
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    ent = F.concat(F.lit("e"), F.col("doc_id") % 25)
+    mentions = docs.select(
+        ent.alias("entity"),
+        F.concat(F.lit("d"), "doc_id").alias("description"),
+        F.concat(F.lit("c"), "doc_id").alias("source_id"),
+        F.col("doc_id").alias("seq"))
+    edge_mentions = docs.select(
+        ent.alias("src"),
+        F.concat(F.lit("e"), (F.col("doc_id") + 7) % 25).alias("dst"),
+        F.concat(F.lit("r"), "doc_id").alias("description"),
+        F.array(F.concat(F.lit("k"), F.col("doc_id") % 3))
+         .alias("keywords"),
+        F.concat(F.lit("c"), "doc_id").alias("source_id"),
+        F.lit(1.0).alias("weight"),
+        F.col("doc_id").alias("seq"))
+    nodes, _edges = merge_graphs(mentions, edge_mentions)
+    # the driver canonicalizer can't sort array columns — serialize
+    return nodes.select(
+        "entity", "description",
+        F.concat_ws("|", "source_id").alias("source_ids"),
+        "rank")
+
+
+def _q_graph_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """graph_merge edge side: canonical (lexicographic min, max)
+    orientation, weights summed, descriptions/keywords/source ids
+    accumulated in chunk order."""
+    from ragflow_spark.operators.graph import merge_graphs
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    ent = F.concat(F.lit("e"), F.col("doc_id") % 25)
+    mentions = docs.select(
+        ent.alias("entity"),
+        F.concat(F.lit("d"), "doc_id").alias("description"),
+        F.concat(F.lit("c"), "doc_id").alias("source_id"),
+        F.col("doc_id").alias("seq"))
+    edge_mentions = docs.select(
+        ent.alias("src"),
+        F.concat(F.lit("e"), (F.col("doc_id") + 7) % 25).alias("dst"),
+        F.concat(F.lit("r"), "doc_id").alias("description"),
+        F.array(F.concat(F.lit("k"), F.col("doc_id") % 3))
+         .alias("keywords"),
+        F.concat(F.lit("c"), "doc_id").alias("source_id"),
+        F.lit(1.0).alias("weight"),
+        F.col("doc_id").alias("seq"))
+    _nodes, edges = merge_graphs(mentions, edge_mentions)
+    return edges.select(
+        "src", "dst", "weight", "description",
+        F.concat_ws("|", "keywords").alias("keywords"),
+        F.concat_ws("|", "source_id").alias("source_ids"))
+
+
 def _q_doc_tags(spark: SparkSession, sf_dir: str) -> DataFrame:
     """tag_content (search.py:466-477): each document's top-30 weighted
     keyword clauses (synonyms honored, msm = min(3, n/10)) searched
@@ -1511,6 +1613,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "chunks_pptx": _q_chunks_pptx,
         "chunks_resume": _q_chunks_resume,
         "chunks_resume_enriched": _q_chunks_resume_enriched,
+        "communities": _q_communities,
+        "community_weights": _q_community_weights,
+        "graph_nodes": _q_graph_nodes,
+        "graph_edges": _q_graph_edges,
         "media_features": _q_media_features,
         "frame_sample": _q_frame_sample,
         "audio_features": _q_audio_features,
@@ -2371,6 +2477,63 @@ SELECT doc_id,
   CASE WHEN doc_id % 2 = 0 THEN 'apollo ' || (doc_id % 10)
        ELSE '' END AS proj
 FROM f
+"""
+
+    # community twins: components are the 40-id groups (size >= 2 so
+    # the node touches an edge); level-1 clusters are the greedy capped
+    # chunks 12/12/12/(remainder), present only when the component
+    # exceeds the cap — pure row arithmetic
+    _COMM_BASE = """
+WITH n AS (SELECT doc_id, doc_id // 40 AS g, doc_id % 40 AS pos
+           FROM documents),
+gs AS (SELECT g, count(*) AS sz FROM n GROUP BY g),
+m AS (SELECT n.doc_id, n.g, n.pos, gs.sz
+      FROM n JOIN gs USING (g) WHERE gs.sz >= 2),
+a AS (
+  SELECT 0 AS level, doc_id AS node, g * 40 AS cluster,
+         doc_id % 5 AS rank FROM m
+  UNION ALL
+  SELECT 1, doc_id, g * 40 + 12 * (pos // 12), doc_id % 5
+  FROM m WHERE sz > 12
+)
+"""
+
+    communities_sql = _COMM_BASE + """
+SELECT level, node, cluster FROM a
+"""
+
+    community_weights_sql = _COMM_BASE + """
+, w AS (SELECT level, cluster, CAST(SUM(rank) AS DOUBLE) AS w
+        FROM a GROUP BY level, cluster)
+SELECT level, cluster,
+       round(w / max(w) OVER (PARTITION BY level), 6) AS weight
+FROM w
+"""
+
+    graph_nodes_sql = """
+SELECT 'E' || (doc_id % 25) AS entity,
+       string_agg('d' || doc_id, '<SEP>' ORDER BY doc_id)
+           AS description,
+       string_agg('c' || doc_id, '|' ORDER BY doc_id) AS source_ids,
+       CAST(2 AS BIGINT) AS rank
+FROM documents GROUP BY doc_id % 25
+"""
+
+    graph_edges_sql = """
+WITH em AS (
+  SELECT doc_id,
+         least('E' || (doc_id % 25),
+               'E' || ((doc_id + 7) % 25)) AS src,
+         greatest('E' || (doc_id % 25),
+                  'E' || ((doc_id + 7) % 25)) AS dst
+  FROM documents)
+SELECT src, dst, CAST(count(*) AS DOUBLE) AS weight,
+       string_agg('r' || doc_id, '<SEP>' ORDER BY doc_id)
+           AS description,
+       string_agg('k' || (doc_id % 3), '|' ORDER BY doc_id)
+           AS keywords,
+       string_agg('c' || doc_id, '|' ORDER BY doc_id) AS source_ids
+FROM em GROUP BY src, dst
 """
 
     # insert_citations twin: single-piece answers, so the decaying
@@ -3266,6 +3429,10 @@ FROM documents
         "rerank_model": rerank_model_sql,
         "chunks_resume": chunks_resume_sql,
         "chunks_resume_enriched": chunks_resume_enriched_sql,
+        "communities": communities_sql,
+        "community_weights": community_weights_sql,
+        "graph_nodes": graph_nodes_sql,
+        "graph_edges": graph_edges_sql,
         "cite_answers": cite_answers_sql,
         "media_features": media_features_sql,
         "frame_sample": frame_sample_sql,
