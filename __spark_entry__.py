@@ -1368,6 +1368,63 @@ def _q_graph_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.concat_ws("|", "source_id").alias("source_ids"))
 
 
+def _q_docx_img_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """naive.Docx paragraph image attachment (rag/app/naive.py:180-211):
+    caption adoption (pop from the previous non-caption line, else the
+    pending carry image), carry-forward of pictures seen before any
+    text, empty-paragraph appends, and the per-line vertical concat
+    fold.  Paragraph streams are synthesized from doc_id so every
+    branch of the state machine is exercised; the pixel decode is the
+    multimodal stub seam ((w, h) geometry only)."""
+    import pandas as pd
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+    def gen(it):
+        from ragflow_spark.extractlib.docxparse import \
+            attach_paragraph_images
+
+        for pdf in it:
+            out = {"doc_id": [], "seq": [], "text": [], "w": [],
+                   "h": []}
+            for doc_id in pdf["doc_id"]:
+                did = int(doc_id)
+                paras = []
+                if did % 5 == 0:
+                    # pic before any line -> carry; adopted by the
+                    # caption through the elif branch
+                    paras += [("", "Normal", [(31, 7)]),
+                              (f"First figure {did}", "Caption", [])]
+                if did % 3 == 0:
+                    # carry image prepended to the next text line
+                    paras += [("", "Normal", [(70, did % 7 + 5)])]
+                paras += [
+                    (f"intro {did}", "Normal", [(100 + did % 50, 80)]),
+                    ("", "Normal", [(60, 40 + did % 20)]),
+                    (f"Figure {did}", "Caption", []),
+                    ("body text", "Normal", []),
+                    ("", "Normal", [(200, 10 + did % 5)]),
+                    ("Figure b", "Caption", []),
+                    (f"tail {did}",
+                     "Normal" if did % 2 == 0 else "Caption", []),
+                ]
+                for i, (text, img) in enumerate(
+                        attach_paragraph_images(paras)):
+                    out["doc_id"].append(did)
+                    out["seq"].append(i)
+                    out["text"].append(text)
+                    out["w"].append(img[0] if img else None)
+                    out["h"].append(img[1] if img else None)
+            pdf_out = pd.DataFrame(out)
+            for c in ["w", "h"]:
+                pdf_out[c] = pdf_out[c].astype("Int64")
+            yield pdf_out
+
+    return docs.select("doc_id").mapInPandas(
+        gen, schema="doc_id long, seq long, text string, w long, "
+                    "h long")
+
+
 def _q_doc_tags(spark: SparkSession, sf_dir: str) -> DataFrame:
     """tag_content (search.py:466-477): each document's top-30 weighted
     keyword clauses (synonyms honored, msm = min(3, n/10)) searched
@@ -1617,6 +1674,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "community_weights": _q_community_weights,
         "graph_nodes": _q_graph_nodes,
         "graph_edges": _q_graph_edges,
+        "docx_img_lines": _q_docx_img_lines,
         "media_features": _q_media_features,
         "frame_sample": _q_frame_sample,
         "audio_features": _q_audio_features,
@@ -2517,6 +2575,41 @@ SELECT 'E' || (doc_id % 25) AS entity,
        string_agg('c' || doc_id, '|' ORDER BY doc_id) AS source_ids,
        CAST(2 AS BIGINT) AS rank
 FROM documents GROUP BY doc_id % 25
+"""
+
+    # naive.Docx image-attachment twin: the synthetic paragraph stream
+    # resolves to a fixed line list whose folded geometry is closed-
+    # form — the caption pops cancel the empty-paragraph appends, so
+    # only the intro line (carry-prepended when doc_id%3=0) and the
+    # two caption lines carry images
+    docx_img_lines_sql = """
+WITH d AS (SELECT doc_id,
+                  CASE WHEN doc_id % 5 = 0 THEN 1 ELSE 0 END AS o
+           FROM documents)
+SELECT doc_id, CAST(0 AS BIGINT) AS seq,
+       'First figure ' || doc_id AS text,
+       -- when the %3 lead pic follows the caption-first line it
+       -- APPENDS to it (a line exists), stacking under the adopted
+       -- carry image instead of carrying to the intro line
+       CAST(CASE WHEN doc_id % 3 = 0 THEN 70 ELSE 31 END AS BIGINT)
+           AS w,
+       CAST(CASE WHEN doc_id % 3 = 0 THEN 12 + doc_id % 7 ELSE 7 END
+           AS BIGINT) AS h
+FROM d WHERE o = 1
+UNION ALL
+SELECT doc_id, o + 0, 'intro ' || doc_id,
+       100 + doc_id % 50,
+       CASE WHEN doc_id % 3 = 0 AND doc_id % 5 != 0
+            THEN doc_id % 7 + 85 ELSE 80 END
+FROM d
+UNION ALL
+SELECT doc_id, o + 1, 'Figure ' || doc_id, 60, 40 + doc_id % 20 FROM d
+UNION ALL
+SELECT doc_id, o + 2, 'body text', NULL, NULL FROM d
+UNION ALL
+SELECT doc_id, o + 3, 'Figure b', 200, 10 + doc_id % 5 FROM d
+UNION ALL
+SELECT doc_id, o + 4, 'tail ' || doc_id, NULL, NULL FROM d
 """
 
     graph_edges_sql = """
@@ -3433,6 +3526,7 @@ FROM documents
         "community_weights": community_weights_sql,
         "graph_nodes": graph_nodes_sql,
         "graph_edges": graph_edges_sql,
+        "docx_img_lines": docx_img_lines_sql,
         "cite_answers": cite_answers_sql,
         "media_features": media_features_sql,
         "frame_sample": frame_sample_sql,

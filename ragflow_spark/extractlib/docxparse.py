@@ -303,3 +303,58 @@ def table_title_context(blob: bytes, doc_name: str) -> list[str]:
         titles.sort(key=lambda x: x[0])
         out.append(" > ".join([doc_name] + [t[1] for t in titles]))
     return out
+
+
+def attach_paragraph_images(paras):
+    """The naive.Docx paragraph walk that assigns embedded pictures to
+    text lines (rag/app/naive.py:180-210): ``paras`` is
+    [(text, style_name, pics)] in document order, where ``pics`` are
+    the paragraph's embedded images as (width, height) stubs — the
+    PIL decode is the multimodal stub seam (get_picture, naive.py:42-64
+    keeps only the FIRST pic of a paragraph), the attachment state
+    machine is the semantics under test:
+
+    - a Caption-styled text line adopts the previous line's trailing
+      image (popped, unless that line is itself a Caption) or the
+      pending carry image;
+    - a plain text line takes its own first pic, with any pending
+      carry image prepended;
+    - an empty paragraph's pic appends to the previous line, or
+      becomes the carry image when no line exists yet.
+
+    Returns [(cleaned_text, folded_img)] with each line's image list
+    folded through the vertical concat (reduce(concat_img),
+    naive.py:211)."""
+    from functools import reduce
+
+    from .merge import concat_img
+
+    lines: list = []
+    last_image = None
+    for text, style, pics in paras:
+        text = re.sub(r"　", " ", text).strip()
+        if text:
+            if style == "Caption":
+                former_image = None
+                if lines and lines[-1][1] and lines[-1][2] != "Caption":
+                    former_image = lines[-1][1].pop()
+                elif last_image:
+                    former_image = last_image
+                    last_image = None
+                lines.append((text, [former_image], style))
+            else:
+                current_image = pics[0] if pics else None
+                image_list = [current_image]
+                if last_image:
+                    image_list.insert(0, last_image)
+                    last_image = None
+                lines.append((text, image_list, style or ""))
+        else:
+            current_image = pics[0] if pics else None
+            if current_image:
+                if lines:
+                    lines[-1][1].append(current_image)
+                else:
+                    last_image = current_image
+    return [(t, reduce(concat_img, imgs) if imgs else None)
+            for t, imgs, _s in lines]

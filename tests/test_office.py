@@ -328,3 +328,60 @@ def test_csv_fallback_zero_cells_skip_like_reference():
     # pandas-typed parity: numeric '0' is falsy and drops its field
     assert xlsx_rows(b"qty,delta\n0,5\n3,0") == \
         ["delta：5 ——Data", "qty：3 ——Data"]
+
+
+# ---- naive.Docx image attachment (rag/app/naive.py:180-211) -------
+
+
+def test_attach_images_caption_pops_previous():
+    from ragflow_spark.extractlib.docxparse import attach_paragraph_images
+
+    lines = attach_paragraph_images([
+        ("intro", "Normal", [(100, 80)]),
+        ("", "Normal", [(60, 40)]),          # appends to intro
+        ("Figure 1", "Caption", []),         # pops the appended pic
+    ])
+    assert lines == [("intro", (100, 80)), ("Figure 1", (60, 40))]
+
+
+def test_attach_images_caption_takes_carry():
+    from ragflow_spark.extractlib.docxparse import attach_paragraph_images
+
+    # pic before any line -> carry; first caption adopts it
+    lines = attach_paragraph_images([
+        ("", "Normal", [(31, 7)]),
+        ("First figure", "Caption", []),
+    ])
+    assert lines == [("First figure", (31, 7))]
+
+
+def test_attach_images_caption_after_caption_no_pop():
+    from ragflow_spark.extractlib.docxparse import attach_paragraph_images
+
+    lines = attach_paragraph_images([
+        ("Figure a", "Caption", []),
+        ("Figure b", "Caption", []),
+    ])
+    assert lines == [("Figure a", None), ("Figure b", None)]
+
+
+def test_attach_images_carry_prepends_to_text_line():
+    from ragflow_spark.extractlib.docxparse import attach_paragraph_images
+
+    lines = attach_paragraph_images([
+        ("", "Normal", [(70, 5)]),
+        ("intro", "Normal", [(100, 80)]),
+    ])
+    # vertical fold: max width, summed height, carry first
+    assert lines == [("intro", (100, 85))]
+
+
+def test_attach_images_first_pic_only_and_clean():
+    from ragflow_spark.extractlib.docxparse import attach_paragraph_images
+
+    # get_picture keeps only the paragraph's FIRST pic; the ideographic
+    # space folds to ASCII and strips
+    lines = attach_paragraph_images([
+        ("　x　", "Normal", [(10, 1), (99, 99)]),
+    ])
+    assert lines == [("x", (10, 1))]
