@@ -112,12 +112,17 @@ class TermWeightDealer:
 
     def __init__(self, ne: dict[str, str] | None = None,
                  df: dict[str, int] | None = None,
-                 stop_words: set[str] | None = None):
+                 stop_words: set[str] | None = None,
+                 tokenizer=None):
         self.ne = ne or {}
         self.df = df or {}
         self.sk = set()
         self.stop_words = stop_words or set(STOP_WORDS)
-        self._tok = default_tokenizer()
+        # production resources drop in through these seams: ne/df are
+        # the rag/res tables, tokenizer a HuqieTokenizer loaded with a
+        # full-vocabulary dictionary
+        self._tok = tokenizer if tokenizer is not None \
+            else default_tokenizer()
         self._memo: dict[str, float] = {}
 
     def pretoken(self, txt: str, num: bool = False,
