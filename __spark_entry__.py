@@ -902,6 +902,43 @@ def _q_chunks_pptx(spark: SparkSession, sf_dir: str) -> DataFrame:
     return chunk_office(build_pptx_pages(spark, sf_dir))
 
 
+def _q_chunks_doc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """naive template, legacy .doc branch (rag/app/naive.py:449-460):
+    tika -> from-scratch CFB/MS-DOC piece-table extraction, content
+    lines as sections, naive_merge(128) greedy fold."""
+    from ragflow_spark.corpus.gen import build_doc_pages
+
+    pages = build_doc_pages(spark, sf_dir)
+
+    def gen(it):
+        from ragflow_spark.extractlib.docparse import doc_lines
+        from ragflow_spark.extractlib.merge import naive_merge
+        for pdf in it:
+            rows = {"url": [], "chunk_seq": [], "chunk_text": []}
+            for url, blob in zip(pdf["url"], pdf["html"]):
+                sections = [(ln, "") for ln in doc_lines(bytes(blob))]
+                for seq, text in enumerate(
+                        naive_merge(sections, 128, "\n!?。；！？")):
+                    rows["url"].append(url)
+                    rows["chunk_seq"].append(seq)
+                    rows["chunk_text"].append(text)
+            import pandas as pd
+            yield pd.DataFrame(rows)
+
+    return pages.mapInPandas(
+        gen, schema="url string, chunk_seq int, chunk_text string")
+
+
+def _q_chunks_ppt(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Legacy .ppt deck through the presentation one-chunk-per-slide
+    shape (beyond-reference: the reference's pptx?$ dispatch feeds the
+    binary container to python-pptx, which rejects it)."""
+    from ragflow_spark.corpus.gen import build_ppt_pages
+    from ragflow_spark.job.extract import chunk_office
+
+    return chunk_office(build_ppt_pages(spark, sf_dir))
+
+
 def _q_term_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Query-term weighting machinery (rag/nlp/term_weight.py Dealer):
     the 0.3/0.7 idf blend over huqie freq with ner/postag multipliers
@@ -1675,6 +1712,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "graph_nodes": _q_graph_nodes,
         "graph_edges": _q_graph_edges,
         "docx_img_lines": _q_docx_img_lines,
+        # -- round-3 session-2 additions (legacy CFB formats) ---------
+        "chunks_doc": _q_chunks_doc,
+        "chunks_ppt": _q_chunks_ppt,
         "media_features": _q_media_features,
         "frame_sample": _q_frame_sample,
         "audio_features": _q_audio_features,
@@ -3111,6 +3151,49 @@ SELECT url, CAST(np AS INT) AS seq, 'slide' AS kind,
 FROM base
 """
 
+    # legacy .doc twin: same section list as the docx corpus minus the
+    # table (title, then head/body per paragraph), folded by the
+    # naive_merge recursive CTE (the reference .doc branch is
+    # tika-lines -> naive_merge(128), naive.py:449-460)
+    chunks_doc_sql = _PDF_BASE_SQL.replace("/pdf/", "/docleg/") + f"""
+, secs AS (
+    SELECT url, 1 AS i, title AS s FROM base
+    UNION ALL
+    SELECT url, 2 * item.i AS i, item.i || ' Part ' || item.i AS s
+    FROM (SELECT url, unnest(list_transform(paras,
+              (p, i) -> {{'p': p, 'i': i}})) AS item FROM base)
+    UNION ALL
+    SELECT url, 2 * item.i + 1 AS i, item.p AS s
+    FROM (SELECT url, unnest(list_transform(paras,
+              (p, i) -> {{'p': p, 'i': i}})) AS item FROM base)
+), toks AS (
+    SELECT url, i, s, {_SEC_TOKENS} AS t FROM secs
+), fold AS (
+    SELECT url, i, 0 AS cidx, t AS cur FROM toks WHERE i = 1
+    UNION ALL
+    SELECT s.url, s.i,
+           CASE WHEN f.cur > 128 THEN f.cidx + 1 ELSE f.cidx END,
+           CASE WHEN f.cur > 128 THEN s.t ELSE f.cur + s.t END
+    FROM fold f JOIN toks s ON s.url = f.url AND s.i = f.i + 1
+)
+SELECT f.url, CAST(f.cidx AS INT) AS chunk_seq,
+       array_to_string(list(s.s ORDER BY s.i), '') AS chunk_text
+FROM fold f JOIN toks s ON s.url = f.url AND s.i = f.i
+GROUP BY f.url, f.cidx
+"""
+    chunks_doc_sql = chunks_doc_sql.replace(
+        "WITH doc AS", "WITH RECURSIVE doc AS", 1)
+
+    # legacy .ppt twin: one slide per paragraph, head block + body
+    # block joined by newline (no bullet '.' prefix — legacy text
+    # atoms carry no bullet styling)
+    chunks_ppt_sql = _PDF_BASE_SQL.replace("/pdf/", "/pptleg/") + """
+SELECT url, CAST(item.i - 1 AS INT) AS seq, 'slide' AS kind,
+       item.i || ' Part ' || item.i || chr(10) || item.p AS text
+FROM (SELECT url, unnest(list_transform(paras,
+          (p, i) -> {'p': p, 'i': i})) AS item FROM base)
+"""
+
     # multimodal stubs (operators/multimodal.py): payload byte i is
     # (doc_id*31 + i*7) % 256 and the image decode is a seeded gradient,
     # so features/frames have analytic twins
@@ -3508,6 +3591,8 @@ FROM documents
         "xlsx_html": xlsx_html_sql,
         "csv_rows": csv_rows_sql,
         "chunks_pptx": chunks_pptx_sql,
+        "chunks_doc": chunks_doc_sql,
+        "chunks_ppt": chunks_ppt_sql,
         "term_weights": term_weights_sql,
         "search_docs": search_docs_sql,
         "search_cjk": search_cjk_sql,

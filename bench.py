@@ -152,6 +152,13 @@ def main() -> None:
     xlsx_pages.count()
     run("chunks_xlsx", lambda: chunk_office(xlsx_pages)
         .write.format("noop").mode("overwrite").save())
+    # legacy CFB path (round 3): MS-DOC piece-table extraction
+    from ragflow_spark.corpus.gen import build_doc_pages
+    doc_pages = build_doc_pages(spark, sf_dir, replicate=max(
+        1, REPLICATE // 4), partitions=int(cpus) * 4).cache()
+    doc_pages.count()
+    run("chunks_doc", lambda: chunk_office(doc_pages)
+        .write.format("noop").mode("overwrite").save())
 
     # curation operators
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").cache()

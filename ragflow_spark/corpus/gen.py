@@ -443,6 +443,37 @@ def build_pptx_pages(spark, sf_dir: str, replicate: int = 1,
                              partitions)
 
 
+def build_doc_pages(spark, sf_dir: str, replicate: int = 1,
+                    partitions: int | None = None) -> DataFrame:
+    """Legacy ``.doc`` corpus (from-scratch CFB + MS-DOC writer): title
+    line, then per-paragraph heading + body lines.  Piece grouping
+    varies per document and pieces are laid into the WordDocument
+    stream in reverse order, so only a piece-table-following reader
+    reproduces the text; zh bodies force UTF-16 pieces, ascii bodies
+    compressed ones."""
+    def build(did, title, sections):
+        from ragflow_spark.extractlib.docparse import build_doc
+        lines = [title]
+        for head, body in sections:
+            lines.append(head)
+            lines.append(body)
+        return build_doc(lines, piece_group=1 + did % 3)
+    return _build_pdf_family(spark, sf_dir, "docleg", build, replicate,
+                             partitions)
+
+
+def build_ppt_pages(spark, sf_dir: str, replicate: int = 1,
+                    partitions: int | None = None) -> DataFrame:
+    """Legacy ``.ppt`` corpus: one slide per paragraph — a heading text
+    block + a body text block (TextBytesAtom for ascii, TextCharsAtom
+    for zh — both atom decoders exercised)."""
+    def build(did, title, sections):
+        from ragflow_spark.extractlib.pptparse import build_ppt
+        return build_ppt([[head, body] for head, body in sections])
+    return _build_pdf_family(spark, sf_dir, "pptleg", build, replicate,
+                             partitions)
+
+
 def build_pdft_pages(spark, sf_dir: str, replicate: int = 1,
                      partitions: int | None = None) -> DataFrame:
     """Table-bearing corpus: body sections as build_pdf_pages, then a

@@ -231,8 +231,21 @@ def build_pptx(slides: list[list[dict]]) -> bytes:
 
 
 def sniff_office(blob: bytes) -> str | None:
-    """'docx' / 'xlsx' for OOXML zips, None otherwise (content
-    sniffing, same role as the magic-byte PDF dispatch)."""
+    """'docx' / 'xlsx' / 'pptx' for OOXML zips, 'doc' / 'ppt' for the
+    legacy CFB containers, None otherwise (content sniffing, same role
+    as the magic-byte PDF dispatch — the reference dispatches on the
+    filename extension instead, rag/app/naive.py:335-464)."""
+    if blob.startswith(b"\xd0\xcf\x11\xe0\xa1\xb1\x1a\xe1"):
+        from ragflow_spark.extractlib.cfb import CfbError, read_cfb
+        try:
+            streams = read_cfb(blob)
+        except CfbError:
+            return None
+        if "WordDocument" in streams:
+            return "doc"
+        if "PowerPoint Document" in streams:
+            return "ppt"
+        return None
     if not blob.startswith(b"PK\x03\x04"):
         return None
     try:

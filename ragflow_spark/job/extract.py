@@ -165,6 +165,30 @@ def _office_batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
                 for i, txt in enumerate(parse_pptx(blob)):
                     if txt.strip():
                         emit(url, i, "slide", txt)
+            elif kind == "doc":
+                from ragflow_spark.extractlib.docparse import (DocError,
+                                                               doc_lines)
+                # reference .doc branch (rag/app/naive.py:449-460):
+                # tika content split to non-empty lines = sections; a
+                # malformed FIB degrades to zero rows, never a crash
+                try:
+                    lines = doc_lines(blob)
+                except DocError:
+                    lines = []
+                for i, ln in enumerate(lines):
+                    emit(url, i, "para", ln)
+            elif kind == "ppt":
+                from ragflow_spark.extractlib.pptparse import (PptError,
+                                                               parse_ppt)
+                # beyond-reference: legacy deck through the same
+                # one-chunk-per-slide presentation shape
+                try:
+                    slides = parse_ppt(blob)
+                except PptError:
+                    slides = []
+                for i, txt in enumerate(slides):
+                    if txt.strip():
+                        emit(url, i, "slide", txt)
         yield pd.DataFrame(rows)
 
 

@@ -1,0 +1,305 @@
+"""CFB container + legacy .doc/.ppt extraction (from-scratch [MS-CFB],
+[MS-DOC], [MS-PPT]); reference parity target: rag/app/naive.py:449-460
+tika line-split for .doc, ppt_parser.py slide shape for decks."""
+
+import struct
+
+import pytest
+
+from ragflow_spark.extractlib.cfb import (ENDOFCHAIN, FATSECT, FREESECT,
+                                          MAGIC, CfbError, build_cfb,
+                                          read_cfb)
+from ragflow_spark.extractlib.docparse import (_COMPRESSED_TRANS,
+                                               DocError, build_doc,
+                                               doc_lines, parse_doc)
+from ragflow_spark.extractlib.officegen import sniff_office
+from ragflow_spark.extractlib.pptparse import PptError, build_ppt, parse_ppt
+
+
+# -------------------------------------------------------------------------
+# container
+# -------------------------------------------------------------------------
+
+def test_cfb_roundtrip_mini_and_big_streams():
+    streams = [
+        ("WordDocument", b"\x01\x02" * 5000),     # FAT-chained
+        ("1Table", b"tbl" * 100),                 # mini stream
+        ("\x05SummaryInformation", b"s" * 64),    # mini stream
+        ("Empty", b""),
+        ("Exact4096", b"x" * 4096),               # at the cutoff: big
+        ("Under", b"y" * 4095),                   # below: mini
+    ]
+    out = read_cfb(build_cfb(streams))
+    assert out == dict(streams)
+
+
+def test_cfb_layout_fields():
+    """Spec-shape probes on the writer output, independent of the
+    reader: magic, sector alignment, FAT self-marking."""
+    blob = build_cfb([("S", b"z" * 600)])
+    assert blob[:8] == MAGIC
+    assert len(blob) % 512 == 0
+    assert struct.unpack_from("<H", blob, 28)[0] == 0xFFFE
+    n_fat = struct.unpack_from("<I", blob, 44)[0]
+    fat_sid = struct.unpack_from("<I", blob, 76)[0]  # first DIFAT entry
+    fat = struct.unpack_from("<128I", blob, 512 * (fat_sid + 1))
+    assert fat[fat_sid] == FATSECT
+    assert n_fat == 1
+    # every sector id in the file is covered by the FAT
+    nsect = len(blob) // 512 - 1
+    assert all(v == FREESECT for v in fat[nsect:])
+
+
+def test_cfb_many_streams_directory_tree():
+    streams = [(f"Stream{i:02d}", bytes([i]) * (10 + i)) for i in
+               range(40)]
+    assert read_cfb(build_cfb(streams)) == dict(streams)
+
+
+def test_cfb_v4_sectors_handwritten():
+    """A minimal hand-built v4 file (4096-byte sectors): FAT sector 0,
+    directory sector 1, data sectors 2-3."""
+    ssz = 4096
+    data = b"V4" * 3000  # 6000 bytes -> 2 sectors
+    fat = [FATSECT, ENDOFCHAIN, 3, ENDOFCHAIN] + \
+        [FREESECT] * (ssz // 4 - 4)
+    fat_blob = b"".join(struct.pack("<I", v) for v in fat)
+
+    def entry(name, objtype, child, start, size):
+        raw = bytearray(128)
+        enc = name.encode("utf-16-le")
+        raw[:len(enc)] = enc
+        struct.pack_into("<H", raw, 64, len(enc) + 2)
+        raw[66] = objtype
+        struct.pack_into("<III", raw, 68, 0xFFFFFFFF, 0xFFFFFFFF, child)
+        struct.pack_into("<I", raw, 116, start)
+        struct.pack_into("<Q", raw, 120, size)
+        return bytes(raw)
+
+    dir_blob = (entry("Root Entry", 5, 1, ENDOFCHAIN, 0)
+                + entry("Data", 2, 0xFFFFFFFF, 2, len(data)))
+    dir_blob += b"\x00" * (ssz - len(dir_blob))
+    header = bytearray(512)
+    header[:8] = MAGIC
+    struct.pack_into("<H", header, 26, 4)       # major = 4
+    struct.pack_into("<H", header, 28, 0xFFFE)
+    struct.pack_into("<H", header, 30, 12)      # sector shift
+    struct.pack_into("<H", header, 32, 6)
+    struct.pack_into("<I", header, 44, 1)       # one FAT sector
+    struct.pack_into("<I", header, 48, 1)       # dir at sector 1
+    struct.pack_into("<I", header, 56, 4096)
+    struct.pack_into("<I", header, 60, ENDOFCHAIN)
+    struct.pack_into("<I", header, 68, ENDOFCHAIN)
+    difat = [0] + [FREESECT] * 108
+    struct.pack_into("<109I", header, 76, *difat)
+    blob = (bytes(header).ljust(ssz, b"\x00") + fat_blob + dir_blob
+            + data[:ssz] + data[ssz:].ljust(ssz, b"\x00"))
+    assert read_cfb(blob) == {"Data": data}
+
+
+def test_cfb_difat_sector_chain_handwritten():
+    """FAT sector reached only through a DIFAT sector (header DIFAT all
+    free) — exercises the chained-DIFAT read path real >7MB files use.
+    Layout: sector 0 DIFAT, 1 FAT, 2 directory, 3-10 data (the stream
+    must be >= the 4096 mini cutoff to live in regular sectors)."""
+    ssz = 512
+    data = (b"difat-path" * 410)[:4096]  # 4096 bytes -> 8 sectors
+    difat_sec = [1] + [FREESECT] * (ssz // 4 - 2) + [ENDOFCHAIN]
+    fat = [0xFFFFFFFC, FATSECT, ENDOFCHAIN,
+           4, 5, 6, 7, 8, 9, 10, ENDOFCHAIN] + \
+        [FREESECT] * (ssz // 4 - 11)  # sector 0 marked DIFSECT
+
+    def entry(name, objtype, child, start, size):
+        raw = bytearray(128)
+        enc = name.encode("utf-16-le")
+        raw[:len(enc)] = enc
+        struct.pack_into("<H", raw, 64, len(enc) + 2)
+        raw[66] = objtype
+        struct.pack_into("<III", raw, 68, 0xFFFFFFFF, 0xFFFFFFFF, child)
+        struct.pack_into("<I", raw, 116, start)
+        struct.pack_into("<Q", raw, 120, size)
+        return bytes(raw)
+
+    dir_blob = (entry("Root Entry", 5, 1, ENDOFCHAIN, 0)
+                + entry("D", 2, 0xFFFFFFFF, 3, len(data)))
+    dir_blob += b"\x00" * (ssz - len(dir_blob))
+    header = bytearray(512)
+    header[:8] = MAGIC
+    struct.pack_into("<H", header, 26, 3)
+    struct.pack_into("<H", header, 28, 0xFFFE)
+    struct.pack_into("<H", header, 30, 9)
+    struct.pack_into("<H", header, 32, 6)
+    struct.pack_into("<I", header, 44, 1)
+    struct.pack_into("<I", header, 48, 2)
+    struct.pack_into("<I", header, 56, 4096)
+    struct.pack_into("<I", header, 60, ENDOFCHAIN)
+    struct.pack_into("<I", header, 68, 0)       # DIFAT chain at sector 0
+    struct.pack_into("<I", header, 72, 1)
+    struct.pack_into("<109I", header, 76, *([FREESECT] * 109))
+    blob = (bytes(header)
+            + b"".join(struct.pack("<I", v) for v in difat_sec)
+            + b"".join(struct.pack("<I", v) for v in fat)
+            + dir_blob + data)
+    assert read_cfb(blob) == {"D": data}
+
+
+def test_cfb_hostile_inputs_raise_cfberror():
+    good = build_cfb([("S", b"x" * 100)])
+    for blob in (b"", b"\xd0\xcf\x11\xe0", bytes(256),
+                 good[:600],                     # truncated mid-FAT
+                 b"\xd0\xcf\x11\xe0\xa1\xb1\x1a\xe1" + bytes(504)):
+        with pytest.raises(CfbError):
+            read_cfb(blob)
+    # corrupt the FAT into a self-loop
+    bad = bytearray(good)
+    fat_sid = struct.unpack_from("<I", bad, 76)[0]
+    fat_off = 512 * (fat_sid + 1)
+    dir_start = struct.unpack_from("<I", bad, 48)[0]
+    struct.pack_into("<I", bad, fat_off + 4 * dir_start, dir_start)
+    with pytest.raises(CfbError):
+        read_cfb(bytes(bad))
+
+
+# -------------------------------------------------------------------------
+# .doc
+# -------------------------------------------------------------------------
+
+def test_doc_roundtrip_piece_groups():
+    lines = ["Title Line", "1 Part 1", "body " * 30, "文档 中文 内容",
+             "tail words here"]
+    for group in (1, 2, 3, 10):
+        blob = build_doc(lines, piece_group=group)
+        assert doc_lines(blob) == lines, group
+
+
+def test_doc_pieces_not_in_file_order():
+    """The writer lays pieces in reverse file order: a linear scan of
+    the WordDocument stream must NOT equal the logical text (guards
+    that parse_doc really follows the piece table)."""
+    lines = ["alpha one", "beta two", "gamma three", "delta four"]
+    blob = build_doc(lines, piece_group=1)
+    word = read_cfb(blob)["WordDocument"]
+    tail = word[1472:].decode("latin-1")
+    logical = "".join(ln + "\r" for ln in lines)
+    assert tail != logical
+    assert parse_doc(blob) == logical.replace("\r", "\n")
+
+
+def test_doc_mixed_encodings_split_pieces():
+    """zh lines force UTF-16 pieces, ascii lines compressed ones; both
+    decode paths hit inside one document."""
+    lines = ["pure ascii line", "中文第一行", "more ascii", "第二行"]
+    blob = build_doc(lines, piece_group=1)
+    assert doc_lines(blob) == lines
+
+
+def test_doc_compressed_special_map_matches_cp1252():
+    """[MS-DOC] FcCompressed remap == Windows-1252 for every byte
+    cp1252 defines, EXCEPT 0x80/0x8E/0x9E (€ Ž ž): the spec's table
+    predates those cp1252 additions and maps them to their ANSI value —
+    we follow the spec. cp1252-undefined bytes also fall back to ANSI."""
+    for b in range(0x20, 0x100):
+        via_map = chr(b).translate(_COMPRESSED_TRANS)
+        if b in (0x80, 0x8E, 0x9E):
+            assert via_map == chr(b), hex(b)
+            continue
+        try:
+            expected = bytes([b]).decode("cp1252")
+        except UnicodeDecodeError:
+            expected = chr(b)
+        assert via_map == expected, hex(b)
+
+
+def test_doc_control_chars_fold():
+    # cell mark / vtab / page break all become line breaks; field and
+    # object markers vanish; 0x1E renders '-', 0x1F renders empty
+    lines = ["a\x07b", "c\x0bd"]
+    blob = build_doc(lines, piece_group=1)
+    # \x07 and \x0b survive the compressed-eligibility check? they are
+    # control chars -> piece goes UTF-16; parse folds them to newlines
+    assert doc_lines(blob) == ["a", "b", "c", "d"]
+
+
+def test_doc_hostile_inputs_raise_docerror():
+    with pytest.raises(DocError):
+        parse_doc(b"not a doc")
+    with pytest.raises(DocError):
+        parse_doc(build_cfb([("NoWord", b"x" * 10)]))
+    # WordDocument present but garbage FIB
+    with pytest.raises(DocError):
+        parse_doc(build_cfb([("WordDocument", b"\x00" * 2000)]))
+    # encrypted flag set
+    good = build_doc(["line"])
+    word = bytearray(read_cfb(good)["WordDocument"])
+    struct.pack_into("<H", word, 10, 0x0200 | 0x0100)
+    table = read_cfb(good)["1Table"]
+    with pytest.raises(DocError):
+        parse_doc(build_cfb([("WordDocument", bytes(word)),
+                             ("1Table", table)]))
+
+
+def test_doc_zero_table_stream_fallback():
+    """fWhichTblStm=1 but only 0Table shipped: parser falls back to
+    the stream that exists (real-world tolerance POI also applies)."""
+    good = build_doc(["fall back line"])
+    streams = read_cfb(good)
+    blob = build_cfb([("WordDocument", streams["WordDocument"]),
+                      ("0Table", streams["1Table"])])
+    assert doc_lines(blob) == ["fall back line"]
+
+
+# -------------------------------------------------------------------------
+# .ppt
+# -------------------------------------------------------------------------
+
+def test_ppt_roundtrip_slide_shape():
+    slides = [["Head 1", "body line\nsecond"], ["标题", "ascii body"]]
+    assert parse_ppt(build_ppt(slides)) == [
+        "Head 1\nbody line\nsecond", "标题\nascii body"]
+
+
+def test_ppt_empty_slide_and_deck():
+    assert parse_ppt(build_ppt([["only"], []])) == ["only", ""]
+    assert parse_ppt(build_ppt([])) == []
+
+
+def test_ppt_record_overrun_raises():
+    doc = struct.pack("<HHI", 0x000F, 0x03E8, 100) + b"\x00" * 10
+    with pytest.raises(PptError):
+        parse_ppt(build_cfb([("PowerPoint Document", doc)]))
+    with pytest.raises(PptError):
+        parse_ppt(build_cfb([("Other", b"x")]))
+
+
+# -------------------------------------------------------------------------
+# dispatch integration
+# -------------------------------------------------------------------------
+
+def test_sniff_office_legacy_kinds():
+    assert sniff_office(build_doc(["x"])) == "doc"
+    assert sniff_office(build_ppt([["x"]])) == "ppt"
+    assert sniff_office(build_cfb([("Nothing", b"n")])) is None
+    assert sniff_office(MAGIC + b"\x00" * 100) is None  # broken CFB
+
+
+def test_office_batches_doc_ppt_rows():
+    import pandas as pd
+
+    from ragflow_spark.job.extract import _office_batches
+
+    doc = build_doc(["Doc Title", "first line", "second line"])
+    ppt = build_ppt([["Slide A", "body"], ["Slide B", "more"]])
+    hostile = MAGIC + b"\xff" * 1000
+    pdf = pd.DataFrame({
+        "url": ["u1", "u2", "u3"],
+        "html": [doc, ppt, hostile],
+    })
+    out = pd.concat(list(_office_batches(iter([pdf]))))
+    got = [(r.url, r.seq, r.kind, r.text) for r in out.itertuples()]
+    assert got == [
+        ("u1", 0, "para", "Doc Title"),
+        ("u1", 1, "para", "first line"),
+        ("u1", 2, "para", "second line"),
+        ("u2", 0, "slide", "Slide A\nbody"),
+        ("u2", 1, "slide", "Slide B\nmore"),
+    ]
