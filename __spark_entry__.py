@@ -939,6 +939,39 @@ def _q_chunks_ppt(spark: SparkSession, sf_dir: str) -> DataFrame:
     return chunk_office(build_ppt_pages(spark, sf_dir))
 
 
+def _q_pdf_scraps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The bare-``PdfParser.__call__`` tail (pdf_parser.py:910-981,
+    :1124): DFS scrap grouping + width/bullet keep decision + the
+    tag-suffixed display string.  The corpus puts wide 'N. ...' bullet
+    lines (chain unconditionally, keep via mj) above narrow numeric
+    folio junk (skipped by ``usefull``, then dropped as nan-width
+    groups)."""
+    from ragflow_spark.corpus.gen import build_scrap_pages
+
+    pages = build_scrap_pages(spark, sf_dir)
+
+    def gen(it):
+        import pandas as pd
+        from ragflow_spark.extractlib.pdfplain import PAGE_H
+        from ragflow_spark.extractlib.pdfrules import (
+            PAGE_W, filterout_scraps, mean_heights,
+            parse_boxes_normalized)
+        for pdf in it:
+            rows = {"url": [], "content": []}
+            for url, blob in zip(pdf["url"], pdf["html"]):
+                boxes = parse_boxes_normalized(bytes(blob))
+                n_pages = max((b["page_number"] for b in boxes),
+                              default=1)
+                mh = mean_heights(boxes, n_pages)
+                rows["url"].append(url)
+                rows["content"].append(filterout_scraps(
+                    boxes, [PAGE_W] * n_pages, mh,
+                    [PAGE_H] * n_pages))
+            yield pd.DataFrame(rows)
+
+    return pages.mapInPandas(gen, schema="url string, content string")
+
+
 def _q_term_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Query-term weighting machinery (rag/nlp/term_weight.py Dealer):
     the 0.3/0.7 idf blend over huqie freq with ner/postag multipliers
@@ -1715,6 +1748,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # -- round-3 session-2 additions (legacy CFB formats) ---------
         "chunks_doc": _q_chunks_doc,
         "chunks_ppt": _q_chunks_ppt,
+        "pdf_scraps": _q_pdf_scraps,
         "media_features": _q_media_features,
         "frame_sample": _q_frame_sample,
         "audio_features": _q_audio_features,
@@ -3194,6 +3228,31 @@ FROM (SELECT url, unnest(list_transform(paras,
           (p, i) -> {'p': p, 'i': i})) AS item FROM base)
 """
 
+    # scrap-filter twin: each paragraph i becomes the bullet line
+    # 'i+1. para' padded to >=41 chars (width 5*len > pw/3 = 204, so
+    # usefull; bullet prefix means the DFS chains everything and mj
+    # keeps the group), tag-suffixed with the closed-form geometry
+    # x1 = 72 + 5*len, top = 62 + 14*i, bottom = top + 10; the two
+    # trailing numeric-junk lines are dropped by the filter and never
+    # appear here
+    pdf_scraps_sql = _PDF_BASE_SQL.replace("/pdf/", "/pdfs/") + """
+, lines AS (
+    SELECT url, item.i AS i,
+           CASE WHEN length((item.i + 1) || '. ' || item.p) < 41
+                THEN rpad((item.i + 1) || '. ' || item.p, 41, ' ')
+                ELSE (item.i + 1) || '. ' || item.p END AS s
+    FROM (SELECT url, unnest(list_transform(paras,
+              (p, i) -> {'p': p, 'i': i - 1})) AS item FROM base)
+)
+SELECT url,
+       array_to_string(list(
+           s || printf('@@1\t%.1f\t%.1f\t%.1f\t%.1f##',
+                       72.0, 72 + 5.0 * length(s),
+                       62 + 14.0 * i, 72 + 14.0 * i)
+           ORDER BY i), chr(10)) AS content
+FROM lines GROUP BY url
+"""
+
     # multimodal stubs (operators/multimodal.py): payload byte i is
     # (doc_id*31 + i*7) % 256 and the image decode is a seeded gradient,
     # so features/frames have analytic twins
@@ -3593,6 +3652,7 @@ FROM documents
         "chunks_pptx": chunks_pptx_sql,
         "chunks_doc": chunks_doc_sql,
         "chunks_ppt": chunks_ppt_sql,
+        "pdf_scraps": pdf_scraps_sql,
         "term_weights": term_weights_sql,
         "search_docs": search_docs_sql,
         "search_cjk": search_cjk_sql,

@@ -474,6 +474,19 @@ def build_ppt_pages(spark, sf_dir: str, replicate: int = 1,
                              partitions)
 
 
+def build_scrap_pages(spark, sf_dir: str, replicate: int = 1,
+                      partitions: int | None = None) -> DataFrame:
+    """Scrap-filter corpus (``__filterout_scraps``): wide bullet lines
+    on a one-page fixed grid plus trailing narrow numeric-junk lines;
+    the filter's DFS grouping, keep decision and tag strings are all
+    closed-form functions of the paragraph list."""
+    def build(did, title, sections):
+        from ragflow_spark.extractlib.pdfgen import build_pdf_scrap
+        return build_pdf_scrap(sections, did)
+    return _build_pdf_family(spark, sf_dir, "pdfs", build, replicate,
+                             partitions)
+
+
 def build_pdft_pages(spark, sf_dir: str, replicate: int = 1,
                      partitions: int | None = None) -> DataFrame:
     """Table-bearing corpus: body sections as build_pdf_pages, then a

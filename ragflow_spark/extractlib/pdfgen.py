@@ -132,6 +132,27 @@ def build_pdf(title: str, sections: list[tuple[str, str]],
                                   header_footer, char_level))
 
 
+def build_pdf_scrap(sections: list[tuple[str, str]], did: int) -> bytes:
+    """Single-page scrap-filter corpus: one wide bullet line per
+    section (``'N. ' + body``, space-padded to >=41 chars so its
+    0.5-em width clears the pw/3 usefulness gate) on a fixed 14pt
+    grid, followed by two narrow numeric-junk scrap lines (page-folio
+    shapes) that ``filterout_scraps`` must drop.  All geometry is
+    closed-form: x1 = 72 + 5*len(text), top = 62 + 14*i."""
+    lines = []
+    y = TOP_Y
+    for i, (_head, body) in enumerate(sections):
+        text = f"{i + 1}. {body}"
+        if len(text) < 41:
+            text = text.ljust(41)
+        lines.append(_line(BODY_SIZE, MARGIN_X, y, text))
+        y -= BODY_LEAD
+    for junk in (f"{did % 90 + 1} / {did % 9 + 9}", "- 3 -"):
+        lines.append(_line(BODY_SIZE, MARGIN_X, y, junk))
+        y -= BODY_LEAD
+    return _assemble(["".join(lines)])
+
+
 def _assemble(streams: list[str]) -> bytes:
     n_pages = len(streams)
     # object numbering: 1 catalog, 2 pages, 3..2+n page objs,

@@ -29,6 +29,8 @@ from statistics import median
 
 from .pdfplain import PAGE_H
 
+PAGE_W = 612.0  # US-Letter width, the synthetic corpus media box
+
 GARBAGE_RES = [
     r"^•+$",
     r"^[0-9]{1,2} / ?[0-9]{1,2}$",
@@ -667,6 +669,108 @@ def y_dis(a: dict, b: dict) -> float:
 def match_proj(b: dict) -> bool:
     """Bullet/heading projection patterns (pdf_parser.py:112-124)."""
     return any(re.match(p, b["text"]) for p in PROJ_PATTERNS)
+
+
+# the LEVELLED projection classifier used by the scrap filter — a
+# different pattern list from PROJ_PATTERNS (pdf_parser.py:868-892)
+PROJ_LEVEL_PATTERNS = [
+    (r"第[零一二三四五六七八九十百]+章", 1),
+    (r"第[零一二三四五六七八九十百]+[条节]", 2),
+    (r"[零一二三四五六七八九十百]+[、 　]", 3),
+    (r"[\(（][零一二三四五六七八九十百]+[）\)]", 4),
+    (r"[0-9]+(、|\.[　 ]|\.[^0-9])", 5),
+    (r"[0-9]+\.[0-9]+(、|[. 　]|[^0-9])", 6),
+    (r"[0-9]+\.[0-9]+\.[0-9]+(、|[ 　]|[^0-9])", 7),
+    (r"[0-9]+\.[0-9]+\.[0-9]+\.[0-9]+(、|[ 　]|[^0-9])", 8),
+    (r".{,48}[：:?？]$", 9),
+    (r"[0-9]+）", 10),
+    (r"[\(（][0-9]+[）\)]", 11),
+    (r"[零一二三四五六七八九十百]+是", 12),
+    (r"[⚫•➢✓]", 12),
+]
+
+_NUMERIC_JUNK_RE = re.compile(r"[0-9 ().,%+/-]+$")
+
+
+def proj_match_level(line: str):
+    """Levelled bullet classifier (pdf_parser.py:868-892): ``None`` for
+    short/unmatched lines, ``False`` for numeric-junk lines (both falsy
+    to the callers), else the outline level 1-12."""
+    if len(line) <= 2:
+        return None
+    if _NUMERIC_JUNK_RE.match(line):
+        return False
+    for p, j in PROJ_LEVEL_PATTERNS:
+        if re.match(p, line):
+            return j
+    return None
+
+
+def filterout_scraps(boxes: list[dict], page_widths: list[float],
+                     mean_h: list[float],
+                     page_heights: list[float] | None = None) -> str:
+    """The bare-``__call__`` tail (pdf_parser.py:910-981): group boxes
+    by a bounded look-ahead DFS (bullet/title boxes chain
+    unconditionally, plain boxes only when x-aligned within pw/10),
+    then drop groups that are neither bullet-led nor wide enough
+    (mean width < 0.35*pw and <= 200pt).  Output is the reference's
+    display string: tag-suffixed lines joined by ``\\n`` within a
+    group, groups joined by ``\\n\\n``.  Quirk kept: a bullet-led box
+    that fails ``usefull`` contributes an empty group (the reference
+    appends ``"\\n".join([])``)."""
+    boxes = [dict(b) for b in boxes]  # the reference deepcopies
+
+    def pw_of(pn: int) -> float:
+        return (page_widths[pn - 1]
+                if 0 <= pn - 1 < len(page_widths) else PAGE_W)
+
+    def usefull(b: dict) -> bool:
+        if b.get("layout_type"):
+            return True
+        if b["x1"] - b["x0"] > pw_of(b["page_number"]) / 3:
+            return True
+        if b["bottom"] - b["top"] > mean_h[b["page_number"] - 1]:
+            return True
+        return False
+
+    res = []
+    while boxes:
+        lines: list[dict] = []
+        widths: list[float] = []
+        pw = pw_of(boxes[0]["page_number"])
+        mh = mean_h[boxes[0]["page_number"] - 1]
+        mj = (proj_match_level(boxes[0]["text"])
+              or boxes[0].get("layout_type", "") == "title")
+
+        def dfs(line: dict, st: int) -> None:
+            lines.append(line)
+            widths.append(line["x1"] - line["x0"])
+            mmj = (proj_match_level(line["text"])
+                   or line.get("layout_type", "") == "title")
+            for i in range(st + 1, min(st + 20, len(boxes))):
+                if (boxes[i]["page_number"] - line["page_number"]) > 0:
+                    break
+                if (not mmj and y_dis(line, boxes[i]) >= 3 * mh
+                        and box_height(line) < 1.5 * mh):
+                    break
+                if not usefull(boxes[i]):
+                    continue
+                if mmj or x_dis(boxes[i], line) < pw / 10:
+                    dfs(boxes[i], i)
+                    boxes.pop(i)
+                    break
+
+        try:
+            if usefull(boxes[0]):
+                dfs(boxes[0], 0)
+        except Exception:  # the reference swallows DFS blowups
+            pass
+        boxes.pop(0)
+        mw = sum(widths) / len(widths) if widths else float("nan")
+        if mj or mw / pw >= 0.35 or mw > 200:
+            res.append("\n".join(
+                c["text"] + line_tag(c, page_heights) for c in lines))
+    return "\n\n".join(res)
 
 
 def updown_concat_features(up: dict, down: dict) -> list:
