@@ -972,6 +972,123 @@ def _q_pdf_scraps(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pages.mapInPandas(gen, schema="url string, content string")
 
 
+def _kg_inputs(spark: SparkSession, sf_dir: str):
+    """Synthetic KGSearch candidate sets (graphrag/search.py:140-224),
+    one query per document; every field a closed-form function of
+    (qid, j) so the fusion has an exact SQL twin.  The three doc-store
+    searches the reference runs (entity-by-keyword, entity-by-type,
+    relation-by-text — vector search + LLM rewrite) are the seam these
+    tables stand in for.
+
+    Single-multiply float discipline: every fractional value is
+    (int expr) * one float literal, so Spark and DuckDB produce
+    bitwise-identical doubles; nhop sims add at most TWO contributions
+    (addition of two doubles commutes exactly)."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    q = docs.select(F.col("doc_id").alias("qid"))
+
+    cand = q.select(
+        "qid", F.explode(F.sequence(F.lit(0), F.lit(7))).alias("j"))
+    idx = (F.col("qid") * 3 + F.col("j")) % 25
+    i1, i2 = (idx + 1) % 25, (idx + 2) % 25
+    ent = F.concat(F.lit("e"), idx)
+    sim = (((F.col("qid") + F.col("j")) % 10) + 6) * F.lit(0.05)
+    pr = ((F.col("qid") * 7 + F.col("j")) % 5 + 1).cast("double")
+    w01 = ((idx + i1) % 5 + 5) * F.lit(0.1)
+    w12 = ((i1 + i2) % 5 + 5) * F.lit(0.1)
+    ents_q = cand.select(
+        "qid", ent.alias("entity"), sim.alias("sim"),
+        pr.alias("pagerank"), F.col("j").cast("long").alias("ent_seq"),
+        F.array(F.struct(
+            F.array(ent, F.concat(F.lit("e"), i1),
+                    F.concat(F.lit("e"), i2)).alias("path"),
+            F.array(w01, w12).alias("weights"))).alias("nhops"),
+        F.concat(F.lit('{"description": "ent d'), "qid", F.lit("_"),
+                 "j", F.lit('"}')).alias("description"))
+
+    ents_t = q.select(
+        "qid", F.explode(F.sequence(F.lit(0), F.lit(4))).alias("r")) \
+        .select("qid", F.concat(
+            F.lit("e"), F.col("qid") % 5 + 5 * F.col("r"))
+            .alias("entity"))
+
+    rj = q.select(
+        "qid", F.explode(F.sequence(F.lit(0), F.lit(3))).alias("j"))
+    a = (F.col("qid") * 5 + 2 * F.col("j")) % 25
+    b = (a + F.when(F.col("j") < 3, 4).otherwise(1)) % 25
+    ea, eb = F.concat(F.lit("e"), a), F.concat(F.lit("e"), b)
+    rels = rj.select(
+        "qid", F.least(ea, eb).alias("f"),
+        F.greatest(ea, eb).alias("t"),
+        ((((F.col("qid") + F.col("j")) % 8) + 5) * F.lit(0.05))
+        .alias("sim"),
+        (((F.col("qid") + F.col("j")) % 4) + 1).cast("double")
+        .alias("pagerank"),
+        F.col("j").cast("long").alias("rel_seq"),
+        F.concat(F.lit('{"description": "rel d'), "qid", F.lit("_"),
+                 "j", F.lit('"}')).alias("description"))
+
+    rel_store = spark.range(25).select(F.col("id").alias("k")) \
+        .where(F.col("k") % 6 != 0) \
+        .select(F.concat(F.lit("e"), "k").alias("f"),
+                F.concat(F.lit("e"), (F.col("k") + 1) % 25).alias("t"),
+                F.concat(F.lit('{"description": "store d'), "k",
+                         F.lit('"}')).alias("description"))
+
+    communities = spark.range(8).select(F.col("id").alias("m")) \
+        .select(F.array(*[F.concat(F.lit("e"), F.col("m") * 3 + i)
+                          for i in range(3)]).alias("entities"),
+                F.concat(F.lit("comm"), "m").alias("name"),
+                F.concat(F.lit("rep"), "m").alias("report"),
+                F.concat(F.lit("ev"), "m").alias("evidences"),
+                (10 - F.col("m")).cast("double").alias("weight"))
+    return ents_q, ents_t, rels, rel_store, communities
+
+
+def _q_kg_ents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KGSearch entity fusion (graphrag/search.py:191-195,221-222):
+    type-hit sim doubling, rank by sim*pagerank, top-6 per query with
+    ES-order tie-breaking."""
+    from ragflow_spark.operators.kg_search import fuse_entities
+
+    ents_q, ents_t, _rels, _store, _comms = _kg_inputs(spark, sf_dir)
+    out = fuse_entities(ents_q, ents_t)
+    return out.select("qid", "entity", F.round("sim", 9).alias("sim"),
+                      "pagerank", F.round("score", 9).alias("score"),
+                      "rank")
+
+
+def _q_kg_rels(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KGSearch relation fusion (graphrag/search.py:169-184,197-224):
+    n-hop path contributions sim/(2+i) with last-writer pagerank,
+    exact-tuple consumption by text-matched keys, endpoint type-hit
+    boosts, leftover pairs kept only when the (orientation-insensitive)
+    relation store has a description, top-6 by sim*pagerank in dict
+    order on ties."""
+    from ragflow_spark.operators.kg_search import fuse_relations
+
+    ents_q, ents_t, rels, store, _comms = _kg_inputs(spark, sf_dir)
+    out = fuse_relations(rels, ents_q, ents_t, store)
+    return out.select("qid", "f", "t", F.round("sim", 9).alias("sim"),
+                      "pagerank", F.round("score", 9).alias("score"),
+                      "rank")
+
+
+def _q_kg_content(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KGSearch content assembly (graphrag/search.py:226-310): the
+    Entities/Relations CSV sections (pandas to_csv, the reference's
+    renderer) plus the community report for the best-weight community
+    sharing an entity with the kept list."""
+    from ragflow_spark.operators.kg_search import (fuse_entities,
+                                                  fuse_relations,
+                                                  kg_content)
+
+    ents_q, ents_t, rels, store, comms = _kg_inputs(spark, sf_dir)
+    ents = fuse_entities(ents_q, ents_t)
+    fused = fuse_relations(rels, ents_q, ents_t, store)
+    return kg_content(ents, fused, comms)
+
+
 def _q_term_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Query-term weighting machinery (rag/nlp/term_weight.py Dealer):
     the 0.3/0.7 idf blend over huqie freq with ner/postag multipliers
@@ -1749,6 +1866,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "chunks_doc": _q_chunks_doc,
         "chunks_ppt": _q_chunks_ppt,
         "pdf_scraps": _q_pdf_scraps,
+        "kg_ents": _q_kg_ents,
+        "kg_rels": _q_kg_rels,
+        "kg_content": _q_kg_content,
         "media_features": _q_media_features,
         "frame_sample": _q_frame_sample,
         "audio_features": _q_audio_features,
@@ -3253,6 +3373,151 @@ SELECT url,
 FROM lines GROUP BY url
 """
 
+    # KGSearch fusion twins: candidate sets are closed-form in
+    # (qid, j) — see _kg_inputs.  Shared CTE block; each float value
+    # is (int) * one ::DOUBLE literal so both engines produce
+    # bitwise-identical doubles, and every nhop sim adds at most two
+    # contributions (two-term float addition commutes exactly).
+    _KG_BASE_SQL = """
+WITH q AS (SELECT doc_id AS qid FROM documents),
+cand AS (
+    SELECT qid, j, (qid*3 + j) % 25 AS idx,
+           ((qid + j) % 10 + 6) * 0.05::DOUBLE AS sim,
+           CAST((qid*7 + j) % 5 + 1 AS DOUBLE) AS pr
+    FROM q CROSS JOIN (SELECT unnest(range(8)) AS j)
+),
+eranked AS (
+    SELECT qid, j, idx, 'e' || idx AS entity,
+           sim * (CASE WHEN idx % 5 = qid % 5 THEN 2 ELSE 1 END)
+               AS sim, pr,
+           row_number() OVER (
+               PARTITION BY qid
+               ORDER BY sim * (CASE WHEN idx % 5 = qid % 5
+                               THEN 2 ELSE 1 END) * pr DESC, j)
+               AS rank
+    FROM cand
+),
+nhop AS (
+    SELECT qid, m,
+           (qid*3 + m) % 25 AS fi, (qid*3 + m + 1) % 25 AS ti,
+           'e' || ((qid*3 + m) % 25) AS f,
+           'e' || ((qid*3 + m + 1) % 25) AS t,
+           (CASE WHEN m <= 7
+                 THEN (((qid + m) % 10 + 6) * 0.05::DOUBLE) / 2
+                 ELSE 0::DOUBLE END)
+         + (CASE WHEN m >= 1
+                 THEN (((qid + m - 1) % 10 + 6) * 0.05::DOUBLE) / 3
+                 ELSE 0::DOUBLE END) AS nsim,
+           ((((qid*3 + m) % 25) + ((qid*3 + m + 1) % 25)) % 5 + 5)
+               * 0.1::DOUBLE AS npr
+    FROM q CROSS JOIN (SELECT unnest(range(9)) AS m)
+),
+relsq AS (
+    SELECT qid, j AS rel_seq, a, b,
+           least('e' || a, 'e' || b) AS f,
+           greatest('e' || a, 'e' || b) AS t,
+           ((qid + j) % 8 + 5) * 0.05::DOUBLE AS sim,
+           CAST((qid + j) % 4 + 1 AS DOUBLE) AS pr
+    FROM (SELECT qid, j, (qid*5 + 2*j) % 25 AS a,
+                 ((qid*5 + 2*j) + CASE WHEN j < 3 THEN 4 ELSE 1 END)
+                     % 25 AS b
+          FROM q CROSS JOIN (SELECT unnest(range(4)) AS j))
+),
+fused AS (
+    SELECT r.qid, r.f, r.t,
+           r.sim * ((COALESCE(n.nsim, 0::DOUBLE)
+               + (CASE WHEN r.a % 5 = r.qid % 5 THEN 1 ELSE 0 END)
+               + (CASE WHEN r.b % 5 = r.qid % 5 THEN 1 ELSE 0 END))
+               + 1) AS sim,
+           r.pr, r.rel_seq, CAST(NULL AS BIGINT) AS m,
+           CAST(NULL AS BIGINT) AS k
+    FROM relsq r LEFT JOIN nhop n
+      ON r.qid = n.qid AND r.f = n.f AND r.t = n.t
+    UNION ALL
+    SELECT n.qid, n.f, n.t,
+           n.nsim * (((CASE WHEN n.fi % 5 = n.qid % 5
+                       THEN 1 ELSE 0 END)
+               + (CASE WHEN n.ti % 5 = n.qid % 5 THEN 1 ELSE 0 END))
+               + 1) AS sim,
+           n.npr AS pr, CAST(NULL AS BIGINT) AS rel_seq, n.m,
+           n.fi AS k
+    FROM nhop n
+    WHERE NOT EXISTS (SELECT 1 FROM relsq r
+                      WHERE r.qid = n.qid AND r.f = n.f
+                        AND r.t = n.t)
+      AND n.fi % 6 <> 0
+),
+rranked AS (
+    SELECT qid, f, t, sim, pr, rel_seq, m, k,
+           row_number() OVER (
+               PARTITION BY qid
+               ORDER BY sim * pr DESC, rel_seq ASC NULLS LAST,
+                        m ASC NULLS LAST) AS rank
+    FROM fused
+)
+"""
+
+    kg_ents_sql = _KG_BASE_SQL + """
+SELECT qid, entity, round(sim, 9) AS sim, pr AS pagerank,
+       round(sim * pr, 9) AS score, CAST(rank AS INT) AS rank
+FROM eranked WHERE rank <= 6
+"""
+
+    kg_rels_sql = _KG_BASE_SQL + """
+SELECT qid, f, t, round(sim, 9) AS sim, pr AS pagerank,
+       round(sim * pr, 9) AS score, CAST(rank AS INT) AS rank
+FROM rranked WHERE rank <= 6
+"""
+
+    # content twin: pandas to_csv rendering = header + 'i,a,b,...\\n'
+    # rows (fields are CSV-safe by construction); community = min-m
+    # community sharing an entity with the kept top-6 (weight 10-m,
+    # comm_topn 1); the generous 8196 budget never truncates here
+    # (truncation quirks are pinned in tests/test_kg_search.py)
+    kg_content_sql = _KG_BASE_SQL + """
+, esec AS (
+    SELECT qid,
+           chr(10) || '---- Entities ----' || chr(10)
+           || ',Entity,Score,Description' || chr(10)
+           || string_agg(
+                (rank - 1) || ',' || entity || ','
+                || printf('%.2f', sim * pr) || ','
+                || 'ent d' || qid || '_' || j || chr(10),
+                '' ORDER BY rank) AS sec
+    FROM eranked WHERE rank <= 6 GROUP BY qid
+),
+rsec AS (
+    SELECT qid,
+           chr(10) || '---- Relations ----' || chr(10)
+           || ',From Entity,To Entity,Score,Description' || chr(10)
+           || string_agg(
+                (rank - 1) || ',' || f || ',' || t || ','
+                || printf('%.2f', sim * pr) || ','
+                || CASE WHEN rel_seq IS NOT NULL
+                        THEN 'rel d' || qid || '_' || rel_seq
+                        ELSE 'store d' || k END || chr(10),
+                '' ORDER BY rank) AS sec
+    FROM rranked WHERE rank <= 6 GROUP BY qid
+),
+csec AS (
+    SELECT e.qid, MIN(ms.m) AS m
+    FROM eranked e
+    CROSS JOIN (SELECT unnest(range(8)) AS m) ms
+    WHERE e.rank <= 6 AND e.idx BETWEEN 3*ms.m AND 3*ms.m + 2
+    GROUP BY e.qid
+)
+SELECT q.qid,
+       COALESCE(e.sec, '') || COALESCE(r.sec, '')
+       || COALESCE(chr(10) || '---- Community Report ----' || chr(10)
+                   || '# 1. comm' || c.m || chr(10)
+                   || '## Content' || chr(10) || 'rep' || c.m
+                   || chr(10) || '## Evidences' || chr(10)
+                   || 'ev' || c.m || chr(10), '') AS content
+FROM q LEFT JOIN esec e ON q.qid = e.qid
+       LEFT JOIN rsec r ON q.qid = r.qid
+       LEFT JOIN csec c ON q.qid = c.qid
+"""
+
     # multimodal stubs (operators/multimodal.py): payload byte i is
     # (doc_id*31 + i*7) % 256 and the image decode is a seeded gradient,
     # so features/frames have analytic twins
@@ -3653,6 +3918,9 @@ FROM documents
         "chunks_doc": chunks_doc_sql,
         "chunks_ppt": chunks_ppt_sql,
         "pdf_scraps": pdf_scraps_sql,
+        "kg_ents": kg_ents_sql,
+        "kg_rels": kg_rels_sql,
+        "kg_content": kg_content_sql,
         "term_weights": term_weights_sql,
         "search_docs": search_docs_sql,
         "search_cjk": search_cjk_sql,
