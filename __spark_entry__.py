@@ -1089,6 +1089,51 @@ def _q_kg_content(spark: SparkSession, sf_dir: str) -> DataFrame:
     return kg_content(ents, fused, comms)
 
 
+def _q_match_expr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FulltextQueryer.question() DSL assembly (rag/nlp/query.py:
+    75-205): the Lucene/ES match-expression string the reference hands
+    its doc store — term boosts at %.4f (English) / str(float)
+    (Chinese branch quirk), tokenized synonym quotes at w/4 and
+    (syns)^0.2 groups, adjacent bigram phrases at max(w)*2,
+    fine-grained "sm"~2 alternates, the ^5/^0.7 fusion, and the
+    field-boost list.  Four phrases (doc_id % 4) hit both branches;
+    the strings are golden-pinned in the oracle."""
+    import pandas as pd
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet") \
+        .select("doc_id")
+    phrases = ["What is the best way to merge fast queries",
+               "a 7 query x plans merge data",
+               "数据分析管道是什么",
+               "中华人民共和国的数据质量如何"]
+
+    def gen(it):
+        from ragflow_spark.extractlib.fulltext_query import (
+            QUERY_FIELDS, question)
+        built = []
+        for p in phrases:
+            q, extra, kw = question(p)
+            built.append((q, None if extra is None
+                          else extra["minimum_should_match"],
+                          "|".join(kw)))
+        fields = "|".join(QUERY_FIELDS)
+        for pdf in it:
+            rows = {"doc_id": [], "query": [], "min_match": [],
+                    "keywords": [], "fields": []}
+            for did in pdf["doc_id"]:
+                q, mm, kw = built[did % 4]
+                rows["doc_id"].append(did)
+                rows["query"].append(q)
+                rows["min_match"].append(mm)
+                rows["keywords"].append(kw)
+                rows["fields"].append(fields)
+            yield pd.DataFrame(rows)
+
+    return docs.mapInPandas(
+        gen, schema="doc_id bigint, query string, min_match double, "
+                    "keywords string, fields string")
+
+
 def _q_term_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Query-term weighting machinery (rag/nlp/term_weight.py Dealer):
     the 0.3/0.7 idf blend over huqie freq with ner/postag multipliers
@@ -1869,6 +1914,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_ents": _q_kg_ents,
         "kg_rels": _q_kg_rels,
         "kg_content": _q_kg_content,
+        "match_expr": _q_match_expr,
         "media_features": _q_media_features,
         "frame_sample": _q_frame_sample,
         "audio_features": _q_audio_features,
@@ -3518,6 +3564,31 @@ FROM q LEFT JOIN esec e ON q.qid = e.qid
        LEFT JOIN csec c ON q.qid = c.qid
 """
 
+    # FulltextQueryer.question() twin: the four phrase outputs are
+    # golden-pinned literals (the machinery behind them — tokenizer,
+    # Dealer weights, synonyms — is oracle-checked elsewhere; this
+    # pins the assembled DSL string byte-for-byte)
+    match_expr_sql = """
+SELECT doc_id,
+  CASE doc_id % 4
+    WHEN 0 THEN '(best^0.2000 ) (way^0.2000 ) (merg^0.2000 "join"^0.0500) (fast^0.2000 "quick"^0.0500 "speedi"^0.0500) (queri^0.2000 ) "best way"^0.4000 "way merg"^0.4000 "merg fast"^0.4000 "fast queri"^0.4000'
+    WHEN 1 THEN '(queri^0.1882 ) (plan^0.1882 ) (merg^0.1882 "join"^0.0471) (data^0.1882 ) "queri plan"^0.3765 "plan merg"^0.3765 "merg data"^0.3765'
+    WHEN 2 THEN '((管道)^0.40906948327042136 ((数据 OR (资料)^0.2))^0.3939536778197191 (分析)^0.19697683890985954 ("数据 分析 管道"~2)^1.5)'
+    ELSE '((中华人民共和国 OR "中华 人民 共和国" OR ("中华 人民 共和国"~2)^0.5)^0.49769844710897254 ((数据 OR (资料)^0.2))^0.31953843491526945 ("质 量")^0.1827631179757581 ("中华人民共和国 的 数据 质 量"~2)^1.5)'
+  END AS query,
+  CASE WHEN doc_id % 4 >= 2 THEN 0.6::DOUBLE ELSE NULL END
+      AS min_match,
+  CASE doc_id % 4
+    WHEN 0 THEN 'best|way|merg|fast|queri|join|quick|speedi'
+    WHEN 1 THEN '7|queri|x|plan|merg|data|join'
+    WHEN 2 THEN '数据分析管道|管道|数据|资料|分析'
+    ELSE '中华人民共和国的数据质量|中华人民共和国|中华|人民|共和国|数据|资料|质量'
+  END AS keywords,
+  'title_tks^10|title_sm_tks^5|important_kwd^30|important_tks^20|question_tks^20|content_ltks^2|content_sm_ltks'
+      AS fields
+FROM documents
+"""
+
     # multimodal stubs (operators/multimodal.py): payload byte i is
     # (doc_id*31 + i*7) % 256 and the image decode is a seeded gradient,
     # so features/frames have analytic twins
@@ -3921,6 +3992,7 @@ FROM documents
         "kg_ents": kg_ents_sql,
         "kg_rels": kg_rels_sql,
         "kg_content": kg_content_sql,
+        "match_expr": match_expr_sql,
         "term_weights": term_weights_sql,
         "search_docs": search_docs_sql,
         "search_cjk": search_cjk_sql,
