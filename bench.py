@@ -211,6 +211,11 @@ def main() -> None:
         minhash_lsh_pairs as _mlp
     run("dup_clusters", lambda: dup_clusters(_mlp(docs))
         .write.format("noop").mode("overwrite").save())
+    # graph retrieval fusion (round 3): one query per document,
+    # candidate generation + n-hop fusion + content assembly
+    import __spark_entry__ as _entry
+    run("kg_content", lambda: _entry._q_kg_content(spark, sf_dir)
+        .write.format("noop").mode("overwrite").save())
 
     total = round(sum(timings.values()), 3)
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
