@@ -1600,6 +1600,141 @@ def _q_graph_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.concat_ws("|", "source_id").alias("source_ids"))
 
 
+def _resolution_graph(spark: SparkSession, sf_dir: str):
+    """Synthetic 25-entity graph with closed-form twins, derived from
+    the documents table's doc_id residues: nodes e0..e24 (description
+    d{i}, source ids [s{i%3}, t{i%4}] — distinct and pre-sorted so the
+    canonical-form pass-through is the identity), edge family one
+    (e_i, e_(i+7)%25) at weight i%7+1, family two (e_i, e_(i+3)%25) at
+    2.5 for i%3==0 (gcd checks: the two families never collide on a
+    canonical pair), and resolution pairs (e_i, e_{i+5}) for i<10 —
+    five 3-clusters {e_r, e_{r+5}, e_{r+10}} whose min-name keeper is
+    lexicographically nontrivial (r=2 keeps "e12"), with e15..e24 left
+    untouched to exercise the pass-through path."""
+    ii = spark.read.parquet(f"{sf_dir}/documents.parquet") \
+        .select((F.col("doc_id") % 25).alias("i")).distinct()
+
+    def nm(c):
+        return F.concat(F.lit("e"), c.cast("string"))
+
+    nodes = ii.select(
+        nm(F.col("i")).alias("entity"),
+        F.concat(F.lit("d"), F.col("i").cast("string"))
+         .alias("description"),
+        F.array(F.concat(F.lit("s"), (F.col("i") % 3).cast("string")),
+                F.concat(F.lit("t"), (F.col("i") % 4).cast("string")))
+         .alias("source_id"))
+    n7 = nm((F.col("i") + 7) % 25)
+    e1 = ii.select(
+        F.least(nm(F.col("i")), n7).alias("src"),
+        F.greatest(nm(F.col("i")), n7).alias("dst"),
+        (F.col("i") % 7 + 1).cast("double").alias("weight"),
+        F.concat(F.lit("r"), F.col("i").cast("string"))
+         .alias("description"),
+        F.array(F.concat(F.lit("k"), (F.col("i") % 3).cast("string")))
+         .alias("keywords"),
+        F.array(F.concat(F.lit("c"), F.col("i").cast("string")))
+         .alias("source_id"))
+    n3 = nm((F.col("i") + 3) % 25)
+    e2 = ii.where(F.col("i") % 3 == 0).select(
+        F.least(nm(F.col("i")), n3).alias("src"),
+        F.greatest(nm(F.col("i")), n3).alias("dst"),
+        F.lit(2.5).alias("weight"),
+        F.concat(F.lit("x"), F.col("i").cast("string"))
+         .alias("description"),
+        F.array(F.lit("k9")).alias("keywords"),
+        F.array(F.concat(F.lit("z"), F.col("i").cast("string")))
+         .alias("source_id"))
+    edges = e1.unionByName(e2)
+    pairs = ii.where(F.col("i") < 10).select(
+        nm(F.col("i")).alias("ent_a"),
+        nm(F.col("i") + 5).alias("ent_b"))
+    return nodes, edges, pairs
+
+
+def _q_graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """nx.pagerank as the reference runs it after every graph merge
+    (graphrag/general/index.py:212-214) and after entity resolution
+    (entity_resolution.py:117-120) — distributed weighted power
+    iteration.  Fixed 12 rounds so the DuckDB twin can unroll the
+    identical recurrence; the nx stopping rule (L1 < n*tol) is pinned
+    against networkx's own pure-python implementation in
+    tests/test_resolution.py."""
+    from ragflow_spark.operators.graph import pagerank
+
+    _nodes, edges, _pairs = _resolution_graph(spark, sf_dir)
+    return pagerank(edges, iters=12) \
+        .select("node", F.round("pr", 9).alias("pr"))
+
+
+def _q_ents_resolved(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Entity-resolution node fold (extractor.py:192-225): components
+    over resolved pairs collapse into their min-name keeper —
+    descriptions <SEP>-joined keeper-first, source ids united, the
+    512-token truncation branch applied (a no-op on these synthetic
+    descriptions; exercised with long inputs in pytest).  The LLM
+    yes/no judge is the model seam: the pair list here stands in for
+    its accepted output."""
+    from ragflow_spark.operators.resolution import (
+        merge_resolved_nodes, resolution_mapping,
+        truncate_descriptions)
+
+    nodes, _edges, pairs = _resolution_graph(spark, sf_dir)
+    merged = merge_resolved_nodes(nodes, resolution_mapping(pairs))
+    return truncate_descriptions(merged).select(
+        "entity", "description",
+        F.concat_ws("|", "source_id").alias("source_ids"),
+        "n_merged")
+
+
+def _q_rels_resolved(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Entity-resolution edge fold (extractor.py:206-220): absorbed
+    nodes' edges re-point to the keeper, parallels merge (weights
+    summed, descriptions joined in pre-merge canonical-pair order,
+    keywords/source ids united), intra-cluster edges dropped weight
+    and all."""
+    from ragflow_spark.operators.resolution import (
+        merge_resolved_edges, resolution_mapping,
+        truncate_descriptions)
+
+    _nodes, edges, pairs = _resolution_graph(spark, sf_dir)
+    merged = merge_resolved_edges(edges, resolution_mapping(pairs))
+    return truncate_descriptions(merged).select(
+        "src", "dst", "weight", "description",
+        F.concat_ws("|", "keywords").alias("keywords"),
+        F.concat_ws("|", "source_id").alias("source_ids"),
+        "n_merged")
+
+
+def _q_resolution_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """_process_results (entity_resolution.py:157-182) over synthetic
+    LLM responses built JVM-side per document: five records per doc
+    cycling yes/no/markerless, with the per-doc question budget
+    (doc_id%4 + 1) leaving some yes-records out of range — every gate
+    of the reference parser fires.  The oracle is the closed form of
+    the accepted (doc, question) set."""
+    from ragflow_spark.operators.resolution import \
+        parse_resolution_results
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet") \
+        .select("doc_id")
+    rec = F.transform(
+        F.sequence(F.lit(1), F.lit(5)),
+        lambda q: F.when(
+            (F.col("doc_id") + q) % 3 == 0,
+            F.concat(F.lit("For Question <|>"), q.cast("string"),
+                     F.lit("<|>, &&Yes&&.")))
+        .when(
+            (F.col("doc_id") + q) % 3 == 1,
+            F.concat(F.lit("For Question <|>"), q.cast("string"),
+                     F.lit("<|>, &&No&&.")))
+        .otherwise(F.concat(F.lit("noise "), q.cast("string"))))
+    resp = docs.select(
+        "doc_id", F.array_join(rec, "##").alias("response"),
+        ((F.col("doc_id") % 4) + 1).alias("n_records"))
+    return parse_resolution_results(resp).select("doc_id", "question")
+
+
 def _q_docx_img_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
     """naive.Docx paragraph image attachment (rag/app/naive.py:180-211):
     caption adoption (pop from the previous non-caption line, else the
@@ -1915,6 +2050,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_rels": _q_kg_rels,
         "kg_content": _q_kg_content,
         "match_expr": _q_match_expr,
+        "graph_pagerank": _q_graph_pagerank,
+        "ents_resolved": _q_ents_resolved,
+        "rels_resolved": _q_rels_resolved,
+        "resolution_parse": _q_resolution_parse,
         "media_features": _q_media_features,
         "frame_sample": _q_frame_sample,
         "audio_features": _q_audio_features,
@@ -2867,6 +3006,118 @@ SELECT src, dst, CAST(count(*) AS DOUBLE) AS weight,
            AS keywords,
        string_agg('c' || doc_id, '|' ORDER BY doc_id) AS source_ids
 FROM em GROUP BY src, dst
+"""
+
+    # resolution-graph twins: the 25-residue synthetic graph of
+    # _resolution_graph — two edge families (closed-form disjoint on
+    # canonical pairs), five 3-clusters {e_r, e_r+5, e_r+10} (r < 5)
+    # with min-name keepers, e15..e24 untouched (keeper = self)
+    _RESO_BASE = """
+WITH ii AS (SELECT DISTINCT doc_id % 25 AS i FROM documents),
+mem AS (SELECT i, 'e' || CAST(i AS VARCHAR) AS entity,
+               CASE WHEN i < 15 THEN i % 5 ELSE i END AS r
+        FROM ii),
+keep AS (SELECT r, min(entity) AS keeper FROM mem GROUP BY r),
+map AS (SELECT m.entity, k.keeper FROM mem m JOIN keep k USING (r)),
+e1 AS (SELECT i,
+              least('e' || CAST(i AS VARCHAR),
+                    'e' || CAST((i + 7) % 25 AS VARCHAR)) AS src,
+              greatest('e' || CAST(i AS VARCHAR),
+                       'e' || CAST((i + 7) % 25 AS VARCHAR)) AS dst,
+              CAST(i % 7 + 1 AS DOUBLE) AS w,
+              'r' || CAST(i AS VARCHAR) AS description,
+              ['k' || CAST(i % 3 AS VARCHAR)] AS kw,
+              ['c' || CAST(i AS VARCHAR)] AS sid
+       FROM ii),
+e2 AS (SELECT i,
+              least('e' || CAST(i AS VARCHAR),
+                    'e' || CAST((i + 3) % 25 AS VARCHAR)) AS src,
+              greatest('e' || CAST(i AS VARCHAR),
+                       'e' || CAST((i + 3) % 25 AS VARCHAR)) AS dst,
+              2.5 AS w,
+              'x' || CAST(i AS VARCHAR) AS description,
+              ['k9'] AS kw,
+              ['z' || CAST(i AS VARCHAR)] AS sid
+       FROM ii WHERE i % 3 = 0),
+eall AS (SELECT * FROM e1 UNION ALL SELECT * FROM e2)
+"""
+
+    # pagerank twin: the identical fixed-12-round power recurrence,
+    # unrolled — (1 - alpha) is emitted as Python's exact double repr
+    # so both engines add the same constant
+    _pr_cte = [
+        ", edges AS (SELECT src AS a, dst AS b, sum(w) AS w"
+        "  FROM eall GROUP BY src, dst)",
+        ", dirs AS (SELECT a AS u, b AS v, w FROM edges"
+        "  UNION ALL SELECT b AS u, a AS v, w FROM edges)",
+        ", outw AS (SELECT u, sum(w) AS ow FROM dirs GROUP BY u)",
+        ", t AS (SELECT d.u, d.v, d.w / o.ow AS p"
+        "  FROM dirs d JOIN outw o USING (u))",
+        ", nodes AS (SELECT DISTINCT u AS node FROM dirs)",
+        ", nn AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM nodes)",
+        ", pr0 AS (SELECT node, 1.0 / (SELECT n FROM nn) AS pr"
+        "  FROM nodes)",
+    ]
+    _one_minus_alpha = repr(1.0 - 0.85)
+    for _k in range(1, 13):
+        _pr_cte.append(f"""
+, pr{_k} AS (
+  SELECT nd.node,
+         {_one_minus_alpha} / (SELECT n FROM nn)
+         + 0.85 * coalesce(s.c, 0) AS pr
+  FROM nodes nd LEFT JOIN (
+    SELECT t.v AS node, sum(p.pr * t.p) AS c
+    FROM t JOIN pr{_k - 1} p ON t.u = p.node GROUP BY t.v) s
+  ON nd.node = s.node)""")
+    graph_pagerank_sql = (_RESO_BASE + "".join(_pr_cte)
+                          + "\nSELECT node, round(pr, 9) AS pr"
+                            " FROM pr12")
+
+    ents_resolved_sql = _RESO_BASE + """
+, nodes AS (SELECT entity,
+                   'd' || CAST(i AS VARCHAR) AS description,
+                   ['s' || CAST(i % 3 AS VARCHAR),
+                    't' || CAST(i % 4 AS VARCHAR)] AS src
+            FROM mem),
+j AS (SELECT mp.keeper, n.entity, n.description, n.src
+      FROM nodes n JOIN map mp USING (entity))
+SELECT keeper AS entity,
+       string_agg(description, '<SEP>'
+                  ORDER BY entity <> keeper, entity) AS description,
+       array_to_string(list_sort(list_distinct(flatten(list(src)))),
+                       '|') AS source_ids,
+       count(*) AS n_merged
+FROM j GROUP BY keeper
+"""
+
+    rels_resolved_sql = _RESO_BASE + """
+, m AS (SELECT ms.keeper AS ks, md.keeper AS kd, e.*
+        FROM eall e
+        JOIN map ms ON e.src = ms.entity
+        JOIN map md ON e.dst = md.entity),
+f AS (SELECT least(ks, kd) AS a, greatest(ks, kd) AS b, w,
+             description, kw, sid,
+             least(src, dst) AS o1, greatest(src, dst) AS o2
+      FROM m WHERE ks <> kd)
+SELECT a AS src, b AS dst, sum(w) AS weight,
+       string_agg(description, '<SEP>' ORDER BY o1, o2)
+           AS description,
+       array_to_string(list_sort(list_distinct(flatten(list(kw)))),
+                       '|') AS keywords,
+       array_to_string(list_sort(list_distinct(flatten(list(sid)))),
+                       '|') AS source_ids,
+       count(*) AS n_merged
+FROM f GROUP BY a, b
+"""
+
+    # _process_results twin: the closed form of the accepted set —
+    # a record parses to (q, yes) iff (doc_id + q) % 3 = 0, and the
+    # range gate keeps q <= (doc_id % 4) + 1
+    resolution_parse_sql = """
+WITH qs AS (SELECT doc_id, (doc_id % 4) + 1 AS nrec FROM documents),
+u AS (SELECT doc_id, nrec, unnest(range(1, 6)) AS q FROM qs)
+SELECT doc_id, q AS question FROM u
+WHERE (doc_id + q) % 3 = 0 AND q <= nrec
 """
 
     # insert_citations twin: single-piece answers, so the decaying
@@ -3993,6 +4244,10 @@ FROM documents
         "kg_rels": kg_rels_sql,
         "kg_content": kg_content_sql,
         "match_expr": match_expr_sql,
+        "graph_pagerank": graph_pagerank_sql,
+        "ents_resolved": ents_resolved_sql,
+        "rels_resolved": rels_resolved_sql,
+        "resolution_parse": resolution_parse_sql,
         "term_weights": term_weights_sql,
         "search_docs": search_docs_sql,
         "search_cjk": search_cjk_sql,

@@ -271,3 +271,113 @@ def community_weights(assignments: DataFrame,
         "level", "cluster",
         F.round(F.when(F.col("_mx") == 0, F.col("w"))
                 .otherwise(F.col("w") / F.col("_mx")), 6).alias("weight"))
+
+
+class PageRankNoConvergence(RuntimeError):
+    """Mirror of networkx's PowerIterationFailedConvergence."""
+
+
+def pagerank(edges: DataFrame, alpha: float = 0.85,
+             max_iter: int = 100, tol: float = 1e-6,
+             iters: int | None = None,
+             src: str = "src", dst: str = "dst",
+             weight: str | None = "weight",
+             nodes: DataFrame | None = None) -> DataFrame:
+    """(node, pr): weighted PageRank over an undirected graph —
+    ``nx.pagerank(graph)`` as the reference calls it after every graph
+    merge (graphrag/general/index.py:212-214) and after entity
+    resolution (graphrag/entity_resolution.py:117-120), default
+    parameters (alpha 0.85, weight attribute, uniform teleport).
+
+    Power-iteration semantics match networkx's published algorithm:
+    the undirected graph becomes a doubly-directed one (a self-loop
+    stays single), each node's out-probabilities are its incident
+    weights normalized by their sum, and
+
+        x'(v) = (1 - a)/n + a * (sum_in x(u) p(u,v) + dangle/n)
+
+    where ``dangle`` is the mass sitting on edgeless nodes (only
+    possible here via an explicit ``nodes`` frame listing isolates).
+    With ``iters`` set, exactly that many rounds run — the
+    deterministic fixed-K twin the SQL oracle unrolls; otherwise the
+    nx stopping rule applies (L1 change < n*tol within ``max_iter``,
+    else PageRankNoConvergence, nx's PowerIterationFailedConvergence).
+
+    Scale shape: the transition table (u, v, p) is computed once and
+    cached; every round is one join keyed on the 8-byte-ish node id +
+    one aggregation, localCheckpoint-truncated — the standard Spark
+    iterative-graph shape (same as dup_clusters).  Parallel input
+    edges are weight-summed first, so the per-round shuffle carries
+    (node, double) rows only.  The convergence check is one count-like
+    action per round; the fixed-``iters`` path needs none beyond the
+    checkpoint."""
+    wcol = (F.coalesce(F.col(weight), F.lit(1.0)) if weight
+            else F.lit(1.0)).cast("double")
+    e = edges.select(F.col(src).alias("u"), F.col(dst).alias("v"),
+                     wcol.alias("w"))
+    directed = e.unionByName(
+        e.where(F.col("u") != F.col("v"))
+        .select(F.col("v").alias("u"), F.col("u").alias("v"), "w"))
+    directed = directed.groupBy("u", "v") \
+        .agg(F.sum("w").alias("w")).cache()
+
+    node_df = directed.select(F.col("u").alias("node")) \
+        .unionByName(directed.select(F.col("v").alias("node"))) \
+        .distinct()
+    if nodes is not None:
+        node_df = node_df.unionByName(
+            nodes.select(F.col("node"))).distinct()
+    node_df = node_df.cache()
+    n = node_df.count()
+    if n == 0:
+        directed.unpersist()
+        return node_df.select("node", F.lit(0.0).alias("pr"))
+
+    outw = directed.groupBy("u").agg(F.sum("w").alias("ow"))
+    trans = directed.join(outw, "u").select(
+        "u", "v", (F.col("w") / F.col("ow")).alias("p")).cache()
+    dangling = node_df.join(
+        directed.select(F.col("u").alias("node")).distinct(),
+        "node", "left_anti").cache()
+    has_dangling = dangling.count() > 0
+
+    ranks = node_df.select(
+        "node", F.lit(1.0 / n).alias("pr")).localCheckpoint()
+    rounds = iters if iters is not None else max_iter
+    converged = iters is not None
+    for _ in range(rounds):
+        dangle = 0.0
+        if has_dangling:
+            dangle = dangling.join(ranks, "node") \
+                .agg(F.sum("pr")).collect()[0][0] or 0.0
+        contrib = (
+            trans.join(ranks.withColumnRenamed("node", "u"), "u")
+            .groupBy("v")
+            .agg(F.sum(F.col("pr") * F.col("p")).alias("c"))
+            .withColumnRenamed("v", "node"))
+        new = (
+            node_df.join(contrib, "node", "left")
+            .select("node",
+                    (F.lit((1.0 - alpha) / n)
+                     + F.lit(alpha * dangle / n)
+                     + F.lit(alpha) * F.coalesce("c", F.lit(0.0)))
+                    .alias("pr"))
+            .localCheckpoint())
+        if iters is None:
+            err = new.alias("a").join(ranks.alias("b"), "node") \
+                .agg(F.sum(F.abs(F.col("a.pr") - F.col("b.pr")))) \
+                .collect()[0][0]
+            ranks = new
+            if err < n * tol:
+                converged = True
+                break
+        else:
+            ranks = new
+    directed.unpersist()
+    trans.unpersist()
+    node_df.unpersist()
+    dangling.unpersist()
+    if not converged:
+        raise PageRankNoConvergence(
+            f"pagerank failed to converge in {max_iter} iterations")
+    return ranks
