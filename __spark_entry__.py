@@ -1735,6 +1735,124 @@ def _q_resolution_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
     return parse_resolution_results(resp).select("doc_id", "question")
 
 
+def _extraction_responses(spark: SparkSession,
+                          sf_dir: str) -> DataFrame:
+    """Synthetic LLM extraction responses, one per document, built
+    JVM-side: an entity record (name html-escaped for i%5==0, type
+    cycling the five real types plus a gated-out sixth), a nameless
+    entity, a parenless junk record, a relationship record (weight
+    'heavy' -> 1.0 fallback for d%4==0, else 'X.5'), and a too-short
+    relationship — every parser gate fires on every document."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet") \
+        .select("doc_id")
+    i = (F.col("doc_id") % 25).cast("string")
+    j = ((F.col("doc_id") + 7) % 25).cast("string")
+    name_i = F.when(F.col("doc_id") % 25 % 5 == 0,
+                    F.concat(F.lit("e&amp;"), i)) \
+        .otherwise(F.concat(F.lit("e"), i))
+    typ = F.element_at(
+        F.array(*[F.lit(t) for t in
+                  ["organization", "person", "geo", "event",
+                   "category", "bogus"]]),
+        (F.col("doc_id") % 6 + 1).cast("int"))
+    d50 = (F.col("doc_id") % 50).cast("string")
+    ent_rec = F.concat(F.lit('("entity"<|>'), name_i, F.lit("<|>"),
+                       typ, F.lit("<|>desc "), d50, F.lit(" of "), i,
+                       F.lit(")"))
+    wstr = F.when(F.col("doc_id") % 4 == 0, F.lit("heavy")) \
+        .otherwise(F.concat((F.col("doc_id") % 5).cast("string"),
+                            F.lit(".5")))
+    rel_rec = F.concat(F.lit('("relationship"<|>e'), i, F.lit("<|>e"),
+                       j, F.lit("<|>rel "), d50, F.lit("<|>kw"),
+                       (F.col("doc_id") % 3).cast("string"),
+                       F.lit("<|>"), wstr, F.lit(")"))
+    resp = F.concat_ws(
+        "##", ent_rec, F.lit('("entity"<|><|>geo<|>nameless)'),
+        F.lit("junk no parens"), rel_rec,
+        F.lit('("relationship"<|>a<|>b<|>short)'),
+        F.lit("<|COMPLETE|>"))
+    return docs.select(
+        F.concat(F.lit("ck"), F.col("doc_id").cast("string"))
+        .alias("chunk_key"),
+        F.col("doc_id").alias("seq"),
+        resp.alias("response"))
+
+
+def _q_mentions_ents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Extraction front door, entity side: record framing + attribute
+    split + handle_single_entity_extraction + the type gate
+    (graph_extractor.py:136-148, utils.py:233-252, extractor.py:63-76)
+    then the _merge_nodes aggregation (extractor.py:145-166) — type by
+    (count, first-seen) vote, sorted-set <SEP> descriptions, united
+    source ids — and the deterministic truncate branch of the summary
+    seam."""
+    from ragflow_spark.operators.extraction import (
+        merge_entity_mentions, parse_extraction_records)
+    from ragflow_spark.operators.resolution import \
+        truncate_descriptions
+
+    ents, _rels = parse_extraction_records(
+        _extraction_responses(spark, sf_dir))
+    merged = truncate_descriptions(merge_entity_mentions(ents))
+    return merged.select(
+        "entity_name", "entity_type", "description",
+        F.concat_ws("|", "source_id").alias("source_ids"),
+        "n_mentions")
+
+
+def _q_mentions_rels(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Extraction front door, relationship side:
+    handle_single_relationship_extraction (utils.py:254-276 — endpoint
+    canonical sort, is_float_regex weight fallback) then _merge_edges
+    (extractor.py:168-190)."""
+    from ragflow_spark.operators.extraction import (
+        merge_relation_mentions, parse_extraction_records)
+    from ragflow_spark.operators.resolution import \
+        truncate_descriptions
+
+    _ents, rels = parse_extraction_records(
+        _extraction_responses(spark, sf_dir))
+    merged = truncate_descriptions(merge_relation_mentions(rels))
+    return merged.select(
+        "src_id", "tgt_id", "weight", "description",
+        F.concat_ws("|", "keywords").alias("keywords"),
+        F.concat_ws("|", "source_id").alias("source_ids"),
+        "n_mentions")
+
+
+def _q_kg_chunk_ents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """graph_node_to_chunk (utils.py:302-326) over the merged
+    extraction mentions: the full index-side pipeline — parse ->
+    _merge_nodes -> summary-truncate -> search-doc row (meta JSON in
+    node_data key order, huqie token fields).  uuid + embedding are
+    the documented seams."""
+    from ragflow_spark.operators.extraction import (
+        entity_chunks, merge_entity_mentions, parse_extraction_records)
+    from ragflow_spark.operators.resolution import \
+        truncate_descriptions
+
+    ents, _rels = parse_extraction_records(
+        _extraction_responses(spark, sf_dir))
+    merged = truncate_descriptions(merge_entity_mentions(ents))
+    return entity_chunks(merged, kb_id="kb1")
+
+
+def _q_kg_chunk_rels(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """graph_edge_to_chunk (utils.py:354-377) over the merged
+    relation mentions — edge_data-ordered meta JSON, truncating
+    weight_int, keyword list."""
+    from ragflow_spark.operators.extraction import (
+        merge_relation_mentions, parse_extraction_records,
+        relation_chunks)
+    from ragflow_spark.operators.resolution import \
+        truncate_descriptions
+
+    _ents, rels = parse_extraction_records(
+        _extraction_responses(spark, sf_dir))
+    merged = truncate_descriptions(merge_relation_mentions(rels))
+    return relation_chunks(merged, kb_id="kb1")
+
+
 def _q_docx_img_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
     """naive.Docx paragraph image attachment (rag/app/naive.py:180-211):
     caption adoption (pop from the previous non-caption line, else the
@@ -2054,6 +2172,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ents_resolved": _q_ents_resolved,
         "rels_resolved": _q_rels_resolved,
         "resolution_parse": _q_resolution_parse,
+        "mentions_ents": _q_mentions_ents,
+        "mentions_rels": _q_mentions_rels,
+        "kg_chunk_ents": _q_kg_chunk_ents,
+        "kg_chunk_rels": _q_kg_chunk_rels,
         "media_features": _q_media_features,
         "frame_sample": _q_frame_sample,
         "audio_features": _q_audio_features,
@@ -3108,6 +3230,166 @@ SELECT a AS src, b AS dst, sum(w) AS weight,
                        '|') AS source_ids,
        count(*) AS n_merged
 FROM f GROUP BY a, b
+"""
+
+    # extraction-mention twins: the per-document record rules of
+    # _extraction_responses, merged — type vote = (count DESC,
+    # first-seen doc ASC), descriptions sorted-set <SEP>-joined,
+    # source ids sorted distinct
+    mentions_ents_sql = """
+WITH m AS (SELECT doc_id, doc_id % 25 AS i, doc_id % 6 AS t6
+           FROM documents),
+em AS (SELECT doc_id,
+              CASE WHEN i % 5 = 0
+                   THEN 'E&' || CAST(i AS VARCHAR)
+                   ELSE 'E' || CAST(i AS VARCHAR) END AS entity_name,
+              CASE t6 WHEN 0 THEN 'ORGANIZATION' WHEN 1 THEN 'PERSON'
+                      WHEN 2 THEN 'GEO' WHEN 3 THEN 'EVENT'
+                      WHEN 4 THEN 'CATEGORY' END AS entity_type,
+              'desc ' || CAST(doc_id % 50 AS VARCHAR) || ' of '
+                  || CAST(i AS VARCHAR) AS description,
+              'ck' || CAST(doc_id AS VARCHAR) AS source_id
+       FROM m WHERE t6 < 5),
+tv AS (SELECT entity_name, entity_type, count(*) AS c,
+              min(doc_id) AS fs
+       FROM em GROUP BY entity_name, entity_type),
+pick AS (SELECT entity_name, entity_type FROM (
+           SELECT entity_name, entity_type,
+                  row_number() OVER (PARTITION BY entity_name
+                                     ORDER BY c DESC, fs) AS rn
+           FROM tv) WHERE rn = 1),
+agg AS (SELECT entity_name,
+               string_agg(DISTINCT description, '<SEP>'
+                          ORDER BY description) AS description,
+               string_agg(DISTINCT source_id, '|'
+                          ORDER BY source_id) AS source_ids,
+               count(*) AS n_mentions
+        FROM em GROUP BY entity_name)
+SELECT a.entity_name, p.entity_type, a.description, a.source_ids,
+       a.n_mentions
+FROM agg a JOIN pick p USING (entity_name)
+"""
+
+    mentions_rels_sql = """
+WITH rm AS (SELECT doc_id,
+                   'E' || CAST(doc_id % 25 AS VARCHAR) AS s,
+                   'E' || CAST((doc_id + 7) % 25 AS VARCHAR) AS t,
+                   'rel ' || CAST(doc_id % 50 AS VARCHAR)
+                       AS description,
+                   'kw' || CAST(doc_id % 3 AS VARCHAR) AS kw,
+                   CASE WHEN doc_id % 4 = 0 THEN 1.0
+                        ELSE (doc_id % 5) + 0.5 END AS weight,
+                   'ck' || CAST(doc_id AS VARCHAR) AS source_id
+            FROM documents)
+SELECT least(s, t) AS src_id, greatest(s, t) AS tgt_id,
+       sum(weight) AS weight,
+       string_agg(DISTINCT description, '<SEP>'
+                  ORDER BY description) AS description,
+       string_agg(DISTINCT kw, '|' ORDER BY kw) AS keywords,
+       string_agg(DISTINCT source_id, '|'
+                  ORDER BY source_id) AS source_ids,
+       count(*) AS n_mentions
+FROM rm GROUP BY least(s, t), greatest(s, t)
+"""
+
+    # chunk-materialization twins: the mention merges re-shaped into
+    # graph_node_to_chunk/graph_edge_to_chunk rows; tokenize on this
+    # vocabulary = lower + '&'->' ' (names) / '<SEP>'->' sep ' (descs),
+    # verified against the real huqie in tests; JSON assembled with
+    # json.dumps' ", "/": " separators in the extractor's key order
+    kg_chunk_ents_sql = """
+WITH m AS (SELECT doc_id, doc_id % 25 AS i, doc_id % 6 AS t6
+           FROM documents),
+em AS (SELECT doc_id,
+              CASE WHEN i % 5 = 0
+                   THEN 'E&' || CAST(i AS VARCHAR)
+                   ELSE 'E' || CAST(i AS VARCHAR) END AS entity_name,
+              CASE t6 WHEN 0 THEN 'ORGANIZATION' WHEN 1 THEN 'PERSON'
+                      WHEN 2 THEN 'GEO' WHEN 3 THEN 'EVENT'
+                      WHEN 4 THEN 'CATEGORY' END AS entity_type,
+              'desc ' || CAST(doc_id % 50 AS VARCHAR) || ' of '
+                  || CAST(i AS VARCHAR) AS description,
+              'ck' || CAST(doc_id AS VARCHAR) AS source_id
+       FROM m WHERE t6 < 5),
+tv AS (SELECT entity_name, entity_type, count(*) AS c,
+              min(doc_id) AS fs
+       FROM em GROUP BY entity_name, entity_type),
+pick AS (SELECT entity_name, entity_type FROM (
+           SELECT entity_name, entity_type,
+                  row_number() OVER (PARTITION BY entity_name
+                                     ORDER BY c DESC, fs) AS rn
+           FROM tv) WHERE rn = 1),
+agg AS (SELECT entity_name,
+               string_agg(DISTINCT description, '<SEP>'
+                          ORDER BY description) AS description,
+               string_agg(DISTINCT source_id, '|'
+                          ORDER BY source_id) AS source_ids,
+               '["' || string_agg(DISTINCT source_id, '", "'
+                                  ORDER BY source_id) || '"]'
+                   AS source_json
+        FROM em GROUP BY entity_name)
+SELECT a.entity_name AS entity_kwd,
+       'entity' AS knowledge_graph_kwd,
+       p.entity_type AS entity_type_kwd,
+       a.entity_name AS important_kwd,
+       replace(lower(a.entity_name), '&', ' ') AS title_tks,
+       '{"entity_type": "' || p.entity_type
+           || '", "description": "' || a.description
+           || '", "source_id": ' || a.source_json
+           || ', "entity_name": "' || a.entity_name || '"}'
+           AS content_with_weight,
+       replace(lower(a.description), '<sep>', ' sep ')
+           AS content_ltks,
+       replace(lower(a.description), '<sep>', ' sep ')
+           AS content_sm_ltks,
+       a.source_ids,
+       'kb1' AS kb_id,
+       0 AS available_int
+FROM agg a JOIN pick p USING (entity_name)
+"""
+
+    kg_chunk_rels_sql = """
+WITH rm AS (SELECT doc_id,
+                   'E' || CAST(doc_id % 25 AS VARCHAR) AS s,
+                   'E' || CAST((doc_id + 7) % 25 AS VARCHAR) AS t,
+                   'rel ' || CAST(doc_id % 50 AS VARCHAR)
+                       AS description,
+                   'kw' || CAST(doc_id % 3 AS VARCHAR) AS kw,
+                   CASE WHEN doc_id % 4 = 0 THEN 1.0
+                        ELSE (doc_id % 5) + 0.5 END AS weight,
+                   'ck' || CAST(doc_id AS VARCHAR) AS source_id
+            FROM documents),
+g AS (SELECT least(s, t) AS src_id, greatest(s, t) AS tgt_id,
+             sum(weight) AS weight,
+             string_agg(DISTINCT description, '<SEP>'
+                        ORDER BY description) AS description,
+             string_agg(DISTINCT kw, '|' ORDER BY kw) AS keywords,
+             '["' || string_agg(DISTINCT kw, '", "' ORDER BY kw)
+                 || '"]' AS kw_json,
+             string_agg(DISTINCT source_id, '|'
+                        ORDER BY source_id) AS source_ids,
+             '["' || string_agg(DISTINCT source_id, '", "'
+                                ORDER BY source_id) || '"]'
+                 AS source_json
+      FROM rm GROUP BY least(s, t), greatest(s, t))
+SELECT src_id AS from_entity_kwd, tgt_id AS to_entity_kwd,
+       'relation' AS knowledge_graph_kwd,
+       '{"src_id": "' || src_id || '", "tgt_id": "' || tgt_id
+           || '", "description": "' || description
+           || '", "keywords": ' || kw_json
+           || ', "weight": ' || CAST(weight AS VARCHAR)
+           || ', "source_id": ' || source_json || '}'
+           AS content_with_weight,
+       replace(lower(description), '<sep>', ' sep ')
+           AS content_ltks,
+       replace(lower(description), '<sep>', ' sep ')
+           AS content_sm_ltks,
+       keywords AS important_kwd,
+       CAST(trunc(weight) AS BIGINT) AS weight_int,
+       source_ids,
+       'kb1' AS kb_id,
+       0 AS available_int
+FROM g
 """
 
     # _process_results twin: the closed form of the accepted set —
@@ -4248,6 +4530,10 @@ FROM documents
         "ents_resolved": ents_resolved_sql,
         "rels_resolved": rels_resolved_sql,
         "resolution_parse": resolution_parse_sql,
+        "mentions_ents": mentions_ents_sql,
+        "mentions_rels": mentions_rels_sql,
+        "kg_chunk_ents": kg_chunk_ents_sql,
+        "kg_chunk_rels": kg_chunk_rels_sql,
         "term_weights": term_weights_sql,
         "search_docs": search_docs_sql,
         "search_cjk": search_cjk_sql,
