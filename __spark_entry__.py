@@ -1853,6 +1853,105 @@ def _q_kg_chunk_rels(spark: SparkSession, sf_dir: str) -> DataFrame:
     return relation_chunks(merged, kb_id="kb1")
 
 
+def _q_eval_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The benchmark harness's metric layer (rag/benchmark.py:247 —
+    ranx ndcg@10/map@5/mrr@10, re-expressed as the trec_eval window
+    folds in operators/evalmetrics.py) over a synthetic run/qrels
+    pair derived from documents: 20 queries, run = docs with
+    doc_id%4!=0 scored (doc_id*37)%101/100, qrels = even docs graded
+    doc_id%5 (zero-judged rows included, some relevant docs absent
+    from the run).  Ties rank by doc_id — the documented adaptation
+    of ranx's unspecified argsort tie order."""
+    from ragflow_spark.operators.evalmetrics import retrieval_metrics
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet") \
+        .select("doc_id")
+    run = docs.where(F.col("doc_id") % 4 != 0).select(
+        (F.col("doc_id") % 20).alias("qid"),
+        "doc_id",
+        (((F.col("doc_id") * 37) % 101) / 100.0).alias("score"))
+    qrels = docs.where(F.col("doc_id") % 2 == 0).select(
+        (F.col("doc_id") % 20).alias("qid"),
+        "doc_id",
+        (F.col("doc_id") % 5).cast("int").alias("rel"))
+    return retrieval_metrics(run, qrels)
+
+
+def _task_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Synthetic document-settings table for the task planner: every
+    split rule of task_service.py:312-346 is exercised — pdf vs other,
+    paper's 22-page blocks, one/knowledge_graph + non-DeepDOC whole-doc
+    collapse, a parser_config page-size override, zero-page PDFs, and
+    table-template row counts that straddle the 3000-row block size."""
+    templates = F.array(*[F.lit(t) for t in (
+        "paper", "one", "table", "naive", "knowledge_graph",
+        "book", "laws")])
+    return spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id",
+        F.when(F.col("doc_id") % 3 == 0, "pdf")
+        .otherwise("docx").alias("file_type"),
+        F.element_at(templates, (F.col("doc_id") % 7 + 1).cast("int"))
+        .alias("parser_id"),
+        F.when(F.col("doc_id") % 11 == 0, "Plain Text")
+        .otherwise("DeepDOC").alias("layout_recognize"),
+        F.when(F.col("doc_id") % 13 == 0, F.lit(5))
+        .otherwise(F.lit(None)).cast("int").alias("task_page_size"),
+        (F.col("doc_id") % 40).alias("pages"),
+        ((F.col("doc_id") * 7) % 9000).alias("n_rows"))
+
+
+def _q_task_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """queue_tasks page-range fan-out (task_service.py:312-346) as a
+    distributed explode(sequence(...)) — see job/taskplan.py."""
+    from ragflow_spark.job.taskplan import plan_tasks
+
+    return plan_tasks(_task_docs(spark, sf_dir))
+
+
+# Two chunking configs for the reuse query: B differs from A only in a
+# digest-visible field, so B-digested previous tasks never match.
+_TASK_CFG_A = {"tenant_id": "t1", "kb_id": "kb9", "parser_id": "naive",
+               "parser_config": {"chunk_token_num": 128,
+                                 "layout_recognize": "DeepDOC"}}
+_TASK_CFG_B = {"tenant_id": "t1", "kb_id": "kb9", "parser_id": "naive",
+               "parser_config": {"chunk_token_num": 256,
+                                 "layout_recognize": "DeepDOC"}}
+
+
+def _q_task_reuse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """reuse_prev_task_chunks (task_service.py:389-433): new tasks
+    adopt a finished previous task's chunk ids on (from_page, digest)
+    match.  Previous tasks are the same plan re-digested — docs with
+    doc_id%5==0 under a changed config (digest mismatch), progress 0.5
+    for doc_id%3==1 (unfinished), empty chunk_ids for doc_id%7==2 —
+    so every reuse gate fires somewhere.  The twin reproduces the
+    gates in closed form: digests match iff the config didn't change,
+    because the digest covers doc_id/from_page/to_page exactly."""
+    from ragflow_spark.job.taskplan import (add_task_digests,
+                                            plan_tasks,
+                                            reuse_prev_chunks)
+
+    plan = plan_tasks(_task_docs(spark, sf_dir))
+    new = add_task_digests(plan, _TASK_CFG_A)
+    prev_raw = (add_task_digests(plan, _TASK_CFG_A)
+                .where(F.col("doc_id") % 5 != 0)
+                .unionByName(
+                    add_task_digests(plan, _TASK_CFG_B)
+                    .where(F.col("doc_id") % 5 == 0)))
+    prev = prev_raw.select(
+        F.col("task_seq").alias("prev_seq"), "from_page", "digest",
+        F.when(F.col("doc_id") % 3 == 1, 0.5)
+        .otherwise(1.0).alias("progress"),
+        F.when(F.col("doc_id") % 7 == 2, "")
+        .otherwise(F.concat(F.lit("c"), F.col("doc_id"), F.lit("_"),
+                            F.col("task_seq"), F.lit(" c"),
+                            F.col("doc_id"), F.lit("_x")))
+        .alias("chunk_ids"))
+    return reuse_prev_chunks(new, prev).select(
+        "doc_id", "task_seq", "from_page", "to_page",
+        "chunk_ids", "reused", "n_reused_chunks")
+
+
 def _q_docx_img_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
     """naive.Docx paragraph image attachment (rag/app/naive.py:180-211):
     caption adoption (pop from the previous non-caption line, else the
@@ -2176,6 +2275,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mentions_rels": _q_mentions_rels,
         "kg_chunk_ents": _q_kg_chunk_ents,
         "kg_chunk_rels": _q_kg_chunk_rels,
+        "eval_metrics": _q_eval_metrics,
+        "task_plan": _q_task_plan,
+        "task_reuse": _q_task_reuse,
         "media_features": _q_media_features,
         "frame_sample": _q_frame_sample,
         "audio_features": _q_audio_features,
@@ -3392,6 +3494,133 @@ SELECT src_id AS from_entity_kwd, tgt_id AS to_entity_kwd,
 FROM g
 """
 
+    # eval-metrics twin: the same trec_eval windows over the same
+    # synthetic run/qrels derivation; ties rank by doc_id both sides
+    eval_metrics_sql = """
+WITH run AS (SELECT doc_id % 20 AS qid, doc_id,
+                    ((doc_id * 37) % 101) / 100.0 AS score
+             FROM documents WHERE doc_id % 4 <> 0),
+qrels AS (SELECT doc_id % 20 AS qid, doc_id,
+                 CAST(doc_id % 5 AS DOUBLE) AS rel
+          FROM documents WHERE doc_id % 2 = 0),
+pos AS (SELECT * FROM qrels WHERE rel > 0),
+ranked AS (SELECT qid, doc_id,
+                  row_number() OVER (PARTITION BY qid
+                                     ORDER BY score DESC, doc_id)
+                      AS rnk
+           FROM run),
+hits AS (SELECT r.qid, r.doc_id, r.rnk, p.rel
+         FROM ranked r JOIN pos p
+           ON r.qid = p.qid AND r.doc_id = p.doc_id),
+dcg AS (SELECT qid, sum(rel / log2(rnk + 1)) AS dcg
+        FROM hits WHERE rnk <= 10 GROUP BY qid),
+ideal AS (SELECT qid, rel,
+                 row_number() OVER (PARTITION BY qid
+                                    ORDER BY rel DESC, doc_id)
+                     AS irnk
+          FROM pos),
+idcg AS (SELECT qid, sum(rel / log2(irnk + 1)) AS idcg
+         FROM ideal WHERE irnk <= 10 GROUP BY qid),
+hitno AS (SELECT qid, rnk,
+                 row_number() OVER (PARTITION BY qid ORDER BY rnk)
+                     AS hit_no
+          FROM hits),
+apn AS (SELECT qid, sum(CAST(hit_no AS DOUBLE) / rnk) AS ap_num
+        FROM hitno WHERE rnk <= 5 GROUP BY qid),
+nrel AS (SELECT qid, count(*) AS n_rel FROM pos GROUP BY qid),
+fh AS (SELECT qid, min(rnk) AS first_rank
+       FROM hits WHERE rnk <= 10 GROUP BY qid),
+qids AS (SELECT DISTINCT qid FROM qrels)
+SELECT q.qid,
+       round(coalesce(d.dcg / i.idcg, 0.0), 9) AS ndcg,
+       round(coalesce(a.ap_num / n.n_rel, 0.0), 9) AS ap,
+       round(coalesce(1.0 / f.first_rank, 0.0), 9) AS rr
+FROM qids q
+LEFT JOIN nrel n ON q.qid = n.qid
+LEFT JOIN idcg i ON q.qid = i.qid
+LEFT JOIN dcg d ON q.qid = d.qid
+LEFT JOIN apn a ON q.qid = a.qid
+LEFT JOIN fh f ON q.qid = f.qid
+"""
+
+    # task-planner twin: the same synthetic settings table and the
+    # queue_tasks split rules transcribed directly; DuckDB range() is
+    # stop-exclusive like the reference's Python range
+    task_docs_cte = """
+docs AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 3 = 0 THEN 'pdf' ELSE 'docx' END
+             AS file_type,
+         (['paper','one','table','naive','knowledge_graph','book',
+           'laws'])[CAST(doc_id % 7 AS INT) + 1] AS parser_id,
+         CASE WHEN doc_id % 11 = 0 THEN 'Plain Text'
+              ELSE 'DeepDOC' END AS layout_recognize,
+         CASE WHEN doc_id % 13 = 0 THEN 5 END AS task_page_size,
+         doc_id % 40 AS pages,
+         (doc_id * 7) % 9000 AS n_rows
+  FROM documents),
+sized AS (
+  SELECT *,
+         CASE WHEN parser_id IN ('one', 'knowledge_graph')
+                   OR layout_recognize <> 'DeepDOC'
+              THEN 1000000000
+              ELSE coalesce(task_page_size,
+                            CASE WHEN parser_id = 'paper'
+                                 THEN 22 ELSE 12 END)
+         END AS psize,
+         least(99999, pages) AS pdf_end
+  FROM docs),
+pdf AS (
+  SELECT doc_id, unnest(range(0, pdf_end, psize)) AS from_page,
+         pdf_end, psize
+  FROM sized WHERE file_type = 'pdf' AND pdf_end > 0),
+pdf_t AS (
+  SELECT doc_id, from_page,
+         least(from_page + psize, pdf_end) AS to_page
+  FROM pdf),
+tbl AS (
+  SELECT doc_id, unnest(range(0, n_rows, 3000)) AS from_page, n_rows
+  FROM sized
+  WHERE file_type <> 'pdf' AND parser_id = 'table' AND n_rows > 0),
+tbl_t AS (
+  SELECT doc_id, from_page,
+         least(from_page + 3000, n_rows) AS to_page
+  FROM tbl),
+oth AS (
+  SELECT doc_id, 0 AS from_page, 100000000 AS to_page
+  FROM sized WHERE file_type <> 'pdf' AND parser_id <> 'table'),
+allt AS (SELECT * FROM pdf_t UNION ALL SELECT * FROM tbl_t
+         UNION ALL SELECT * FROM oth),
+plan AS (
+  SELECT doc_id,
+         row_number() OVER (PARTITION BY doc_id ORDER BY from_page)
+             - 1 AS task_seq,
+         from_page, to_page
+  FROM allt)
+"""
+
+    task_plan_sql = f"WITH {task_docs_cte} SELECT * FROM plan"
+
+    # reuse twin: digests match iff the doc's config didn't change
+    # (the digest covers doc_id/from_page/to_page exactly, so the only
+    # miss is the doc_id%5 config swap); the progress and chunk_ids
+    # gates are the same closed-form functions of doc_id the Spark
+    # side synthesizes
+    task_reuse_sql = f"""
+WITH {task_docs_cte}
+SELECT doc_id, task_seq, from_page, to_page,
+       CASE WHEN doc_id % 5 <> 0 AND doc_id % 3 <> 1
+                 AND doc_id % 7 <> 2
+            THEN 'c' || doc_id || '_' || task_seq
+                     || ' c' || doc_id || '_x' END AS chunk_ids,
+       (doc_id % 5 <> 0 AND doc_id % 3 <> 1 AND doc_id % 7 <> 2)
+           AS reused,
+       CASE WHEN doc_id % 5 <> 0 AND doc_id % 3 <> 1
+                 AND doc_id % 7 <> 2
+            THEN 2 ELSE 0 END AS n_reused_chunks
+FROM plan
+"""
+
     # _process_results twin: the closed form of the accepted set —
     # a record parses to (q, yes) iff (doc_id + q) % 3 = 0, and the
     # range gate keeps q <= (doc_id % 4) + 1
@@ -4534,6 +4763,9 @@ FROM documents
         "mentions_rels": mentions_rels_sql,
         "kg_chunk_ents": kg_chunk_ents_sql,
         "kg_chunk_rels": kg_chunk_rels_sql,
+        "eval_metrics": eval_metrics_sql,
+        "task_plan": task_plan_sql,
+        "task_reuse": task_reuse_sql,
         "term_weights": term_weights_sql,
         "search_docs": search_docs_sql,
         "search_cjk": search_cjk_sql,
