@@ -1952,6 +1952,74 @@ def _q_task_reuse(spark: SparkSession, sf_dir: str) -> DataFrame:
         "chunk_ids", "reused", "n_reused_chunks")
 
 
+def _q_chunk_embed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The task executor's embedding fold (task_executor.py:384-425)
+    over synthetic chunks (4 per doc): question_kwd override, table-tag
+    strip, ''→'None', the first-chunk title-vector replication quirk,
+    and the 0.1/0.9 weighted fusion.  The encoder seam is a closed-form
+    length vector; content stays under the 502-token truncate budget
+    (truncation itself is unit-tested — the pinned counter has no SQL
+    analog)."""
+    from ragflow_spark.operators.indexing import embed_chunks
+
+    def encode(col):
+        n = F.length(col)
+        sp = n - F.length(F.regexp_replace(col, " ", ""))
+        return F.array((n % 101) / 100.0, ((n * 7) % 89) / 88.0,
+                       (sp % 67) / 66.0, F.lit(1.0))
+
+    d = F.col("doc_id")
+    chunks = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        F.expr("doc_id div 4").alias("cdoc"),
+        (d % 4).alias("chunk_seq"),
+        F.when(d % 23 == 0, F.lit(None)).otherwise(
+            F.concat(F.lit("doc-"), d, F.lit(".pdf")))
+        .alias("docnm_kwd"),
+        F.when(d % 5 == 0,
+               F.array(F.concat(F.lit("why "), d),
+                       F.concat(F.lit("how "), d)))
+        .otherwise(F.lit(None).cast("array<string>"))
+        .alias("question_kwd"),
+        F.when(d % 19 == 0, F.lit(""))
+        .when(d % 3 == 0,
+              F.concat(F.lit("lead <td x>"),
+                       F.substring("text", 1, 240),
+                       F.lit("</td> tail")))
+        .otherwise(F.substring("text", 1, 240))
+        .alias("content_with_weight")) \
+        .withColumnRenamed("cdoc", "doc_id")
+    out = embed_chunks(chunks, encode)
+    return out.select(
+        F.col("doc_id").alias("cdoc"), "chunk_seq", "title_src",
+        "content_src",
+        F.element_at("q_vec", 1).alias("v0"),
+        F.element_at("q_vec", 2).alias("v1"),
+        F.element_at("q_vec", 3).alias("v2"),
+        F.element_at("q_vec", 4).alias("v3"))
+
+
+def _q_index_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """build_chunks field assembly (task_executor.py:256-293): clock
+    injection, img_id gate, pagerank field.  The xxh64 chunk id and the
+    id-bearing img_id string are pytest-covered (no DuckDB analog); the
+    oracle checks every other field plus the image gate."""
+    from ragflow_spark.operators.indexing import index_rows
+
+    d = F.col("doc_id")
+    chunks = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id",
+        F.substring("text", 1, 100).alias("content_with_weight"),
+        F.when(d % 4 == 0, F.encode(F.substring("text", 1, 8), "utf-8"))
+        .otherwise(F.lit(None).cast("binary")).alias("image"))
+    out = index_rows(chunks, "kb1", pagerank=2,
+                     create_time="2024-01-02 03:04:05",
+                     create_timestamp=1704164645.0)
+    return out.select(
+        "doc_id", "content_with_weight", "kb_id", "create_time",
+        "create_timestamp_flt",
+        (F.col("img_id") != "").alias("has_img"), "pagerank_fea")
+
+
 def _q_docx_img_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
     """naive.Docx paragraph image attachment (rag/app/naive.py:180-211):
     caption adoption (pop from the previous non-caption line, else the
@@ -2278,6 +2346,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "eval_metrics": _q_eval_metrics,
         "task_plan": _q_task_plan,
         "task_reuse": _q_task_reuse,
+        "chunk_embed": _q_chunk_embed,
+        "index_rows": _q_index_rows,
         "media_features": _q_media_features,
         "frame_sample": _q_frame_sample,
         "audio_features": _q_audio_features,
@@ -3621,6 +3691,65 @@ SELECT doc_id, task_seq, from_page, to_page,
 FROM plan
 """
 
+    # chunk-embed twin: the same prep chain and closed-form encoder;
+    # IEEE determinism makes the raw doubles bitwise-equal (products
+    # and sums evaluate in the same order both sides)
+    chunk_embed_sql = """
+WITH ch AS (
+  SELECT doc_id // 4 AS cdoc, doc_id % 4 AS chunk_seq, doc_id,
+         CASE WHEN doc_id % 5 = 0
+              THEN 'why ' || doc_id || chr(10) || 'how ' || doc_id
+              ELSE '' END AS qtxt,
+         CASE WHEN doc_id % 19 = 0 THEN ''
+              WHEN doc_id % 3 = 0
+              THEN 'lead <td x>' || substr(text, 1, 240)
+                       || '</td> tail'
+              ELSE substr(text, 1, 240) END AS cw
+  FROM documents),
+prep AS (
+  SELECT cdoc, chunk_seq,
+         regexp_replace(CASE WHEN qtxt <> '' THEN qtxt ELSE cw END,
+                        '</?(table|td|caption|tr|th)( [^<>]{0,12})?>',
+                        ' ', 'g') AS c1
+  FROM ch),
+cont AS (
+  SELECT cdoc, chunk_seq,
+         CASE WHEN c1 = '' THEN 'None' ELSE c1 END AS content_src
+  FROM prep),
+tt AS (
+  SELECT cdoc, min(doc_id) AS mind FROM ch GROUP BY cdoc),
+ttl AS (
+  SELECT cdoc,
+         CASE WHEN mind % 23 = 0 THEN 'Title'
+              ELSE 'doc-' || mind || '.pdf' END AS title_src
+  FROM tt),
+enc AS (
+  SELECT c.cdoc, c.chunk_seq, t.title_src, c.content_src,
+         length(t.title_src) AS tl,
+         length(t.title_src)
+             - length(replace(t.title_src, ' ', '')) AS tsp,
+         length(c.content_src) AS cl,
+         length(c.content_src)
+             - length(replace(c.content_src, ' ', '')) AS csp
+  FROM cont c JOIN ttl t ON c.cdoc = t.cdoc)
+SELECT cdoc, chunk_seq, title_src, content_src,
+       0.1 * ((tl % 101) / 100.0) + 0.9 * ((cl % 101) / 100.0) AS v0,
+       0.1 * (((tl * 7) % 89) / 88.0)
+           + 0.9 * (((cl * 7) % 89) / 88.0) AS v1,
+       0.1 * ((tsp % 67) / 66.0) + 0.9 * ((csp % 67) / 66.0) AS v2,
+       0.1 * 1.0 + 0.9 * 1.0 AS v3
+FROM enc
+"""
+
+    index_rows_sql = """
+SELECT doc_id, substr(text, 1, 100) AS content_with_weight,
+       'kb1' AS kb_id, '2024-01-02 03:04:05' AS create_time,
+       1704164645.0 AS create_timestamp_flt,
+       (doc_id % 4 = 0) AS has_img,
+       2 AS pagerank_fea
+FROM documents
+"""
+
     # _process_results twin: the closed form of the accepted set —
     # a record parses to (q, yes) iff (doc_id + q) % 3 = 0, and the
     # range gate keeps q <= (doc_id % 4) + 1
@@ -4766,6 +4895,8 @@ FROM documents
         "eval_metrics": eval_metrics_sql,
         "task_plan": task_plan_sql,
         "task_reuse": task_reuse_sql,
+        "chunk_embed": chunk_embed_sql,
+        "index_rows": index_rows_sql,
         "term_weights": term_weights_sql,
         "search_docs": search_docs_sql,
         "search_cjk": search_cjk_sql,
