@@ -2020,6 +2020,39 @@ def _q_index_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("img_id") != "").alias("has_img"), "pagerank_fea")
 
 
+def _q_raptor_tiers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The RAPTOR recursive summary-tree loop (rag/raptor.py:82-180)
+    over synthetic leaves (8 per doc, some empty → filtered, tail docs
+    with <2 chunks → no tiers): block-of-4 clusterer seam, closed-form
+    summarizer/embedder.  Content stays far under the per-member
+    truncate budget (truncation + the 2-node shortcut + the
+    continuation-strip quirk are unit-tested); the twin unrolls the
+    two layers the 8-leaf fan-in-4 recursion can reach."""
+    from ragflow_spark.operators.raptor import (block_cluster_fn,
+                                                raptor_tiers)
+
+    d = F.col("doc_id")
+    chunks = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        F.expr("doc_id div 8").alias("doc_id"),
+        (d % 8).cast("int").alias("pos"),
+        F.when(d % 31 == 0, "")
+        .otherwise(F.concat(F.lit("c"), d)).alias("content"),
+        F.array((d % 11) / 10.0, F.lit(1.0)).alias("vec"))
+
+    def summ(content):
+        return "S(" + content.replace("\n", "|") + ")"
+
+    def embed(s):
+        return [(len(s) % 101) / 100.0, 1.0]
+
+    tiers = raptor_tiers(chunks, block_cluster_fn(4), summ, embed,
+                         llm_max_length=100000, max_token=512)
+    return tiers.select(
+        F.col("doc_id").alias("cdoc"), "layer", "pos", "content",
+        F.element_at("vec", 1).alias("v0"),
+        F.element_at("vec", 2).alias("v1"))
+
+
 def _q_docx_img_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
     """naive.Docx paragraph image attachment (rag/app/naive.py:180-211):
     caption adoption (pop from the previous non-caption line, else the
@@ -2348,6 +2381,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "task_reuse": _q_task_reuse,
         "chunk_embed": _q_chunk_embed,
         "index_rows": _q_index_rows,
+        "raptor_tiers": _q_raptor_tiers,
         "media_features": _q_media_features,
         "frame_sample": _q_frame_sample,
         "audio_features": _q_audio_features,
@@ -3750,6 +3784,39 @@ SELECT doc_id, substr(text, 1, 100) AS content_with_weight,
 FROM documents
 """
 
+    # raptor twin: the fan-in-4 recursion over 8-leaf docs reaches at
+    # most two summary layers (8 -> 2 -> 1), unrolled here; member
+    # order inside a cluster is layer position order, as the
+    # reference's ck_idx indexing is
+    raptor_tiers_sql = """
+WITH base AS (
+  SELECT doc_id // 8 AS cdoc, CAST(doc_id % 8 AS INT) AS pos,
+         'c' || doc_id AS content
+  FROM documents WHERE doc_id % 31 <> 0),
+sz AS (SELECT cdoc, count(*) AS n FROM base GROUP BY cdoc),
+b2 AS (
+  SELECT b.cdoc, b.pos, b.content,
+         row_number() OVER (PARTITION BY b.cdoc ORDER BY b.pos) - 1
+             AS rk
+  FROM base b JOIN sz USING (cdoc) WHERE sz.n > 1),
+l1 AS (
+  SELECT cdoc, 1 AS layer, CAST(rk // 4 AS INT) AS pos,
+         'S(' || string_agg(content, '|' ORDER BY rk) || ')'
+             AS content
+  FROM b2 GROUP BY cdoc, rk // 4),
+l1n AS (SELECT cdoc, count(*) AS n1 FROM l1 GROUP BY cdoc),
+l2 AS (
+  SELECT l1.cdoc, 2 AS layer, 0 AS pos,
+         'S(' || string_agg(l1.content, '|' ORDER BY l1.pos) || ')'
+             AS content
+  FROM l1 JOIN l1n USING (cdoc) WHERE l1n.n1 > 1
+  GROUP BY l1.cdoc),
+allt AS (SELECT * FROM l1 UNION ALL SELECT * FROM l2)
+SELECT cdoc, layer, pos, content,
+       (length(content) % 101) / 100.0 AS v0, 1.0 AS v1
+FROM allt
+"""
+
     # _process_results twin: the closed form of the accepted set —
     # a record parses to (q, yes) iff (doc_id + q) % 3 = 0, and the
     # range gate keeps q <= (doc_id % 4) + 1
@@ -4897,6 +4964,7 @@ FROM documents
         "task_reuse": task_reuse_sql,
         "chunk_embed": chunk_embed_sql,
         "index_rows": index_rows_sql,
+        "raptor_tiers": raptor_tiers_sql,
         "term_weights": term_weights_sql,
         "search_docs": search_docs_sql,
         "search_cjk": search_cjk_sql,
