@@ -2053,6 +2053,51 @@ def _q_raptor_tiers(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.element_at("vec", 2).alias("v1"))
 
 
+def _q_msg_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """message_fit_in (rag/prompts.py:58-93) over synthetic
+    conversations (4 messages per conv, 'word'-repeat contents so the
+    pinned token count is the word count): the fits-whole branch, the
+    system+last reduction, and both token-slice sides — including the
+    negative slice budget Python semantics — all fire at
+    max_length=60."""
+    from ragflow_spark.operators.promptasm import fit_messages
+
+    d = F.col("doc_id")
+    msgs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        F.expr("doc_id div 4").alias("conv_id"),
+        (d % 4).alias("seq"),
+        F.when(d % 4 == 0, "system").when(d % 4 == 2, "assistant")
+        .otherwise("user").alias("role"),
+        F.expr("repeat('word ', cast(1 + ((doc_id * 7) % 50) as int))")
+        .alias("content"))
+    return fit_messages(msgs, max_length=60)
+
+
+def _q_kb_prompts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """kb_prompt (rag/prompts.py:96-128) over synthetic retrieval
+    results (8 chunks per query, 3 doc names, 6 meta docs): the
+    token-budget cut that KEEPS the over-budget chunk, first-seen doc
+    grouping with last-chunk meta overwrite, global ID numbering, and
+    URL lines."""
+    from ragflow_spark.operators.promptasm import kb_prompts
+
+    d = F.col("doc_id")
+    chunks = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        F.expr("doc_id div 8").alias("qid"),
+        (d % 8).alias("i"),
+        (d % 6).alias("src_doc"),
+        F.concat(F.lit("d"), (d % 3)).alias("docnm_kwd"),
+        F.substring("text", 1, 120).alias("content_with_weight"),
+        F.when(d % 4 == 0, F.concat(F.lit("http://u/"), d))
+        .otherwise(F.lit(None)).alias("url")) \
+        .withColumnRenamed("src_doc", "doc_id")
+    meta = spark.createDataFrame(
+        [(m, [("author", f"a{m}"), ("year", f"200{m}")])
+         for m in (0, 2, 4)],
+        schema="doc_id long, meta array<struct<k:string,v:string>>")
+    return kb_prompts(chunks, meta, max_tokens=160)
+
+
 def _q_docx_img_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
     """naive.Docx paragraph image attachment (rag/app/naive.py:180-211):
     caption adoption (pop from the previous non-caption line, else the
@@ -2382,6 +2427,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "chunk_embed": _q_chunk_embed,
         "index_rows": _q_index_rows,
         "raptor_tiers": _q_raptor_tiers,
+        "msg_fit": _q_msg_fit,
+        "kb_prompts": _q_kb_prompts,
         "media_features": _q_media_features,
         "frame_sample": _q_frame_sample,
         "audio_features": _q_audio_features,
@@ -3817,6 +3864,104 @@ SELECT cdoc, layer, pos, content,
 FROM allt
 """
 
+    # message_fit_in twin: contents are 'word '*k so token counts are
+    # the closed-form k; the slice keeps max(0, min(k, budget<0 ?
+    # k+budget : budget)) words — token_head cuts at piece starts,
+    # which for 'word '*k is exactly repeat('word ', kept)
+    msg_fit_sql = """
+WITH m AS (
+  SELECT doc_id // 4 AS conv_id, doc_id % 4 AS seq,
+         CASE WHEN doc_id % 4 = 0 THEN 'system'
+              WHEN doc_id % 4 = 2 THEN 'assistant'
+              ELSE 'user' END AS role,
+         1 + ((doc_id * 7) % 50) AS k
+  FROM documents),
+st AS (SELECT conv_id, sum(k) AS total, count(*) AS n,
+              max(seq) AS last_seq
+       FROM m GROUP BY conv_id),
+kb AS (SELECT m.*, st.total, st.n, st.last_seq,
+              (m.role = 'system'
+               OR (m.seq = st.last_seq AND st.n > 1)) AS keep_b
+       FROM m JOIN st USING (conv_id)),
+kbs AS (SELECT conv_id,
+               sum(CASE WHEN keep_b THEN k END) AS tot_b,
+               min(CASE WHEN keep_b THEN seq END) AS first_kept,
+               max(CASE WHEN keep_b THEN seq END) AS last_kept
+        FROM kb GROUP BY conv_id),
+j AS (SELECT kb.*, kbs.tot_b, kbs.first_kept, kbs.last_kept
+      FROM kb JOIN kbs USING (conv_id)),
+j2 AS (SELECT j.*,
+              max(CASE WHEN seq = first_kept THEN k END)
+                  OVER (PARTITION BY conv_id) AS ll,
+              max(CASE WHEN seq = last_kept THEN k END)
+                  OVER (PARTITION BY conv_id) AS ll2
+       FROM j),
+fit AS (SELECT j2.*,
+               CASE WHEN total < 60 THEN 'A'
+                    WHEN coalesce(tot_b, 0) < 60 THEN 'B'
+                    ELSE 'C' END AS br,
+               CASE WHEN (ll * 1.0 / (ll + ll2)) > 0.8
+                    THEN first_kept ELSE last_kept END AS trunc_seq
+        FROM j2)
+SELECT conv_id, seq, role,
+       CASE WHEN br = 'C' AND seq = trunc_seq
+            THEN repeat('word ', CAST(greatest(0, least(k,
+                     CASE WHEN 60 - ll2 >= 0 THEN 60 - ll2
+                          ELSE k + 60 - ll2 END)) AS INT))
+            ELSE repeat('word ', CAST(k AS INT)) END AS content,
+       CASE br WHEN 'A' THEN total WHEN 'B' THEN tot_b
+               ELSE 60 END AS fit_tokens
+FROM fit
+WHERE br = 'A' OR keep_b
+"""
+
+    # kb_prompt twin: the corpus word-token formula (exact on this
+    # corpus, see doc_tokens) drives the 0.97*max_tokens running cut
+    # (over-budget chunk kept); meta comes from the LAST kept chunk's
+    # doc per name; ID is the global kept-window index
+    kb_prompts_sql = f"""
+WITH ch AS (
+  SELECT doc_id // 8 AS qid, doc_id % 8 AS i, doc_id % 6 AS did,
+         'd' || (doc_id % 3) AS nm,
+         substr(text, 1, 120) AS cw,
+         CASE WHEN doc_id % 4 = 0 THEN 'http://u/' || doc_id END
+             AS url
+  FROM documents),
+tok AS (
+  SELECT ch.*,
+         CAST(list_aggregate(list_transform(string_split(cw, ' '),
+              w -> {_WORD_TOKENS}), 'sum') AS BIGINT) AS tk
+  FROM ch),
+cum AS (SELECT tok.*, sum(tk) OVER (PARTITION BY qid ORDER BY i)
+            AS cumtk
+        FROM tok),
+fo AS (SELECT qid, min(CASE WHEN cumtk > 160 * 0.97 THEN i END)
+           AS first_over
+       FROM cum GROUP BY qid),
+kept AS (SELECT c.* FROM cum c JOIN fo USING (qid)
+         WHERE first_over IS NULL OR i <= first_over),
+lines AS (
+  SELECT qid, nm, i, did,
+         coalesce('URL: ' || url || chr(10), '')
+             || 'ID: ' || i || chr(10) || cw AS line
+  FROM kept),
+grp AS (
+  SELECT qid, nm, min(i) AS first_i, arg_max(did, i) AS mdoc,
+         string_agg(line || chr(10), '' ORDER BY i) AS frags
+  FROM lines GROUP BY qid, nm)
+SELECT qid, nm AS docnm_kwd,
+       row_number() OVER (PARTITION BY qid ORDER BY first_i)
+           AS doc_seq,
+       chr(10) || 'Document: ' || nm || ' ' || chr(10)
+           || CASE WHEN mdoc % 2 = 0
+                   THEN 'author: a' || mdoc || chr(10)
+                            || 'year: 200' || mdoc || chr(10)
+                   ELSE '' END
+           || 'Relevant fragments as following:' || chr(10)
+           || frags AS prompt
+FROM grp
+"""
+
     # _process_results twin: the closed form of the accepted set —
     # a record parses to (q, yes) iff (doc_id + q) % 3 = 0, and the
     # range gate keeps q <= (doc_id % 4) + 1
@@ -4965,6 +5110,8 @@ FROM documents
         "chunk_embed": chunk_embed_sql,
         "index_rows": index_rows_sql,
         "raptor_tiers": raptor_tiers_sql,
+        "msg_fit": msg_fit_sql,
+        "kb_prompts": kb_prompts_sql,
         "term_weights": term_weights_sql,
         "search_docs": search_docs_sql,
         "search_cjk": search_cjk_sql,

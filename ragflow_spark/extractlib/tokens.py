@@ -40,6 +40,33 @@ def num_tokens_from_string(string: str) -> int:
     return n
 
 
+def token_head(string: str, n: int) -> str:
+    """``encoder.decode(encoder.encode(s)[:n])`` under the pinned
+    counter — Python slice semantics included: a negative ``n`` keeps
+    all but the last ``|n|`` tokens (rag/prompts.py:86,91 slices with
+    ``max_length - ll2``, which can go negative).  The cut lands at the
+    character where the first dropped piece starts, so inter-piece
+    whitespace before the cut is preserved."""
+    bounds = []   # (start, cumulative tokens through this piece)
+    total = 0
+    for m in _TOKEN_RE.finditer(string):
+        piece = m.group(0)
+        if piece[0].isascii() and piece[0].isalpha() and len(piece) > 4:
+            total += (len(piece) + 3) // 4
+        else:
+            total += 1
+        bounds.append((m.start(), total))
+    keep = total + n if n < 0 else n
+    if keep <= 0:
+        return ""
+    if keep >= total:
+        return string
+    for start, cum in bounds:
+        if cum > keep:
+            return string[:start]
+    return string
+
+
 def truncate(string: str, max_len: int) -> str:
     """Token-budget truncation (reference rag/utils/__init__.py:92-94).
 

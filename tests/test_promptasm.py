@@ -1,0 +1,190 @@
+"""fit_messages / kb_prompts vs direct transcriptions of the reference
+message_fit_in and kb_prompt (rag/prompts.py:58-128), plus token_head
+slice semantics and chunks_format."""
+
+from collections import defaultdict
+
+import pytest
+
+from ragflow_spark.extractlib.tokens import (num_tokens_from_string,
+                                             token_head)
+from ragflow_spark.job.session import get_spark
+
+
+@pytest.fixture(scope="module")
+def spark():
+    s = get_spark("local[4]", shuffle_partitions=4)
+    s.sparkContext.setLogLevel("ERROR")
+    return s
+
+
+def _ref_fit(msg, max_length):
+    """Transcription of message_fit_in with token_head as the
+    encode/decode slice.  Each message carries its original index in
+    ``_i`` so the comparison can address rows by seq."""
+    msg = [dict(m, _i=i) for i, m in enumerate(msg)]
+
+    def count(ms):
+        return sum(num_tokens_from_string(m["content"]) for m in ms)
+
+    c = count(msg)
+    if c < max_length:
+        return c, msg
+    msg_ = [m for m in msg if m["role"] == "system"]
+    if len(msg) > 1:
+        msg_.append(msg[-1])
+    msg = msg_
+    c = count(msg)
+    if c < max_length:
+        return c, msg
+    ll = num_tokens_from_string(msg_[0]["content"])
+    ll2 = num_tokens_from_string(msg_[-1]["content"])
+    which = 0 if ll / (ll + ll2) > 0.8 else -1
+    m = dict(msg_[which])
+    m["content"] = token_head(m["content"], max_length - ll2)
+    msg[which] = m
+    return max_length, msg
+
+
+def _ref_kb_prompt(chunks, metas, max_tokens):
+    """Transcription of kb_prompt; chunks are dicts with doc_id,
+    docnm_kwd, content_with_weight, optional url."""
+    knowledges = [c["content_with_weight"] for c in chunks]
+    used, chunks_num = 0, 0
+    for i, c in enumerate(knowledges):
+        used += num_tokens_from_string(c)
+        chunks_num += 1
+        if max_tokens * 0.97 < used:
+            break
+    doc2chunks = defaultdict(lambda: {"chunks": [], "meta": {}})
+    for i, ck in enumerate(chunks[:chunks_num]):
+        doc2chunks[ck["docnm_kwd"]]["chunks"].append(
+            (f"URL: {ck['url']}\n" if ck.get("url") else "")
+            + f"ID: {i}\n" + ck["content_with_weight"])
+        doc2chunks[ck["docnm_kwd"]]["meta"] = \
+            metas.get(ck["doc_id"], {})
+    out = []
+    for nm, cm in doc2chunks.items():
+        txt = f"\nDocument: {nm} \n"
+        for k, v in cm["meta"].items():
+            txt += f"{k}: {v}\n"
+        txt += "Relevant fragments as following:\n"
+        for chunk in cm["chunks"]:
+            txt += f"{chunk}\n"
+        out.append((nm, txt))
+    return out
+
+
+def test_token_head_slice_semantics():
+    s = "alpha beta gamma delta"          # 2+1+2+2 = 7 tokens
+    assert num_tokens_from_string(s) == 7
+    assert token_head(s, 0) == ""
+    assert token_head(s, 100) == s
+    assert token_head(s, 3) == "alpha beta "   # gamma would cross
+    assert token_head(s, -2) == "alpha beta gamma "  # keep 7-2=5
+    assert token_head(s, -100) == ""
+    assert token_head("", 5) == ""
+
+
+def _fit_run(spark, convs, max_length):
+    from ragflow_spark.operators.promptasm import fit_messages
+    rows = [(cid, i, m["role"], m["content"])
+            for cid, msg in convs.items()
+            for i, m in enumerate(msg)]
+    df = spark.createDataFrame(
+        rows, schema="conv_id long, seq long, role string, "
+                     "content string")
+    got = {}
+    for r in fit_messages(df, max_length).collect():
+        got.setdefault(r["conv_id"], []).append(
+            (r["seq"], r["role"], r["content"], r["fit_tokens"]))
+    return {k: sorted(v) for k, v in got.items()}
+
+
+def test_fit_messages_matches_reference(spark):
+    say = lambda role, n: {"role": role, "content": "word " * n}
+    convs = {
+        1: [say("system", 3), say("user", 4)],             # fits
+        2: [say("system", 5), say("user", 40),
+            say("assistant", 40), say("user", 6)],         # sys+last
+        3: [say("system", 45), say("user", 30),
+            say("user", 8)],     # ratio 45/53>0.8 -> first sliced
+        4: [say("system", 10), say("user", 30),
+            say("user", 35)],    # ratio 10/45<0.8 -> last sliced
+        5: [say("user", 60)],                 # single non-system: empty
+        6: [say("system", 60)],               # single system: sliced
+        7: [say("system", 4), say("system", 5), say("user", 45)],
+    }
+    got = _fit_run(spark, convs, max_length=20)
+    for cid, msg in convs.items():
+        c, fitted = _ref_fit(list(msg), 20)
+        want = sorted((m["_i"], m["role"], m["content"], c)
+                      for m in fitted)
+        assert got.get(cid, []) == want, cid
+
+
+def test_fit_messages_multi_system_kept(spark):
+    got = _fit_run(
+        spark,
+        {9: [{"role": "system", "content": "word " * 8},
+             {"role": "user", "content": "word " * 50},
+             {"role": "system", "content": "word " * 7},
+             {"role": "user", "content": "word " * 9}]},
+        max_length=30)
+    # both system messages survive the middle cut
+    assert [r[0] for r in got[9]] == [0, 2, 3]
+    assert got[9][0][3] == 24  # 8 + 7 + 9 fits after reduction
+
+
+def _kb_run(spark, chunks, metas, max_tokens):
+    from ragflow_spark.operators.promptasm import kb_prompts
+    cdf = spark.createDataFrame(
+        [(1, i, c["doc_id"], c["docnm_kwd"], c["content_with_weight"],
+          c.get("url")) for i, c in enumerate(chunks)],
+        schema="qid long, i long, doc_id long, docnm_kwd string, "
+               "content_with_weight string, url string")
+    mdf = spark.createDataFrame(
+        [(d, [(k, str(v)) for k, v in kv.items()])
+         for d, kv in metas.items()],
+        schema="doc_id long, meta array<struct<k:string,v:string>>")
+    return {(r["docnm_kwd"]): (r["doc_seq"], r["prompt"])
+            for r in kb_prompts(cdf, mdf, max_tokens).collect()}
+
+
+def test_kb_prompts_matches_reference(spark):
+    chunks = [
+        dict(doc_id=1, docnm_kwd="a.pdf",
+             content_with_weight="alpha " * 10, url=None),
+        dict(doc_id=2, docnm_kwd="b.pdf",
+             content_with_weight="bravo " * 10, url="http://u/2"),
+        dict(doc_id=1, docnm_kwd="a.pdf",
+             content_with_weight="threeword text here", url=None),
+        dict(doc_id=3, docnm_kwd="a.pdf",   # same name, other doc:
+             content_with_weight="charlie " * 10, url=None),  # meta wins
+        dict(doc_id=4, docnm_kwd="c.pdf",   # over budget: kept (quirk)
+             content_with_weight="delta " * 300, url=None),
+        dict(doc_id=5, docnm_kwd="d.pdf",   # past the cut: dropped
+             content_with_weight="echo " * 5, url=None),
+    ]
+    metas = {1: {"author": "x"}, 3: {"author": "y", "year": "2001"},
+             4: {}}
+    want = dict()
+    for seq, (nm, txt) in enumerate(
+            _ref_kb_prompt(chunks, metas, max_tokens=80), 1):
+        want[nm] = (seq, txt)
+    got = _kb_run(spark, chunks, metas, max_tokens=80)
+    assert got == want
+
+
+def test_chunks_format_coalesce(spark):
+    from ragflow_spark.operators.promptasm import chunks_format
+    df = spark.createDataFrame(
+        [("c1", None, "txt", 7, "nm", "kb", "img", "0-1", "http://x")],
+        schema="chunk_id string, id string, content string, "
+               "doc_id long, docnm_kwd string, kb_id string, "
+               "img_id string, position_int string, url string")
+    r = chunks_format(df).collect()[0]
+    assert r["id"] == "c1" and r["content"] == "txt"
+    assert r["document_id"] == 7 and r["document_name"] == "nm"
+    assert r["dataset_id"] == "kb" and r["image_id"] == "img"
+    assert r["positions"] == "0-1" and r["url"] == "http://x"
