@@ -2091,10 +2091,10 @@ def _q_kb_prompts(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.when(d % 4 == 0, F.concat(F.lit("http://u/"), d))
         .otherwise(F.lit(None)).alias("url")) \
         .withColumnRenamed("src_doc", "doc_id")
-    meta = spark.createDataFrame(
+    meta = F.broadcast(spark.createDataFrame(
         [(m, [("author", f"a{m}"), ("year", f"200{m}")])
          for m in (0, 2, 4)],
-        schema="doc_id long, meta array<struct<k:string,v:string>>")
+        schema="doc_id long, meta array<struct<k:string,v:string>>"))
     return kb_prompts(chunks, meta, max_tokens=160)
 
 

@@ -216,6 +216,13 @@ def main() -> None:
     import __spark_entry__ as _entry
     run("kg_content", lambda: _entry._q_kg_content(spark, sf_dir)
         .write.format("noop").mode("overwrite").save())
+    # task fan-out, RAPTOR layer fold, prompt assembly (round 3)
+    run("task_plan", lambda: _entry._q_task_plan(spark, sf_dir)
+        .write.format("noop").mode("overwrite").save())
+    run("raptor_tiers", lambda: _entry._q_raptor_tiers(spark, sf_dir)
+        .write.format("noop").mode("overwrite").save())
+    run("kb_prompts", lambda: _entry._q_kb_prompts(spark, sf_dir)
+        .write.format("noop").mode("overwrite").save())
 
     total = round(sum(timings.values()), 3)
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
