@@ -2098,6 +2098,87 @@ def _q_kb_prompts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return kb_prompts(chunks, meta, max_tokens=160)
 
 
+def _q_community_csv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Community-report prompt inputs
+    (community_reports_extractor.py:60-88): the per-community entity /
+    relation CSVs (pandas to_csv byte-form), the (i,j)-ordered pairwise
+    edge scan with the found-pair cap re-expressed as a
+    WindowGroupLimit (pair_cap=3 here so the cap actually bites), and
+    mixed stored edge orientations.  Communities of 8 contiguous nodes
+    over a 40-node dim; edges exist where the node ids sum to 0 mod 3."""
+    from ragflow_spark.operators.community_reports import \
+        community_prompt_inputs
+
+    d = F.col("doc_id")
+    members = spark.read.parquet(
+        f"{sf_dir}/documents.parquet").select(
+        F.lit(0).alias("level"),
+        F.expr("doc_id div 8").alias("comm"),
+        (d % 8).alias("seq"),
+        F.concat(F.lit("e"), (d % 40)).alias("ent"))
+    nodes = F.broadcast(spark.createDataFrame(
+        [(f"e{a}", f"node {a} desc") for a in range(40)],
+        schema="ent string, description string"))
+    edges = F.broadcast(spark.createDataFrame(
+        [((f"e{b}", f"e{a}") if a % 2 == 0 else (f"e{a}", f"e{b}"))
+         + (f"rel {a}-{b}",)
+         for a in range(40) for b in range(a + 1, 40)
+         if (a + b) % 3 == 0],
+        schema="src string, tgt string, description string"))
+    return community_prompt_inputs(members, nodes, edges, pair_cap=3)
+
+
+def _q_community_reports(spark: SparkSession,
+                         sf_dir: str) -> DataFrame:
+    """Community-report answer parsing
+    (community_reports_extractor.py:95-154 + utils.py:81-92): brace
+    cleaning, the JSON-decode drop, the type gate (int ratings
+    rejected, non-string titles rejected, findings must be a list),
+    and the markdown render incl. bare-string findings and the
+    explanation-less 'None'.  Synthetic responses fire every gate;
+    the twin keeps the closed-form survivors."""
+    from ragflow_spark.operators.community_reports import \
+        parse_community_reports
+
+    d = F.col("doc_id")
+    r = F.concat((d % 9).cast("string"), F.lit(".5"))
+    valid = F.concat(
+        F.lit('{"title":"T'), d, F.lit('","summary":"S'), d,
+        F.lit('","findings":[{"summary":"f'), d,
+        F.lit('","explanation":"x'), d, F.lit('"}],"rating":'), r,
+        F.lit(',"rating_explanation":"re'), d, F.lit('"}'))
+    resp = (F.when(d % 8 == 0, valid)
+            .when(d % 8 == 1, F.concat(F.lit("Answer: "), valid,
+                                       F.lit(" END")))
+            .when(d % 8 == 2, F.regexp_replace(
+                F.regexp_replace(valid, r"\{", "{{"), r"\}", "}}"))
+            .when(d % 8 == 3, F.concat(
+                F.lit('{"title":"T'), d,
+                F.lit('","summary":"S'), d,
+                F.lit('","findings":[],"rating":'),
+                (d % 9).cast("string"),
+                F.lit(',"rating_explanation":"re'), d, F.lit('"}')))
+            .when(d % 8 == 4, F.lit('{"title": "broken'))
+            .when(d % 8 == 5, F.concat(
+                F.lit('{"title":"T'), d, F.lit('","summary":"S'), d,
+                F.lit('","rating":'), r,
+                F.lit(',"rating_explanation":"re'), d, F.lit('"}')))
+            .when(d % 8 == 6, F.concat(
+                F.lit('{"title":3.5,"summary":"S'), d,
+                F.lit('","findings":[],"rating":'), r,
+                F.lit(',"rating_explanation":"re'), d, F.lit('"}')))
+            .otherwise(F.concat(
+                F.lit('{"title":"T'), d, F.lit('","summary":"S'), d,
+                F.lit('","findings":[{"summary":"f'), d,
+                F.lit('"},"plain"],"rating":'), r,
+                F.lit(',"rating_explanation":"re'), d, F.lit('"}'))))
+    responses = spark.read.parquet(
+        f"{sf_dir}/documents.parquet").select(
+        F.lit(0).alias("level"), d.alias("comm"),
+        resp.alias("response"))
+    return parse_community_reports(responses)
+
+
 def _q_docx_img_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
     """naive.Docx paragraph image attachment (rag/app/naive.py:180-211):
     caption adoption (pop from the previous non-caption line, else the
@@ -2429,6 +2510,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "raptor_tiers": _q_raptor_tiers,
         "msg_fit": _q_msg_fit,
         "kb_prompts": _q_kb_prompts,
+        "community_csv": _q_community_csv,
+        "community_reports": _q_community_reports,
         "media_features": _q_media_features,
         "frame_sample": _q_frame_sample,
         "audio_features": _q_audio_features,
@@ -3962,6 +4045,67 @@ SELECT qid, nm AS docnm_kwd,
 FROM grp
 """
 
+    # community-CSV twin: contiguous member blocks make rk = seq and
+    # keep source < target, so the pandas to_csv bytes are plain
+    # string_aggs; the empty-relation degenerate is pandas' 'id\n'
+    community_csv_sql = """
+WITH mem AS (
+  SELECT doc_id // 8 AS comm, doc_id % 8 AS seq, doc_id % 40 AS a
+  FROM documents),
+szc AS (SELECT comm, count(*) AS n_ents FROM mem GROUP BY comm),
+rkt AS (
+  SELECT m.comm, s.n_ents, m.a,
+         row_number() OVER (PARTITION BY m.comm ORDER BY m.seq) - 1
+             AS rk
+  FROM mem m JOIN szc s USING (comm) WHERE s.n_ents >= 2),
+ecsv AS (
+  SELECT comm, n_ents,
+         'id,entity,description' || chr(10) ||
+         string_agg(rk || ',e' || a || ',node ' || a || ' desc'
+                        || chr(10), '' ORDER BY rk) AS ent_csv
+  FROM rkt GROUP BY comm, n_ents),
+prs AS (
+  SELECT i.comm, i.rk AS ri, j.rk AS rj, i.a AS ai, j.a AS aj
+  FROM rkt i JOIN rkt j ON i.comm = j.comm AND i.rk < j.rk
+  WHERE (i.a + j.a) % 3 = 0),
+cap AS (
+  SELECT prs.*,
+         row_number() OVER (PARTITION BY comm ORDER BY ri, rj) AS rn
+  FROM prs),
+rcsv AS (
+  SELECT comm,
+         'id,source,target,description' || chr(10) ||
+         string_agg((rn - 1) || ',e' || ai || ',e' || aj || ',rel '
+                        || ai || '-' || aj || chr(10),
+                    '' ORDER BY rn) AS rela_csv
+  FROM cap WHERE rn <= 3 GROUP BY comm)
+SELECT CAST(0 AS INT) AS level, e.comm, e.n_ents, e.ent_csv,
+       coalesce(r.rela_csv, 'id' || chr(10)) AS rela_csv
+FROM ecsv e LEFT JOIN rcsv r USING (comm)
+"""
+
+    # community-report twin: survivors are doc_id%8 in (0,1,2,7) with
+    # closed-form fields; the parse/gate/markdown rules live in the
+    # Spark side and the unit transcription
+    community_reports_sql = """
+SELECT CAST(0 AS INT) AS level, doc_id AS comm,
+       'T' || doc_id AS title, 'S' || doc_id AS summary,
+       (doc_id % 9) + 0.5 AS rating,
+       're' || doc_id AS rating_explanation,
+       CASE WHEN doc_id % 8 = 7 THEN 2 ELSE 1 END AS n_findings,
+       CASE WHEN doc_id % 8 = 7
+            THEN '# T' || doc_id || chr(10) || chr(10) || 'S'
+                     || doc_id || chr(10) || chr(10) || '## f'
+                     || doc_id || chr(10) || chr(10) || 'None'
+                     || chr(10) || chr(10) || '## plain'
+                     || chr(10) || chr(10)
+            ELSE '# T' || doc_id || chr(10) || chr(10) || 'S'
+                     || doc_id || chr(10) || chr(10) || '## f'
+                     || doc_id || chr(10) || chr(10) || 'x' || doc_id
+       END AS report_text
+FROM documents WHERE doc_id % 8 IN (0, 1, 2, 7)
+"""
+
     # _process_results twin: the closed form of the accepted set —
     # a record parses to (q, yes) iff (doc_id + q) % 3 = 0, and the
     # range gate keeps q <= (doc_id % 4) + 1
@@ -5112,6 +5256,8 @@ FROM documents
         "raptor_tiers": raptor_tiers_sql,
         "msg_fit": msg_fit_sql,
         "kb_prompts": kb_prompts_sql,
+        "community_csv": community_csv_sql,
+        "community_reports": community_reports_sql,
         "term_weights": term_weights_sql,
         "search_docs": search_docs_sql,
         "search_cjk": search_cjk_sql,
