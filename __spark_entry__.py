@@ -2179,6 +2179,42 @@ def _q_community_reports(spark: SparkSession,
     return parse_community_reports(responses)
 
 
+def _q_subgraph_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """generate_subgraph's endpoint gate (index.py:145-157): per-doc
+    responses carry entities p,q (+r for doc%4==0) and relations
+    p-q (kept), p-r (kept only when r was extracted), p-z (never an
+    entity, ignored; present for doc%3!=0) — the stats count the
+    subgraph the reference would build, ignored_rels included."""
+    from ragflow_spark.operators.extraction import (
+        parse_extraction_records, subgraph_gate)
+
+    d = F.col("doc_id")
+    k = d.cast("string")
+
+    def ent(name, typ):
+        return F.concat(F.lit(f'("entity"<|>{name}'), k,
+                        F.lit(f"<|>{typ}<|>{name}d "), k, F.lit(")"))
+
+    def rel(a, b, w):
+        return F.concat(F.lit(f'("relationship"<|>{a}'), k,
+                        F.lit(f"<|>{b}"), k,
+                        F.lit(f"<|>{a}{b} rel<|>kw<|>{w})"))
+
+    parts = F.concat_ws(
+        "##", ent("p", "person"), ent("q", "geo"),
+        F.when(d % 4 == 0, ent("r", "event")),
+        rel("p", "q", "2.5"), rel("p", "r", "1.5"),
+        F.when(d % 3 != 0, rel("p", "z", "1.0")))
+    responses = spark.read.parquet(
+        f"{sf_dir}/documents.parquet").select(
+        F.concat(F.lit("ck"), k).alias("chunk_key"),
+        d.alias("seq"),
+        F.concat(parts, F.lit("<|COMPLETE|>")).alias("response"))
+    ents, rels = parse_extraction_records(responses)
+    _kept, stats = subgraph_gate(ents, rels, doc_col="source_id")
+    return stats.withColumnRenamed("source_id", "chunk_key")
+
+
 def _q_docx_img_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
     """naive.Docx paragraph image attachment (rag/app/naive.py:180-211):
     caption adoption (pop from the previous non-caption line, else the
@@ -2512,6 +2548,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kb_prompts": _q_kb_prompts,
         "community_csv": _q_community_csv,
         "community_reports": _q_community_reports,
+        "subgraph_stats": _q_subgraph_stats,
         "media_features": _q_media_features,
         "frame_sample": _q_frame_sample,
         "audio_features": _q_audio_features,
@@ -4106,6 +4143,18 @@ SELECT CAST(0 AS INT) AS level, doc_id AS comm,
 FROM documents WHERE doc_id % 8 IN (0, 1, 2, 7)
 """
 
+    # subgraph-gate twin: the closed form of which synthetic relations
+    # find both endpoints in their own document
+    subgraph_stats_sql = """
+SELECT 'ck' || doc_id AS chunk_key,
+       CASE WHEN doc_id % 4 = 0 THEN 3 ELSE 2 END AS n_nodes,
+       CASE WHEN doc_id % 4 = 0 THEN 2 ELSE 1 END AS n_edges,
+       (CASE WHEN doc_id % 4 = 0 THEN 0 ELSE 1 END)
+           + (CASE WHEN doc_id % 3 <> 0 THEN 1 ELSE 0 END)
+           AS ignored_rels
+FROM documents
+"""
+
     # _process_results twin: the closed form of the accepted set —
     # a record parses to (q, yes) iff (doc_id + q) % 3 = 0, and the
     # range gate keeps q <= (doc_id % 4) + 1
@@ -5258,6 +5307,7 @@ FROM documents
         "kb_prompts": kb_prompts_sql,
         "community_csv": community_csv_sql,
         "community_reports": community_reports_sql,
+        "subgraph_stats": subgraph_stats_sql,
         "term_weights": term_weights_sql,
         "search_docs": search_docs_sql,
         "search_cjk": search_cjk_sql,

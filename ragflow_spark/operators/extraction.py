@@ -298,3 +298,50 @@ def relation_chunks(edges: DataFrame, kb_id: str = "kb") -> DataFrame:
                "string, content_ltks string, content_sm_ltks string, "
                "important_kwd string, weight_int long, source_ids "
                "string, kb_id string, available_int int")
+
+
+def subgraph_gate(ents: DataFrame, rels: DataFrame,
+                  doc_col: str = "chunk_key"):
+    """generate_subgraph's endpoint gate (graphrag/general/
+    index.py:145-157): a parsed relation joins a document's subgraph
+    only when BOTH endpoints were extracted as entities of the SAME
+    document; relations failing the gate are counted as ignored, as
+    the reference's ``ignored_rels`` progress message does.
+
+    ``tidy_graph`` (graphrag/utils.py:160-190) purges nodes/edges
+    whose attribute DICTS lack description/source_id and defaults
+    ``keywords`` to [] — relational rows always carry every column, so
+    the purge has nothing to act on here and the keywords default is
+    applied at parse time (parse_extraction_records never emits a null
+    keywords array).
+
+    Returns ``(kept_rels, stats)``: kept_rels is ``rels`` filtered to
+    in-document endpoints; stats is one row per document —
+    (doc, n_nodes, n_edges, ignored_rels) over distinct entity names /
+    canonical pairs, which is what the merged per-doc subgraph holds.
+    Both sides are plain semi/anti joins keyed on (doc, name) — no
+    driver-side graph object, unlike the reference's one-networkx-
+    per-doc build.
+    """
+    names = ents.select(doc_col, "entity_name").distinct()
+    s = names.withColumnRenamed("entity_name", "src_id")
+    t = names.withColumnRenamed("entity_name", "tgt_id")
+    kept = (rels.join(s, [doc_col, "src_id"], "semi")
+            .join(t, [doc_col, "tgt_id"], "semi"))
+
+    n_nodes = names.groupBy(doc_col).agg(
+        F.count("*").alias("n_nodes"))
+    pairs = rels.select(doc_col, "src_id", "tgt_id").distinct()
+    kept_pairs = (pairs.join(s, [doc_col, "src_id"], "semi")
+                  .join(t, [doc_col, "tgt_id"], "semi"))
+    tot = pairs.groupBy(doc_col).agg(F.count("*").alias("_tot"))
+    kc = kept_pairs.groupBy(doc_col).agg(F.count("*").alias("n_edges"))
+    stats = (n_nodes.join(tot, doc_col, "left")
+             .join(kc, doc_col, "left")
+             .select(doc_col,
+                     "n_nodes",
+                     F.coalesce("n_edges", F.lit(0)).alias("n_edges"),
+                     (F.coalesce("_tot", F.lit(0))
+                      - F.coalesce("n_edges", F.lit(0)))
+                     .alias("ignored_rels")))
+    return kept, stats
