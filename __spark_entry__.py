@@ -2215,6 +2215,67 @@ def _q_subgraph_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return stats.withColumnRenamed("source_id", "chunk_key")
 
 
+_SQLCHAT_FIELD_MAP = {"name_kwd": "Name/姓名", "age_int": "Age",
+                      "degree_kwd": "Degree",     # forbidden: skipped
+                      "corp_nm_tks": "Company"}
+
+
+def _q_sql_refine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """use_sql's SQL sanitizer (dialog_service.py:390-410) over
+    synthetic model answers: think-tag strip, babble prefix (greedy
+    last-select), star expansion with the forbidden-field skip,
+    aggregate passthrough, non-select rejection, ``` cut."""
+    from ragflow_spark.operators.sqlchat import refine_sql
+
+    d = F.col("doc_id")
+    k = d.cast("string")
+    resp = (F.when(d % 6 == 0, F.concat(
+                F.lit("select c"), k, F.lit(" from t where x > "), k))
+            .when(d % 6 == 1, F.concat(
+                F.lit("Sure! Here is it:\nSELECT c"), k,
+                F.lit(" FROM t;")))
+            .when(d % 6 == 2, F.concat(
+                F.lit("<think>x\ny</think>select * from t"), k))
+            .when(d % 6 == 3, F.concat(
+                F.lit("select sum(v"), k, F.lit(") from t group by g")))
+            .when(d % 6 == 4, F.concat(F.lit("no sql here "), k))
+            .otherwise(F.concat(
+                F.lit("```sql\nselect c"), k, F.lit(" from t``` ok"))))
+    df = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        d.alias("qid"), resp.alias("sql_response"))
+    return refine_sql(df, _SQLCHAT_FIELD_MAP).select("qid", "sql")
+
+
+def _q_sql_answers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """use_sql's markdown answer composer (dialog_service.py:447-485)
+    over synthetic SQL results: identity columns hidden + Source
+    column, field_map header labels with the /-suffix strip, the
+    joined-text 'None'->space replace, empty-row drop, post-citation
+    time-suffix strip, and the all-rows reference counts."""
+    from ragflow_spark.operators.sqlchat import sql_answer_tables
+
+    d = F.col("doc_id")
+    k = d.cast("string")
+    cols = F.array(F.lit("doc_id"), F.lit("docnm_kwd"),
+                   F.lit("name_kwd"), F.lit("joined"))
+    r1 = F.array(F.concat(F.lit("d"), k),
+                 F.concat(F.lit("doc"), k, F.lit(".pdf")),
+                 F.concat(F.lit("nm"), k),
+                 F.lit("2020-01-02T11:22:33"))
+    r2 = F.array(F.concat(F.lit("d"), k),
+                 F.concat(F.lit("doc"), k, F.lit(".pdf")),
+                 F.when(d % 3 == 0, F.lit("None"))
+                 .otherwise(F.concat(F.lit("val"), k)),
+                 F.lit("None"))
+    r3 = F.array(F.concat(F.lit("e"), k), F.lit("other.pdf"),
+                 F.lit(" "), F.lit("None"))
+    rows = F.when(d % 4 == 0, F.array(r1, r2, r3)) \
+        .otherwise(F.array(r1, r2))
+    df = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        d.alias("qid"), cols.alias("columns"), rows.alias("rows"))
+    return sql_answer_tables(df, _SQLCHAT_FIELD_MAP)
+
+
 def _q_docx_img_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
     """naive.Docx paragraph image attachment (rag/app/naive.py:180-211):
     caption adoption (pop from the previous non-caption line, else the
@@ -2549,6 +2610,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "community_csv": _q_community_csv,
         "community_reports": _q_community_reports,
         "subgraph_stats": _q_subgraph_stats,
+        "sql_refine": _q_sql_refine,
+        "sql_answers": _q_sql_answers,
         "media_features": _q_media_features,
         "frame_sample": _q_frame_sample,
         "audio_features": _q_audio_features,
@@ -4155,6 +4218,40 @@ SELECT 'ck' || doc_id AS chunk_key,
 FROM documents
 """
 
+    # sql-refine twin: the closed form of each sanitizer branch
+    sql_refine_sql = """
+SELECT doc_id AS qid,
+       CASE doc_id % 6
+            WHEN 0 THEN 'select doc_id,docnm_kwd, c' || doc_id
+                || ' from t where x > ' || doc_id
+            WHEN 1 THEN 'select doc_id,docnm_kwd, c' || doc_id
+                || ' from t'
+            WHEN 2 THEN 'select doc_id,docnm_kwd,name_kwd,age_int,'
+                || 'corp_nm_tks from t' || doc_id
+            WHEN 3 THEN 'select sum(v' || doc_id
+                || ') from t group by g'
+            WHEN 4 THEN NULL
+            ELSE 'select doc_id,docnm_kwd, c' || doc_id || ' from t'
+       END AS sql
+FROM documents
+"""
+
+    # sql-answers twin: closed-form markdown — row2 empties out (and
+    # drops) when its name cell is the literal 'None'; row3 always
+    # drops from the display but counts toward the references
+    sql_answers_sql = """
+SELECT doc_id AS qid,
+       '|Name|joined|Source|' || chr(10)
+           || '|------|------|------|' || chr(10)
+           || '|nm' || doc_id || '|2020-01-02| ##0$$ |'
+           || CASE WHEN doc_id % 3 = 0 THEN ''
+                   ELSE chr(10) || '|val' || doc_id
+                        || '| | ##1$$ |' END AS answer,
+       CASE WHEN doc_id % 4 = 0 THEN 3 ELSE 2 END AS n_chunks,
+       CASE WHEN doc_id % 4 = 0 THEN 2 ELSE 1 END AS n_doc_aggs
+FROM documents
+"""
+
     # _process_results twin: the closed form of the accepted set —
     # a record parses to (q, yes) iff (doc_id + q) % 3 = 0, and the
     # range gate keeps q <= (doc_id % 4) + 1
@@ -5308,6 +5405,8 @@ FROM documents
         "community_csv": community_csv_sql,
         "community_reports": community_reports_sql,
         "subgraph_stats": subgraph_stats_sql,
+        "sql_refine": sql_refine_sql,
+        "sql_answers": sql_answers_sql,
         "term_weights": term_weights_sql,
         "search_docs": search_docs_sql,
         "search_cjk": search_cjk_sql,
