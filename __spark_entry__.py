@@ -2276,6 +2276,35 @@ def _q_sql_answers(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sql_answer_tables(df, _SQLCHAT_FIELD_MAP)
 
 
+def _q_doc_progress(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """update_progress's per-document rollup
+    (document_service.py:387-433) over synthetic task tables (4 tasks
+    per doc, tail docs partial): clean finish, -1 failure, mid-run,
+    raptor follow-up due, and graphrag-after-raptor — each branch keyed
+    on doc%5."""
+    from ragflow_spark.job.taskplan import doc_progress
+
+    d = F.col("doc_id")
+    doc = F.expr("doc_id div 4")
+    b = doc % 5
+    seq = d % 4
+    progress = (F.when(b == 1, F.when(seq == 0, -1.0).otherwise(1.0))
+                .when(b == 2, F.when(seq == 1, 0.5).otherwise(1.0))
+                .otherwise(F.lit(1.0)))
+    docs_pq = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    tasks = docs_pq.select(
+        doc.alias("doc_id"), progress.alias("progress"),
+        F.concat(F.lit("m"), d).alias("progress_msg"),
+        F.when((b == 4) & (seq == 3), "raptor").otherwise("")
+        .alias("task_type"),
+        (d % 7).alias("priority"))
+    flags = docs_pq.select(doc.alias("doc_id")).distinct().select(
+        "doc_id",
+        (F.col("doc_id") % 5).isin(3, 4).alias("use_raptor"),
+        (F.col("doc_id") % 5 == 4).alias("use_graphrag"))
+    return doc_progress(tasks, flags)
+
+
 def _q_docx_img_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
     """naive.Docx paragraph image attachment (rag/app/naive.py:180-211):
     caption adoption (pop from the previous non-caption line, else the
@@ -2612,6 +2641,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "subgraph_stats": _q_subgraph_stats,
         "sql_refine": _q_sql_refine,
         "sql_answers": _q_sql_answers,
+        "doc_progress": _q_doc_progress,
         "media_features": _q_media_features,
         "frame_sample": _q_frame_sample,
         "audio_features": _q_audio_features,
@@ -4252,6 +4282,38 @@ SELECT doc_id AS qid,
 FROM documents
 """
 
+    # doc-progress twin: each doc%5 branch's closed form; messages
+    # sort lexicographically both sides (python sorted vs string
+    # ORDER BY, both ASCII byte order)
+    doc_progress_sql = """
+WITH t AS (
+  SELECT doc_id // 4 AS doc, doc_id % 4 AS seq, doc_id,
+         (doc_id // 4) % 5 AS b, doc_id % 7 AS pri
+  FROM documents),
+g AS (
+  SELECT doc, b, count(*) AS n, max(pri) AS priority,
+         max(CASE WHEN seq = 3 THEN 1 ELSE 0 END) AS has4,
+         string_agg('m' || doc_id, chr(10)
+                    ORDER BY 'm' || doc_id) AS msg
+  FROM t GROUP BY doc, b)
+SELECT doc AS doc_id,
+       CASE WHEN b = 1 THEN -1.0
+            WHEN b = 0 THEN 1.0
+            WHEN b = 2 THEN CASE WHEN n >= 2 THEN (n - 0.5) / n
+                                 ELSE 1.0 END
+            ELSE 0.98 * n / (n + 1) END AS progress,
+       CASE WHEN b = 1 THEN '4'
+            WHEN b = 0 THEN '3'
+            WHEN b = 2 THEN CASE WHEN n >= 2 THEN '1' ELSE '3' END
+            ELSE '1' END AS status,
+       CASE WHEN b = 3 THEN 'raptor'
+            WHEN b = 4 THEN CASE WHEN has4 = 1 THEN 'graphrag'
+                                 ELSE 'raptor' END
+       END AS next_task,
+       priority, msg
+FROM g
+"""
+
     # _process_results twin: the closed form of the accepted set —
     # a record parses to (q, yes) iff (doc_id + q) % 3 = 0, and the
     # range gate keeps q <= (doc_id % 4) + 1
@@ -5407,6 +5469,7 @@ FROM documents
         "subgraph_stats": subgraph_stats_sql,
         "sql_refine": sql_refine_sql,
         "sql_answers": sql_answers_sql,
+        "doc_progress": doc_progress_sql,
         "term_weights": term_weights_sql,
         "search_docs": search_docs_sql,
         "search_cjk": search_cjk_sql,

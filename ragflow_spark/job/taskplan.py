@@ -176,3 +176,62 @@ def reuse_prev_chunks(tasks: DataFrame,
                        F.size(F.split(F.col("prev_chunk_ids"), " ")))
                 .otherwise(F.lit(0)))
             .withColumnRenamed("prev_chunk_ids", "chunk_ids"))
+
+
+def doc_progress(tasks: DataFrame, doc_flags: DataFrame) -> DataFrame:
+    """The monitor's per-document progress rollup
+    (api/db/services/document_service.py:387-433 ``update_progress``),
+    one aggregation instead of a driver loop over unfinished docs:
+
+    - ``finished`` = no task still in [0, 1); ``bad`` counts -1 tasks;
+      progress averages non-negative task progress over ALL tasks;
+    - finished + any bad → progress -1, status FAIL ('4');
+    - finished + use_raptor without a raptor task → a follow-up task
+      is due (``next_task`` = 'raptor') and progress snaps to
+      0.98 * n/(n+1); same for graphrag, raptor checked first;
+    - otherwise finished → DONE ('3'), else still RUNNING ('1') (the
+      reference passes the doc's current run state through here; the
+      monitored set is by construction running docs, so '1' is that
+      state);
+    - the progress message is the per-task messages SORTED and
+      newline-joined (the reference sorts, so task order is moot).
+
+    ``tasks``: (doc_id, progress, progress_msg, task_type, priority).
+    ``doc_flags``: (doc_id, use_raptor, use_graphrag).
+    """
+    agg = tasks.groupBy("doc_id").agg(
+        F.count("*").alias("_n"),
+        F.max(F.when((F.col("progress") >= 0)
+                     & (F.col("progress") < 1), 1).otherwise(0))
+        .alias("_unfinished"),
+        F.sum(F.when(F.col("progress") == -1, 1).otherwise(0))
+        .alias("_bad"),
+        F.sum(F.when(F.col("progress") >= 0, F.col("progress"))
+              .otherwise(0.0)).alias("_prg_sum"),
+        F.max(F.when(F.col("task_type") == "raptor", 1).otherwise(0))
+        .alias("_has_raptor"),
+        F.max(F.when(F.col("task_type") == "graphrag", 1).otherwise(0))
+        .alias("_has_graphrag"),
+        F.max("priority").alias("priority"),
+        F.array_join(F.array_sort(F.collect_list("progress_msg")),
+                     "\n").alias("msg"))
+    j = agg.join(doc_flags, "doc_id")
+    finished = F.col("_unfinished") == 0
+    snap = 0.98 * F.col("_n") / (F.col("_n") + 1)
+    next_task = (
+        F.when(~finished | (F.col("_bad") > 0), F.lit(None))
+        .when(F.col("use_raptor") & (F.col("_has_raptor") == 0),
+              F.lit("raptor"))
+        .when(F.col("use_graphrag") & (F.col("_has_graphrag") == 0),
+              F.lit("graphrag")))
+    progress = (
+        F.when(finished & (F.col("_bad") > 0), F.lit(-1.0))
+        .when(next_task.isNotNull(), snap)
+        .otherwise(F.col("_prg_sum") / F.col("_n")))
+    status = (
+        F.when(finished & (F.col("_bad") > 0), F.lit("4"))
+        .when(finished & next_task.isNull(), F.lit("3"))
+        .otherwise(F.lit("1")))
+    return j.select("doc_id", progress.alias("progress"),
+                    status.alias("status"), next_task.alias("next_task"),
+                    "priority", "msg")

@@ -130,3 +130,72 @@ def test_reuse_gates(spark):
     assert got[12] == (False, None, 0)
     assert got[24] == (False, None, 0)
     assert got[36] == (False, None, 0)
+
+
+def _ref_progress(tsks, use_raptor, use_graphrag):
+    """Transcription of update_progress's per-doc fold
+    (document_service.py:387-433)."""
+    msg, prg, finished, bad = [], 0.0, True, 0
+    has_raptor = has_graphrag = False
+    priority = 0
+    status = "1"
+    for t in tsks:
+        if 0 <= t["progress"] < 1:
+            finished = False
+        if t["progress"] == -1:
+            bad += 1
+        prg += t["progress"] if t["progress"] >= 0 else 0
+        msg.append(t["progress_msg"])
+        if t["task_type"] == "raptor":
+            has_raptor = True
+        elif t["task_type"] == "graphrag":
+            has_graphrag = True
+        priority = max(priority, t["priority"])
+    prg /= len(tsks)
+    next_task = None
+    if finished and bad:
+        prg = -1
+        status = "4"
+    elif finished:
+        if use_raptor and not has_raptor:
+            next_task = "raptor"
+            prg = 0.98 * len(tsks) / (len(tsks) + 1)
+        elif use_graphrag and not has_graphrag:
+            next_task = "graphrag"
+            prg = 0.98 * len(tsks) / (len(tsks) + 1)
+        else:
+            status = "3"
+    return prg, status, next_task, priority, "\n".join(sorted(msg))
+
+
+def test_doc_progress_matches_reference(spark):
+    from ragflow_spark.job.taskplan import doc_progress
+
+    t = lambda p, m, ty="", pr=0: dict(progress=p, progress_msg=m,
+                                       task_type=ty, priority=pr)
+    docs = {
+        1: ([t(1.0, "b"), t(0.5, "a")], False, False),   # running
+        2: ([t(1.0, "x"), t(1.0, "y", pr=3)], False, False),  # done
+        3: ([t(1.0, "x"), t(-1.0, "boom")], False, False),    # fail
+        4: ([t(1.0, "x")], True, False),                  # raptor due
+        5: ([t(1.0, "x"), t(1.0, "r", "raptor")], True, True),  # grag
+        6: ([t(1.0, "x"), t(1.0, "r", "raptor"),
+             t(1.0, "g", "graphrag")], True, True),       # done
+        7: ([t(-1.0, "bad"), t(0.2, "going")], False, False),  # running
+    }
+    tasks = spark.createDataFrame(
+        [(d,) + tuple(x.values()) for d, (ts, _, _) in docs.items()
+         for x in ts],
+        schema="doc_id long, progress double, progress_msg string, "
+               "task_type string, priority long")
+    flags = spark.createDataFrame(
+        [(d, r, g) for d, (_, r, g) in docs.items()],
+        schema="doc_id long, use_raptor boolean, use_graphrag boolean")
+    got = {r["doc_id"]: r for r in doc_progress(tasks, flags).collect()}
+    for d, (ts, r, g) in docs.items():
+        prg, status, nxt, pr, msg = _ref_progress(ts, r, g)
+        row = got[d]
+        assert row["progress"] == pytest.approx(prg), d
+        assert row["status"] == status, d
+        assert row["next_task"] == nxt, d
+        assert row["priority"] == pr and row["msg"] == msg, d
