@@ -51,7 +51,8 @@ def run_job(spark: SparkSession, input_path: str, output_dir: str,
             template: str = "naive", n_buckets: int = 64, waves: int = 8,
             resume: bool = True, salt_buckets: int = 8,
             repartition: int | None = None, run_id: str | None = None,
-            fail_after_wave: int | None = None) -> dict:
+            fail_after_wave: int | None = None,
+            index: bool = False, kb_id: str = "kb") -> dict:
     """Run the extraction job; returns a summary dict.
 
     ``fail_after_wave`` injects a crash after the k-th wave commits
@@ -88,6 +89,24 @@ def run_job(spark: SparkSession, input_path: str, output_dir: str,
         chunks = chunk_pages(sub, template).withColumn(
             "bucket", ck.bucket_col("url", n_buckets))
         _write_partitioned(chunks, chunks_path)
+        if index:
+            # search-store rows (build_chunks field assembly,
+            # rag/svr/task_executor.py:256-293) from the committed
+            # chunk files; embedding is a model seam the cluster job
+            # adds via indexing.embed_chunks(encode=<pandas UDF>)
+            from ragflow_spark.operators.indexing import index_rows
+            crows = spark.read.parquet(chunks_path).where(
+                F.col("bucket").isin(wave))
+            idx = index_rows(
+                crows.select(
+                    F.col("url").alias("doc_id"),
+                    F.col("chunk_text").alias("content_with_weight"),
+                    F.lit(None).cast("binary").alias("image"),
+                    "chunk_seq", "bucket"),
+                kb_id,
+                create_time=time.strftime("%Y-%m-%d %H:%M:%S"),
+                create_timestamp=time.time())
+            _write_partitioned(idx, f"{output_dir}/index")
         wall_ms = int((time.perf_counter() - t0) * 1000)
 
         # metrics from the committed files (exact, no extra lineage cache)
@@ -135,6 +154,9 @@ def main() -> None:
     ap.add_argument("--salt-buckets", type=int, default=8)
     ap.add_argument("--repartition", type=int, default=None)
     ap.add_argument("--no-resume", action="store_true")
+    ap.add_argument("--index", action="store_true",
+                    help="also write search-store rows to index/")
+    ap.add_argument("--kb-id", default="kb")
     args = ap.parse_args()
 
     from ragflow_spark.job.session import get_spark
@@ -143,7 +165,8 @@ def main() -> None:
         spark, args.input, args.output, template=args.template,
         n_buckets=args.buckets, waves=args.waves,
         resume=not args.no_resume, salt_buckets=args.salt_buckets,
-        repartition=args.repartition,
+        repartition=args.repartition, index=args.index,
+        kb_id=args.kb_id,
     )
     print(json.dumps(summary))
     spark.stop()

@@ -114,3 +114,26 @@ def test_lineage_metrics_cover_all_docs(spark, pages_path, tmp_path):
     assert len(summ) == 1 and summ[0].status == "ok"
     assert summ[0].n_docs == n_pages
     assert summ[0].n_bytes > 0 and summ[0].n_chunks > 0
+
+
+def test_index_stage_rows(spark, pages_path, tmp_path):
+    """--index writes search-store rows whose ids are the reference
+    xxh64(content + doc_id) over the committed chunk files."""
+    from ragflow_spark.extractlib.xxh64 import xxh64_hexdigest
+    from ragflow_spark.job.run_extract import run_job
+
+    out = str(tmp_path / "out_idx")
+    run_job(spark, pages_path, out,
+            n_buckets=4, waves=2, index=True, kb_id="kb9")
+    idx = spark.read.parquet(f"{out}/index")
+    rows = idx.collect()
+    assert rows
+    chunks = {(r["url"], r["chunk_seq"]): r["chunk_text"]
+              for r in spark.read.parquet(f"{out}/chunks").collect()}
+    assert len(rows) == len(chunks)
+    for r in rows[:20]:
+        text = chunks[(r["doc_id"], r["chunk_seq"])]
+        assert r["content_with_weight"] == text
+        assert r["id"] == xxh64_hexdigest(
+            (text + r["doc_id"]).encode("utf-8"))
+        assert r["kb_id"] == "kb9" and r["img_id"] == ""
