@@ -104,58 +104,58 @@ def raptor_tiers(chunks: DataFrame,
            .select("doc_id", "pos", "content", "vec")
            .localCheckpoint())
 
-    def summarize_group(pdf: pd.DataFrame) -> pd.DataFrame:
-        pdf = pdf.sort_values("pos")
-        texts = list(pdf["content"])
-        len_per_chunk = int((llm_max_length - max_token) / len(texts))
-        cluster_content = "\n".join(
-            truncate(t, max(1, len_per_chunk)) for t in texts)
-        cnt = _CONTINUATION_RE.sub("", summarize_fn(cluster_content))
-        vec = [float(x) for x in embed_fn(cnt)]
-        return pd.DataFrame({
-            "doc_id": [pdf["doc_id"].iloc[0]],
-            "layer": [int(pdf["layer"].iloc[0])],
-            "pos": [int(pdf["label"].iloc[0])],
-            "content": [cnt], "vec": [vec]})
-
-    tiers = None
-    for layer in range(1, max_layers + 1):
-        sizes = cur.groupBy("doc_id").agg(F.count("*").alias("_n"))
-        live = (cur.join(sizes, "doc_id")
-                .where(F.col("_n") > 1))
-        if live.isEmpty():
-            break
-
-        def label_group(grp: pd.DataFrame) -> pd.DataFrame:
-            grp = grp.sort_values("pos").copy()
-            if len(grp) == 2:          # raptor.py:119 shortcut
-                grp["label"] = 0
-            else:
-                grp["label"] = cluster_fn(grp).astype(int)
-            return grp
-
-        # applyInPandas hands each doc's whole layer to one call (an
-        # Arrow batch boundary must never split a clustering)
-        labeled = live.groupBy("doc_id").applyInPandas(
-            label_group,
-            schema=("doc_id long, pos int, content string, "
-                    "vec array<double>, _n long, label int"))
-        nxt = (labeled
-               .withColumn("layer", F.lit(layer))
-               .groupBy("doc_id", "label")
-               .applyInPandas(summarize_group, schema=_TIER_SCHEMA)
-               .localCheckpoint())
-
-        shrunk = (nxt.groupBy("doc_id")
-                  .agg(F.count("*").alias("_k"))
-                  .join(sizes, "doc_id")
-                  .where(F.col("_k") >= F.col("_n")))
-        if not shrunk.isEmpty():
+    def layer_step(grp: pd.DataFrame) -> pd.DataFrame:
+        # one call per (doc, layer): cluster AND summarize — the two
+        # reference phases share the doc's rows, so fusing them saves
+        # a shuffle + Arrow pass per layer
+        grp = grp.sort_values("pos").reset_index(drop=True)
+        n = len(grp)
+        if n <= 1:                      # this doc's tree is done
+            return pd.DataFrame(
+                {"doc_id": pd.Series([], dtype="int64"),
+                 "pos": pd.Series([], dtype="int32"),
+                 "content": pd.Series([], dtype="object"),
+                 "vec": pd.Series([], dtype="object")})
+        if n == 2:                      # raptor.py:119 shortcut
+            labels = [0, 0]
+        else:
+            labels = list(cluster_fn(grp).astype(int))
+        k = max(labels) + 1
+        if k >= n:
             raise RuntimeError(
                 "raptor layer did not shrink; cluster_fn must emit "
                 "fewer clusters than members")
-        tiers = nxt if tiers is None else tiers.unionByName(nxt)
-        cur = nxt.select("doc_id", "pos", "content", "vec")
+        rows = []
+        for c in range(k):
+            texts = [grp["content"][i] for i in range(n)
+                     if labels[i] == c]
+            if not texts:               # reference asserts non-empty
+                raise RuntimeError(f"raptor cluster {c} is empty")
+            len_per_chunk = int((llm_max_length - max_token)
+                                / len(texts))
+            cluster_content = "\n".join(
+                truncate(t, max(1, len_per_chunk)) for t in texts)
+            cnt = _CONTINUATION_RE.sub("",
+                                       summarize_fn(cluster_content))
+            rows.append({"doc_id": grp["doc_id"][0], "pos": c,
+                         "content": cnt,
+                         "vec": [float(x) for x in embed_fn(cnt)]})
+        return pd.DataFrame(rows)
+
+    tiers = None
+    for layer in range(1, max_layers + 1):
+        nxt = (cur.groupBy("doc_id")
+               .applyInPandas(layer_step,
+                              schema=("doc_id long, pos int, "
+                                      "content string, "
+                                      "vec array<double>"))
+               .localCheckpoint())
+        if nxt.isEmpty():
+            break
+        lay = nxt.withColumn("layer", F.lit(layer)) \
+            .select("doc_id", "layer", "pos", "content", "vec")
+        tiers = lay if tiers is None else tiers.unionByName(lay)
+        cur = nxt
     else:
         raise RuntimeError(f"raptor exceeded {max_layers} layers")
 
