@@ -52,7 +52,8 @@ def run_job(spark: SparkSession, input_path: str, output_dir: str,
             resume: bool = True, salt_buckets: int = 8,
             repartition: int | None = None, run_id: str | None = None,
             fail_after_wave: int | None = None,
-            index: bool = False, kb_id: str = "kb") -> dict:
+            index: bool = False, kb_id: str = "kb",
+            input_format: str = "parquet") -> dict:
     """Run the extraction job; returns a summary dict.
 
     ``fail_after_wave`` injects a crash after the k-th wave commits
@@ -72,7 +73,12 @@ def run_job(spark: SparkSession, input_path: str, output_dir: str,
     if not todo:
         return summary
 
-    pages = spark.read.parquet(input_path)
+    # input_format="iceberg" reads a catalog table name instead of a
+    # parquet dir — same scan contract (url/html column pruning and
+    # bucket pruning push down through either source); the sandbox has
+    # no Iceberg runtime, so tests exercise the parquet path and the
+    # cluster flips the flag
+    pages = spark.read.format(input_format).load(input_path)
     pages = pages.withColumn("bucket", ck.bucket_col("url", n_buckets))
 
     for wave_idx, wave in enumerate(_wave_groups(todo, waves)):
@@ -157,6 +163,9 @@ def main() -> None:
     ap.add_argument("--index", action="store_true",
                     help="also write search-store rows to index/")
     ap.add_argument("--kb-id", default="kb")
+    ap.add_argument("--input-format", default="parquet",
+                    choices=["parquet", "iceberg"],
+                    help="iceberg: --input is a catalog table name")
     args = ap.parse_args()
 
     from ragflow_spark.job.session import get_spark
@@ -166,7 +175,7 @@ def main() -> None:
         n_buckets=args.buckets, waves=args.waves,
         resume=not args.no_resume, salt_buckets=args.salt_buckets,
         repartition=args.repartition, index=args.index,
-        kb_id=args.kb_id,
+        kb_id=args.kb_id, input_format=args.input_format,
     )
     print(json.dumps(summary))
     spark.stop()

@@ -7,7 +7,8 @@ The reference loops per document: cluster the current top layer
 (UMAP + GaussianMixture), LLM-summarize each cluster, embed each
 summary, append, repeat until one node remains.  Here every LAYER is
 one distributed step over ALL documents simultaneously — a
-(doc_id, label) grouped ``applyInPandas`` — so a corpus of 10^9 docs
+doc_id-grouped ``applyInPandas`` that clusters, budget-truncates,
+summarizes and embeds in one call — so a corpus of 10^9 docs
 climbs its trees in ~log(max chunks/doc) Spark jobs instead of 10^9
 driver loops.  Per layer the active set shrinks geometrically and each
 round is ``localCheckpoint``-ed to truncate lineage (the dup_clusters
