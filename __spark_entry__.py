@@ -1857,7 +1857,8 @@ def _q_eval_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The benchmark harness's metric layer (rag/benchmark.py:247 —
     ranx ndcg@10/map@5/mrr@10, re-expressed as the trec_eval window
     folds in operators/evalmetrics.py) over a synthetic run/qrels
-    pair derived from documents: 20 queries, run = docs with
+    pair derived from documents: 10 judged qids (even doc_ids mod
+    20), run = docs with
     doc_id%4!=0 scored (doc_id*37)%101/100, qrels = even docs graded
     doc_id%5 (zero-judged rows included, some relevant docs absent
     from the run).  Ties rank by doc_id — the documented adaptation

@@ -26,18 +26,19 @@ _TOKEN_RE = re.compile(
 )
 
 
+def _piece_tokens(piece: str) -> int:
+    """The pinned per-piece cost — the ONE place the rule lives."""
+    if piece[0].isascii() and piece[0].isalpha() and len(piece) > 4:
+        return (len(piece) + 3) // 4
+    return 1
+
+
 def num_tokens_from_string(string: str) -> int:
     """Deterministic stand-in for tiktoken cl100k token count."""
     if not string:
         return 0
-    n = 0
-    for m in _TOKEN_RE.finditer(string):
-        piece = m.group(0)
-        if piece[0].isascii() and piece[0].isalpha() and len(piece) > 4:
-            n += (len(piece) + 3) // 4
-        else:
-            n += 1
-    return n
+    return sum(_piece_tokens(m.group(0))
+               for m in _TOKEN_RE.finditer(string))
 
 
 def token_head(string: str, n: int) -> str:
@@ -50,11 +51,7 @@ def token_head(string: str, n: int) -> str:
     bounds = []   # (start, cumulative tokens through this piece)
     total = 0
     for m in _TOKEN_RE.finditer(string):
-        piece = m.group(0)
-        if piece[0].isascii() and piece[0].isalpha() and len(piece) > 4:
-            total += (len(piece) + 3) // 4
-        else:
-            total += 1
+        total += _piece_tokens(m.group(0))
         bounds.append((m.start(), total))
     keep = total + n if n < 0 else n
     if keep <= 0:
@@ -77,11 +74,7 @@ def truncate(string: str, max_len: int) -> str:
         return string
     n = 0
     for m in _TOKEN_RE.finditer(string):
-        piece = m.group(0)
-        if piece[0].isascii() and piece[0].isalpha() and len(piece) > 4:
-            n += (len(piece) + 3) // 4
-        else:
-            n += 1
+        n += _piece_tokens(m.group(0))
         if n > max_len:
             return string[: m.start()]
     return string

@@ -172,8 +172,12 @@ def reuse_prev_chunks(tasks: DataFrame,
             .withColumn("reused", F.col("prev_chunk_ids").isNotNull())
             .withColumn(
                 "n_reused_chunks",
-                F.when(F.col("reused"),
-                       F.size(F.split(F.col("prev_chunk_ids"), " ")))
+                # the reference counts with str.split() — whitespace
+                # runs collapse, all-space strings count zero
+                F.when(F.col("reused")
+                       & (F.trim(F.col("prev_chunk_ids")) != ""),
+                       F.size(F.split(
+                           F.trim(F.col("prev_chunk_ids")), r"\s+")))
                 .otherwise(F.lit(0)))
             .withColumnRenamed("prev_chunk_ids", "chunk_ids"))
 

@@ -74,8 +74,14 @@ def community_prompt_inputs(members: DataFrame, nodes: DataFrame,
                      & (pairs["ej"] == edges["tgt"]))
     rev = pairs.join(edges, (pairs["ej"] == edges["src"])
                      & (pairs["ei"] == edges["tgt"]))
+    # the undirected store holds ONE row per pair (graph_merge emits
+    # canonical pairs); distinct() makes an accidentally
+    # double-oriented duplicate of the same row harmless, while
+    # same-pair rows with DIFFERING descriptions remain a precondition
+    # violation of that contract
     hit = fwd.unionByName(rev).select(
-        "level", "comm", "ri", "rj", "ei", "ej", "description")
+        "level", "comm", "ri", "rj", "ei", "ej",
+        "description").distinct()
     # the reference caps at pair_cap FOUND pairs in (i, j) scan order
     hit = (hit.withColumn(
         "rn",

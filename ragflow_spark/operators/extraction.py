@@ -336,10 +336,13 @@ def subgraph_gate(ents: DataFrame, rels: DataFrame,
                   .join(t, [doc_col, "tgt_id"], "semi"))
     tot = pairs.groupBy(doc_col).agg(F.count("*").alias("_tot"))
     kc = kept_pairs.groupBy(doc_col).agg(F.count("*").alias("n_edges"))
-    stats = (n_nodes.join(tot, doc_col, "left")
+    # full outer: a doc whose response parsed only relations (no
+    # entities at all) still reports its ignored count, as the
+    # reference's per-rel loop does
+    stats = (n_nodes.join(tot, doc_col, "full")
              .join(kc, doc_col, "left")
              .select(doc_col,
-                     "n_nodes",
+                     F.coalesce("n_nodes", F.lit(0)).alias("n_nodes"),
                      F.coalesce("n_edges", F.lit(0)).alias("n_edges"),
                      (F.coalesce("_tot", F.lit(0))
                       - F.coalesce("n_edges", F.lit(0)))

@@ -134,7 +134,10 @@ def index_rows(chunks: DataFrame, kb_id: str,
                        F.lit(float(create_timestamp)))
            .withColumn(
                "img_id",
-               F.when(F.col("image").isNotNull(),
+               # the reference gates on Python falsiness
+               # (task_executor.py:270) — empty bytes count as no image
+               F.when(F.col("image").isNotNull()
+                      & (F.octet_length("image") > 0),
                       F.concat(F.lit(kb_id), F.lit("-"), F.col("id")))
                .otherwise(F.lit("")))
            .drop("image"))

@@ -9,7 +9,9 @@ conversation: keep everything when the token total fits; otherwise
 keep the system messages plus the final message (the final message
 joins only when the conversation has more than one message — a
 single over-budget non-system message therefore yields an EMPTY kept
-list, quirk preserved); if still over, token-slice one side — the
+list, and a conversation ENDING in a system message keeps that
+message TWICE with its tokens double-counted, both quirks
+preserved); if still over, token-slice one side — the
 first kept message when it holds >0.8 of the first+last token mass,
 else the last — to ``max_length - ll2`` tokens (``ll2`` = the last
 kept message's count; the slice budget can go negative, Python slice
@@ -112,12 +114,27 @@ def fit_messages(msgs: DataFrame, max_length: int = 4000) -> DataFrame:
                        F.col("_tok"))).over(w)
     t = t.withColumn("_ll", ll).withColumn("_ll2", ll2)
 
+    # a conversation ENDING in a system message keeps that message
+    # twice — the reference appends msg[-1] to the system-filtered
+    # list unconditionally (prompts.py:73-75), so its tokens count
+    # twice and the output carries a duplicate row (both instances
+    # are the same dict there, so a slice mutates both)
+    dup = ((F.col("role") == "system")
+           & (F.col("seq") == F.col("_last_seq")) & (F.col("_n") > 1))
+    t = (t.withColumn("_dup", dup)
+         .withColumn(
+             "_tot_b",
+             F.col("_tot_b")
+             + F.coalesce(F.sum(F.when(dup, F.col("_tok"))).over(w),
+                          F.lit(0))))
+
     case_a = F.col("_total") < max_length
     case_b = F.coalesce(F.col("_tot_b"), F.lit(0)) < max_length
     trunc_first = (F.col("_ll") / (F.col("_ll") + F.col("_ll2"))) > 0.8
     trunc_seq = F.when(trunc_first, F.col("_first_kept")) \
         .otherwise(F.col("_last_kept"))
-    kept = t.where(case_a | F.col("_keep_b"))
+    kept = t.where(case_a | F.col("_keep_b")).unionByName(
+        t.where(~case_a & F.col("_dup")))
     kept = (kept
             .withColumn("_budget",
                         F.when(case_a | case_b, F.lit(None))

@@ -49,3 +49,22 @@ def test_doc_without_relations(spark):
     _kept, stats = subgraph_gate(ents, rels)
     assert [(r["n_nodes"], r["n_edges"], r["ignored_rels"])
             for r in stats.collect()] == [(2, 0, 0)]
+
+
+def test_rels_without_entities_still_report_ignored(spark):
+    """A doc whose response parsed only relations still reports its
+    ignored count (the reference's per-rel loop runs regardless)."""
+    from ragflow_spark.operators.extraction import subgraph_gate
+
+    ents = spark.createDataFrame(
+        [("d1", "A")], schema="chunk_key string, entity_name string")
+    rels = spark.createDataFrame(
+        [("d2", "X", "Y", 1.0), ("d2", "X", "Z", 1.0)],
+        schema="chunk_key string, src_id string, tgt_id string, "
+               "weight double")
+    _kept, stats = subgraph_gate(ents, rels)
+    got = {r["chunk_key"]: (r["n_nodes"], r["n_edges"],
+                            r["ignored_rels"])
+           for r in stats.collect()}
+    assert got["d2"] == (0, 0, 2)
+    assert got["d1"] == (1, 0, 0)

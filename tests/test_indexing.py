@@ -166,3 +166,14 @@ def test_index_rows_no_pagerank_field(spark):
         schema="doc_id long, content_with_weight string, image binary")
     row = index_rows(df, "kb1").collect()[0]
     assert "pagerank_fea" not in row.asDict()
+
+
+def test_index_rows_empty_image_is_falsy(spark):
+    """task_executor.py:270 gates on Python falsiness: zero-length
+    image bytes mean no image."""
+    from ragflow_spark.operators.indexing import index_rows
+
+    df = spark.createDataFrame(
+        [(1, "c", bytearray(b""))],
+        schema="doc_id long, content_with_weight string, image binary")
+    assert index_rows(df, "kb").collect()[0]["img_id"] == ""

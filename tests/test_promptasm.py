@@ -188,3 +188,28 @@ def test_chunks_format_coalesce(spark):
     assert r["document_id"] == 7 and r["document_name"] == "nm"
     assert r["dataset_id"] == "kb" and r["image_id"] == "img"
     assert r["positions"] == "0-1" and r["url"] == "http://x"
+
+
+def test_fit_messages_system_last_duplicates(spark):
+    """prompts.py:73-75 appends msg[-1] unconditionally, so a
+    conversation ENDING in a system message keeps it twice with
+    double-counted tokens (both instances are one dict there)."""
+    got = _fit_run(
+        spark,
+        {11: [{"role": "system", "content": "word " * 10},
+              {"role": "user", "content": "word " * 40},
+              {"role": "system", "content": "word " * 25}]},
+        max_length=60)
+    c, fitted = _ref_fit(
+        [{"role": "system", "content": "word " * 10},
+         {"role": "user", "content": "word " * 40},
+         {"role": "system", "content": "word " * 25}], 60)
+    # 10 + 25 + 25 = 60 (the dup counts twice) -> not < 60, so the
+    # slice path runs with budget 60-25=35 >= 25: a no-op slice
+    assert c == 60
+    assert len(fitted) == 3     # sys0, sys2, sys2 again
+    assert sorted(r[0] for r in got[11]) == [0, 2, 2]
+    assert all(r[3] == 60 for r in got[11])
+    want = sorted((m["_i"], m["role"], m["content"], c)
+                  for m in fitted)
+    assert got[11] == want

@@ -199,3 +199,20 @@ def test_doc_progress_matches_reference(spark):
         assert row["status"] == status, d
         assert row["next_task"] == nxt, d
         assert row["priority"] == pr and row["msg"] == msg, d
+
+
+def test_reuse_chunk_count_whitespace(spark):
+    """The reference counts chunks with str.split(): whitespace runs
+    collapse and an all-space chunk_ids string reuses zero chunks."""
+    from ragflow_spark.job.taskplan import reuse_prev_chunks
+
+    tasks = spark.createDataFrame(
+        [(0, "dA"), (12, "dB")], schema="from_page long, digest string")
+    prev = spark.createDataFrame(
+        [(0, 0, "dA", 1.0, "c1  c2 "), (1, 12, "dB", 1.0, "  ")],
+        schema=("prev_seq long, from_page long, digest string, "
+                "progress double, chunk_ids string"))
+    got = {r["from_page"]: (r["reused"], r["n_reused_chunks"])
+           for r in reuse_prev_chunks(tasks, prev).collect()}
+    assert got[0] == (True, 2)
+    assert got[12] == (True, 0)   # truthy-but-blank: reused, 0 chunks
