@@ -3364,13 +3364,13 @@ END) AS item FROM documents)
 WITH b AS (SELECT {_B} AS x),
 tf AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
 scores AS (
-    {_q_sql(0, ['the', 'fast', 'query', 'merge'])}
+    {_q_sql(0, ['fast', 'query', 'merge'])}
     UNION ALL
-    {_q_sql(1, ['the', 'spark', 'stream', 'window', 'flow'])}
+    {_q_sql(1, ['spark', 'stream', 'window', 'flow'])}
     UNION ALL
-    {_q_sql(2, ['big', 'the', 'small', 'table', 'scan'])}
+    {_q_sql(2, ['big', 'small', 'table', 'scan'])}
     UNION ALL
-    {_q_sql(3, ['column', 'group', 'the', 'vector', 'value'])}
+    {_q_sql(3, ['column', 'group', 'vector', 'value'])}
 ),
 r AS (SELECT qid, doc_id, score,
              row_number() OVER (PARTITION BY qid
@@ -4487,13 +4487,13 @@ FROM r WHERE rank <= 5
 WITH b AS (SELECT {_B} AS x),
 tf AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
 scores AS (
-    {_xp_sql(0, ['the', 'fast', 'query', 'merge'], ['join'])}
+    {_xp_sql(0, ['fast', 'query', 'merge'], ['join'])}
     UNION ALL
-    {_xp_sql(1, ['the', 'spark', 'stream', 'window', 'flow'], [])}
+    {_xp_sql(1, ['spark', 'stream', 'window', 'flow'], [])}
     UNION ALL
-    {_xp_sql(2, ['big', 'the', 'small', 'table', 'scan'], [])}
+    {_xp_sql(2, ['big', 'small', 'table', 'scan'], [])}
     UNION ALL
-    {_xp_sql(3, ['column', 'group', 'the', 'vector', 'value'], [])}
+    {_xp_sql(3, ['column', 'group', 'vector', 'value'], [])}
 ),
 r AS (SELECT qid, doc_id, score,
              row_number() OVER (PARTITION BY qid
@@ -4577,13 +4577,13 @@ r AS (SELECT *, row_number() OVER (PARTITION BY doc_id
 
     _QRY_TAG_CTES = f"""
 ql AS (
-  SELECT 0 AS qid, ['the', 'fast', 'query', 'merge'] AS qs
+  SELECT 0 AS qid, ['fast', 'query', 'merge'] AS qs
   UNION ALL
-  SELECT 1, ['the', 'spark', 'stream', 'window', 'flow']
+  SELECT 1, ['spark', 'stream', 'window', 'flow']
   UNION ALL
-  SELECT 2, ['big', 'the', 'small', 'table', 'scan']
+  SELECT 2, ['big', 'small', 'table', 'scan']
   UNION ALL
-  SELECT 3, ['column', 'group', 'the', 'vector', 'value']),
+  SELECT 3, ['column', 'group', 'vector', 'value']),
 ov2 AS (
   SELECT ql.qid, kb.kb_id
   FROM ql, kb
@@ -4647,10 +4647,10 @@ FROM nor JOIN dn USING (doc_id) JOIN qn USING (qid)
     # inside the corpus vocabulary — also matches documents. kscore
     # (the keyword_search candidate gate) stays base-terms-only.
     _RR_QUERIES = [
-        (0, ["the", "fast", "query", "merge"], 3, ["join"]),
-        (1, ["the", "spark", "stream", "window", "flow"], 0, []),
-        (2, ["big", "the", "small", "table", "scan"], 1, []),
-        (3, ["column", "group", "the", "vector", "value"], 1, []),
+        (0, ["fast", "query", "merge"], 3, ["join"]),
+        (1, ["spark", "stream", "window", "flow"], 0, []),
+        (2, ["big", "small", "table", "scan"], 1, []),
+        (3, ["column", "group", "vector", "value"], 1, []),
     ]
 
     def _rr_sql(qid: int, words: list[str], nsyn: int,

@@ -68,6 +68,47 @@ def _need_fine_grained(tk: str) -> bool:
     return True
 
 
+def preprocess_question(txt: str) -> str:
+    """question()'s shared prelude (query.py:76-81): lowercase,
+    full-width fold (tradi2simp is identity here), punctuation
+    collapse, one rmWWW pass."""
+    from .ragtok import str_q2b
+    from .termweight import rm_www
+
+    txt = re.sub(r"[ :|\r\n\t,，。？?/`!！&^%()\[\]{}<>]+", " ",
+                 str_q2b(txt.lower())).strip()
+    return rm_www(txt)
+
+
+def english_terms(txt: str, tw, sd, tok):
+    """The English-branch term pipeline (query.py:84-96) over a
+    preprocessed question: SECOND rmWWW pass, huqie tokens, Dealer
+    weights (preprocess=False), the DSL cleanup regexes, and the
+    synonym keyword extension.  Returns (tks_w, keywords,
+    quoted_syns) — the single source for the DSL assembly AND the
+    relational match/rerank term sides."""
+    from .termweight import rm_www
+
+    txt = rm_www(txt)
+    tks = tok.tokenize(txt).split()
+    keywords = [t for t in tks if t]
+    tks_w = tw.weights(tks, preprocess=False)
+    tks_w = [(re.sub(r"[ \\\"'^]", "", tk), w) for tk, w in tks_w]
+    tks_w = [(re.sub(r"^[a-z0-9]$", "", tk), w)
+             for tk, w in tks_w if tk]
+    tks_w = [(re.sub(r"^[\+-]", "", tk), w)
+             for tk, w in tks_w if tk]
+    tks_w = [(tk.strip(), w) for tk, w in tks_w if tk.strip()]
+    syns = []
+    for tk, w in tks_w[:256]:
+        s_tokens = tok.tokenize(" ".join(sd.lookup(tk))).split()
+        keywords.extend(s_tokens)
+        quoted = ['"{}"^{:.4f}'.format(s, w / 4.)
+                  for s in s_tokens if s.strip()]
+        syns.append(" ".join(quoted))
+    return tks_w, keywords, syns
+
+
 def question(txt: str, min_match: float = 0.6, dealer=None, syn=None,
              tokenizer=None):
     """query.py:75-205 — returns (query, extra, keywords) where
@@ -76,34 +117,15 @@ def question(txt: str, min_match: float = 0.6, dealer=None, syn=None,
     from .huqie import default_tokenizer
     from .synonyms import SynonymDealer
     from .termweight import TermWeightDealer, rm_www
-    from .ragtok import str_q2b
 
     tw = dealer or TermWeightDealer()
     sd = syn or SynonymDealer()
     tok = tokenizer or default_tokenizer()
 
-    txt = re.sub(r"[ :|\r\n\t,，。？?/`!！&^%()\[\]{}<>]+", " ",
-                 str_q2b(txt.lower())).strip()  # tradi2simp: identity
-    txt = rm_www(txt)
+    txt = preprocess_question(txt)
 
     if not is_chinese(txt):
-        txt = rm_www(txt)
-        tks = tok.tokenize(txt).split()
-        keywords = [t for t in tks if t]
-        tks_w = tw.weights(tks, preprocess=False)
-        tks_w = [(re.sub(r"[ \\\"'^]", "", tk), w) for tk, w in tks_w]
-        tks_w = [(re.sub(r"^[a-z0-9]$", "", tk), w)
-                 for tk, w in tks_w if tk]
-        tks_w = [(re.sub(r"^[\+-]", "", tk), w)
-                 for tk, w in tks_w if tk]
-        tks_w = [(tk.strip(), w) for tk, w in tks_w if tk.strip()]
-        syns = []
-        for tk, w in tks_w[:256]:
-            s_tokens = tok.tokenize(" ".join(sd.lookup(tk))).split()
-            keywords.extend(s_tokens)
-            quoted = ['"{}"^{:.4f}'.format(s, w / 4.)
-                      for s in s_tokens if s.strip()]
-            syns.append(" ".join(quoted))
+        tks_w, keywords, syns = english_terms(txt, tw, sd, tok)
         q = ["({}^{:.4f}".format(tk, w) + " {})".format(s)
              for (tk, w), s in zip(tks_w, syns)
              if tk and not re.match(r"[.^+\(\)-]", tk)]

@@ -44,14 +44,20 @@ class PptError(ValueError):
     """Not a PowerPoint binary, or a malformed one."""
 
 
-def _walk(data: bytes, off: int, end: int, slides: list[list[str]]):
+def _walk(data: bytes, off: int, end: int, slides: list[list[str]],
+          depth: int = 0):
+    if depth > 64:
+        # hostile nesting: a crafted file with thousands of nested
+        # containers must degrade as a PptError (caught upstream),
+        # never a RecursionError that escapes the handler
+        raise PptError("container nesting too deep")
     while off + 8 <= end:
         ver_inst, rectype, reclen = struct.unpack_from("<HHI", data, off)
         off += 8
         if off + reclen > end:
             raise PptError("record overruns its container")
         if (ver_inst & 0x000F) == 0x000F:
-            _walk(data, off, off + reclen, slides)
+            _walk(data, off, off + reclen, slides, depth + 1)
         elif rectype == RT_SLIDE_PERSIST_ATOM:
             slides.append([])
         elif rectype == RT_TEXT_CHARS_ATOM:

@@ -301,8 +301,11 @@ def for_edu(cv: dict, today: datetime.date) -> dict:
                 r"(211|985|重点大学|[,&;；-])", "",
                 n["school_name"]))
             e["sch_nm_kwd"] = sch[-1]
-        fea.append(tok.fine_grained_tokenize(
-            tokenize(n.get("school_name", ""))).split()[-1])
+        # the reference's bare split()[-1] (step_two.py:120) raises
+        # IndexError on an empty school name; degrade to '' so one
+        # malformed resume cannot kill a whole task
+        fea.append((tok.fine_grained_tokenize(
+            tokenize(n.get("school_name", ""))).split() or [""])[-1])
 
         if n.get("discipline_name") and isinstance(n["discipline_name"],
                                                    str):

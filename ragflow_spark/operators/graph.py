@@ -239,8 +239,12 @@ def hierarchical_communities(edges: DataFrame,
                 "node": nodes,
                 "cluster": [min(n, find(n)) for n in nodes]})
 
+        # node ids are whatever the edge table carries — bigint in the
+        # synthetic oracle graph, entity-name strings in the KG
+        node_t = edges.schema[src].dataType.simpleString()
         refined = ce.groupBy("cluster").applyInPandas(
-            split, schema="node long, cluster long").localCheckpoint()
+            split, schema=f"node {node_t}, cluster {node_t}") \
+            .localCheckpoint()
         # isolated members of a split community (no intra-edges) keep
         # themselves as singleton clusters
         lone = members.join(refined, "node", "left_anti") \

@@ -65,9 +65,11 @@ def nhop_pairs(ents_q: DataFrame) -> DataFrame:
         F.sum(F.col("sim") / (F.col("hop_i") + 2)).alias("nhop_sim"),
         F.expr("max_by(w, struct(ent_seq, nbr_seq, hop_i))")
          .alias("nhop_pagerank"),
-        F.min(F.col("ent_seq").cast("long") * 1000000
-              + F.col("nbr_seq") * 1000 + F.col("hop_i"))
-         .alias("first_seen"))
+        F.min(F.col("ent_seq").cast("long") * 1000000000000
+              + F.col("nbr_seq").cast("long") * 1000000
+              + F.col("hop_i"))
+         .alias("first_seen"))  # 10^6-wide fields: no collision below
+                                # a million paths/hops per entity
 
 
 def fuse_entities(ents_q: DataFrame, ents_t: DataFrame,
@@ -76,7 +78,10 @@ def fuse_entities(ents_q: DataFrame, ents_t: DataFrame,
     keep top-n per qid (search.py:191-195,221-222).  Ties keep ES
     result order (Python ``sorted`` is stable)."""
     boosted = ents_q.join(
-        ents_t.select("qid", "entity").withColumn("ty_hit", F.lit(1)),
+        # distinct: the reference tests set membership, so a store
+        # result listing an entity twice must not duplicate candidates
+        ents_t.select("qid", "entity").distinct()
+        .withColumn("ty_hit", F.lit(1)),
         ["qid", "entity"], "left") \
         .withColumn("sim", F.when(F.col("ty_hit").isNotNull(),
                                   F.col("sim") * 2)
@@ -131,10 +136,13 @@ def fuse_relations(rels: DataFrame, ents_q: DataFrame,
                 F.col("sd").alias("description"),
                 F.lit(0.0).alias("s_nhop"), "first_seen")
 
-    ty_f = ents_t.select("qid", F.col("entity").alias("f"),
-                         F.lit(1).alias("hit_f"))
-    ty_t = ents_t.select("qid", F.col("entity").alias("t"),
-                         F.lit(1).alias("hit_t"))
+    # distinct mirrors the reference's set membership: a duplicated
+    # store row must not double a candidate's endpoint boost
+    ty = ents_t.select("qid", "entity").distinct()
+    ty_f = ty.select("qid", F.col("entity").alias("f"),
+                     F.lit(1).alias("hit_f"))
+    ty_t = ty.select("qid", F.col("entity").alias("t"),
+                     F.lit(1).alias("hit_t"))
     fused = matched.unionByName(leftover) \
         .join(ty_f, ["qid", "f"], "left") \
         .join(ty_t, ["qid", "t"], "left")

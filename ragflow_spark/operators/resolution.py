@@ -62,8 +62,7 @@ import pandas as pd
 from pyspark.sql import DataFrame, functions as F
 
 from .dedup import dup_clusters
-
-GRAPH_FIELD_SEP = "<SEP>"
+from .graph import GRAPH_FIELD_SEP
 
 
 def resolution_mapping(pairs: DataFrame,
@@ -192,10 +191,13 @@ def parse_resolution_results(responses: DataFrame,
     """entity_resolution.py:157-182 ``_process_results`` over a table
     of LLM responses: one output row per accepted (row, question
     index).  Pure JVM expressions — split, regexp_extract, filters."""
+    import re as _re
+    # the reference splits literally — escape like the other two
+    # delimiters, or a regex-significant custom delimiter mis-splits
     rec = responses.withColumn(
         "_rec", F.explode(F.split(F.col(response_col),
-                                  F.lit(record_delimiter), -1)))
-    import re as _re
+                                  F.lit(_re.escape(record_delimiter)),
+                                  -1)))
     pat_int = f"{_re.escape(entity_index_delimiter)}(\\d+)" \
               f"{_re.escape(entity_index_delimiter)}"
     pat_bool = f"{_re.escape(resolution_result_delimiter)}([a-zA-Z]+)" \

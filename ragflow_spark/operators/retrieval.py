@@ -31,20 +31,35 @@ _NORM = ("sqrt(aggregate({a}, cast(0 as double), "
 
 
 def query_terms(queries: DataFrame) -> DataFrame:
-    """(qid, question) -> (qid, term, weight): rmWWW -> split ->
-    Dealer.weights (query.py:81-91 english branch shape; the per-term
-    cleanup regexes there strip quoting for the ES DSL and are
-    DSL-bound, not semantic — terms here are already bare)."""
+    """(qid, question) -> (qid, term, weight): the match-side term set
+    of FulltextQueryer.question() — the shared prelude + the English
+    branch's double-rmWWW/huqie/cleanup pipeline (query.py:76-96, via
+    fulltext_query.english_terms, the same code that assembles the
+    DSL).  The is_chinese branch (also taken by <=3-token English
+    questions, reference quirk) keeps the flat Dealer weighting over
+    the preprocessed text — the documented relational reduction of the
+    Chinese weighted-subterm DSL (which fulltext_query.question()
+    renders in full)."""
     def gen(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        from ragflow_spark.extractlib.termweight import (TermWeightDealer,
-                                                         rm_www)
+        from ragflow_spark.extractlib.fulltext_query import (
+            english_terms, is_chinese, preprocess_question)
+        from ragflow_spark.extractlib.huqie import default_tokenizer
+        from ragflow_spark.extractlib.synonyms import SynonymDealer
+        from ragflow_spark.extractlib.termweight import TermWeightDealer
 
         dealer = TermWeightDealer()
+        syn = SynonymDealer()
+        tok = default_tokenizer()
         for pdf in it:
             qids, terms, weights = [], [], []
             for qid, question in zip(pdf["qid"], pdf["question"]):
-                txt = rm_www(question)
-                for t, w in dealer.weights(dealer.split(txt)):
+                txt = preprocess_question(question)
+                if is_chinese(txt):
+                    tw = dealer.weights(dealer.split(txt))
+                else:
+                    tw, _kws, _syns = english_terms(txt, dealer, syn,
+                                                    tok)
+                for t, w in tw:
                     qids.append(qid)
                     terms.append(t)
                     weights.append(w)
@@ -151,21 +166,23 @@ def rerank_query_terms(queries: DataFrame) -> DataFrame:
     query_terms (the match side) where synonyms ride as quarter-boost
     DSL clauses instead."""
     def gen(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        from ragflow_spark.extractlib.huqie import tokenize
+        from ragflow_spark.extractlib.fulltext_query import question
+        from ragflow_spark.extractlib.huqie import default_tokenizer
         from ragflow_spark.extractlib.synonyms import SynonymDealer
         from ragflow_spark.extractlib.termweight import (TermWeightDealer,
-                                                         rm_www,
                                                          to_weight_dict)
 
         dealer = TermWeightDealer()
         syn = SynonymDealer()
+        tok = default_tokenizer()
         for pdf in it:
             qids, terms, weights = [], [], []
-            for qid, question in zip(pdf["qid"], pdf["question"]):
-                base = tokenize(rm_www(question)).split()
-                kws = list(base)
-                for t in base[:256]:
-                    kws.extend(tokenize(" ".join(syn.lookup(t))).split())
+            for qid, q in zip(pdf["qid"], pdf["question"]):
+                # the REAL question() keywords — prelude, double
+                # rmWWW, cleanup regexes, synonym extension — not an
+                # approximation of them
+                _q, _extra, kws = question(q, dealer=dealer, syn=syn,
+                                           tokenizer=tok)
                 for t, w in to_weight_dict(dealer, kws).items():
                     qids.append(qid)
                     terms.append(t)
@@ -186,13 +203,16 @@ def query_expansion(queries: DataFrame) -> DataFrame:
     the '"a b"^w*2' quoted-phrase boosts); phrase terms are 'a b'
     strings matched against bigram postings."""
     def gen(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        from ragflow_spark.extractlib.huqie import tokenize
+        from ragflow_spark.extractlib.fulltext_query import (
+            english_terms, preprocess_question)
+        from ragflow_spark.extractlib.huqie import (default_tokenizer,
+                                                    tokenize)
         from ragflow_spark.extractlib.synonyms import SynonymDealer
-        from ragflow_spark.extractlib.termweight import (TermWeightDealer,
-                                                         rm_www)
+        from ragflow_spark.extractlib.termweight import TermWeightDealer
 
         dealer = TermWeightDealer()
         syn = SynonymDealer()
+        tok = default_tokenizer()
         for pdf in it:
             qids, terms, boosts = [], [], []
 
@@ -202,7 +222,8 @@ def query_expansion(queries: DataFrame) -> DataFrame:
                 boosts.append(w)
 
             for qid, question in zip(pdf["qid"], pdf["question"]):
-                tw = dealer.weights(dealer.split(rm_www(question)))
+                tw, _kws, _syns = english_terms(
+                    preprocess_question(question), dealer, syn, tok)
                 for t, w in tw:
                     emit(qid, t, w)
                     for s in tokenize(" ".join(syn.lookup(t))).split():

@@ -48,20 +48,25 @@ def subject_clauses(subjects: DataFrame, id_col: str = "doc_id",
       stable-sorted by weight desc, top-``topn`` kept (query.py:245-247)
       — ``mult`` is the term's occurrence count inside that window,
       ``msm`` = max(1, int(min(3, n/10)))
-    - question mode: rmWWW -> Dealer pipeline terms (query.py:84-91),
+    - question mode: question()'s match terms (prelude + double
+      rmWWW + cleanups via fulltext_query.english_terms; Dealer fall-
+      back on the is_chinese branch),
       ``msm`` = 1 (tag_query passes min_match=0.0, search.py:481)
     Each clause row fans out to its synonym match keys (clause satisfied
     by ANY key; the consumer dedups per term before summing mult)."""
     def gen(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         from collections import Counter
 
-        from ragflow_spark.extractlib.huqie import tokenize
+        from ragflow_spark.extractlib.fulltext_query import (
+            english_terms, is_chinese, preprocess_question)
+        from ragflow_spark.extractlib.huqie import (default_tokenizer,
+                                                    tokenize)
         from ragflow_spark.extractlib.synonyms import SynonymDealer
-        from ragflow_spark.extractlib.termweight import (TermWeightDealer,
-                                                         rm_www)
+        from ragflow_spark.extractlib.termweight import TermWeightDealer
 
         dealer = TermWeightDealer()
         syn = SynonymDealer()
+        tok = default_tokenizer()
         syn_memo: dict[str, list[str]] = {}
 
         def keys_of(t: str) -> list[str]:
@@ -76,9 +81,16 @@ def subject_clauses(subjects: DataFrame, id_col: str = "doc_id",
                    "msm": []}
             for sid, text in zip(pdf["id"], pdf[text_col]):
                 if question:
-                    terms = [t for t, _w in
-                             dealer.weights(dealer.split(rm_www(text)))]
-                    counts = Counter(terms)
+                    # tag_query hands the question to question()
+                    # (search.py:483) — same prelude/branching as the
+                    # retrieval match side
+                    txt = preprocess_question(text)
+                    if is_chinese(txt):
+                        tw_list = dealer.weights(dealer.split(txt))
+                    else:
+                        tw_list, _k, _s = english_terms(
+                            txt, dealer, syn, tok)
+                    counts = Counter(t for t, _w in tw_list)
                     msm = 1
                 else:
                     tks = tokenize(text).split()

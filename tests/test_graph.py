@@ -152,3 +152,24 @@ def test_community_weights_normalized(spark):
          for r in community_weights(assigns, attrs).collect()}
     # cluster 100 weight 4, cluster 200 weight 2 -> normalized by 4
     assert w == {100: 1.0, 200: 0.5}
+
+
+def test_hierarchical_communities_string_nodes(spark):
+    """The KG keys nodes by entity-name strings; the refinement level
+    must handle them (labels = lexicographic min member)."""
+    from ragflow_spark.operators.graph import hierarchical_communities
+
+    # a 6-node chain of string entities, cap 3 -> level 1 splits
+    edges = spark.createDataFrame(
+        [(f"E{i}", f"E{i+1}") for i in range(5)],
+        schema="src string, dst string")
+    rows = hierarchical_communities(edges, max_cluster_size=3).collect()
+    lv0 = {r["node"]: r["cluster"] for r in rows if r["level"] == 0}
+    lv1 = {r["node"]: r["cluster"] for r in rows if r["level"] == 1}
+    assert set(lv0) == {f"E{i}" for i in range(6)}
+    assert set(lv0.values()) == {"E0"}
+    assert lv1  # the oversized root community was refined
+    assert all(isinstance(c, str) for c in lv1.values())
+    assert all(
+        sum(1 for v in lv1.values() if v == c) <= 3
+        for c in set(lv1.values()))

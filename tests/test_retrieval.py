@@ -74,13 +74,15 @@ def test_query_expansion_boosts():
     rows = {(r["term"]): r["boost"]
             for r in query_expansion(queries).collect()}
     w = rows["fast"]
-    assert abs(w - 0.25) < 1e-9
+    # question()'s double rmWWW drops 'the': 3 base terms at 1/3
+    assert abs(w - 1.0 / 3.0) < 1e-9
+    assert "the" not in rows
     # synonyms at w/4 (stemmed through huqie)
     assert abs(rows["quick"] - w / 4) < 1e-12
     assert abs(rows["join"] - w / 4) < 1e-12
     # adjacent-pair phrases at 2*max(w)
     assert abs(rows["queri merg"] - 2 * w) < 1e-12
-    assert abs(rows["the fast"] - 2 * w) < 1e-12
+    assert abs(rows["fast queri"] - 2 * w) < 1e-12
 
 
 def test_search_expanded_scores_synonym_and_phrase():
@@ -99,8 +101,8 @@ def test_search_expanded_scores_synonym_and_phrase():
     rows = {r["doc_id"]: r for r in
             keyword_search_expanded(docs, queries, k=3).collect()}
     assert 3 not in rows
-    w = 0.25
-    # doc1: 3 unigrams + 2 phrases = 3w + 2*(2w) = 1.75
+    w = 1.0 / 3.0   # 'the' dropped by the double rmWWW
+    # doc1: 3 unigrams + 2 phrases = 3w + 2*(2w)
     assert abs(rows[1]["score"] - (3 * w + 2 * 2 * w)) < 1e-6
     # doc2: only the synonym join at w/4
     assert abs(rows[2]["score"] - w / 4) < 1e-6
@@ -153,10 +155,11 @@ def test_rerank_fusion_matches_reference_formula(dealer):
     rows = {r["doc_id"]: r for r in
             rerank_fusion(docs, emb, queries, topn=3, k=3).collect()}
 
-    qtwt: dict = {}
-    for t, w in dealer.weights(
-            dealer.split(rm_www("what is the fast query merge"))):
-        qtwt[t] = qtwt.get(t, 0.0) + w
+    from ragflow_spark.extractlib.fulltext_query import question
+    from ragflow_spark.extractlib.termweight import to_weight_dict
+    _q, _e, kws = question("what is the fast query merge",
+                           dealer=dealer)
+    qtwt = to_weight_dict(dealer, kws)
     import numpy as np
     qv = np.array([1.0, 0.0, 2.0])
     for did, r in rows.items():
@@ -271,10 +274,10 @@ def test_keyword_search_end_to_end():
     queries = spark.createDataFrame(
         [(0, "what is the fast query")], schema="qid long, question string")
     rows = keyword_search(docs, queries, k=3).collect()
-    # doc 2 has tf(query)=3 > doc 1's the+fast+query=3... both score 3
-    # terms the/fast/queri at w=1/3 each: doc1 = 3 matches, doc2 = 3
+    # question() terms = fast/queri at 1/2 ('the' dropped): doc1
+    # scores 2*(1/2)=1.0, doc2's tf(query)=3 scores 1.5 -> doc2 first
     by_rank = [(r["rank"], r["doc_id"]) for r in rows]
-    assert (1, 1) in by_rank and (2, 2) in by_rank
+    assert (1, 2) in by_rank and (2, 1) in by_rank
     assert all(r["qid"] == 0 for r in rows)
     assert len(rows) == 2  # doc 3 matches nothing
 
@@ -321,17 +324,22 @@ def test_keyword_search_min_match_gate():
     queries = spark.createDataFrame(
         [(0, "what is the fast query merge")],
         schema="qid long, question string")
-    # terms: the/fast/queri/merg -> 4 terms; ES rounds the percentage
-    # DOWN: floor(0.6*4)=2 distinct hits required (a ceil would demand
-    # 3 and silently drop doc 3, which the reference stack returns)
+    # terms: fast/queri/merg -> 3 terms ('the' dropped); ES rounds the
+    # percentage DOWN: floor(0.6*3)=1 hit keeps every matching doc,
+    # floor(0.7*3)=2 drops the single-hit doc 2 (a ceil at 0.6 would
+    # demand 2 and silently drop it, which the reference returns)
     open_ids = {r["doc_id"] for r in
                 keyword_search(docs, queries, k=5).collect()}
     gated_ids = {r["doc_id"] for r in
                  keyword_search(docs, queries, k=5,
                                 min_match=0.6).collect()}
     assert open_ids == {1, 2, 3}
-    assert gated_ids == {1, 3}  # docs reaching 2 distinct hits
-    # the floor clamps at 1: floor(0.2*4)=0 still needs one real hit
+    assert gated_ids == {1, 2, 3}
+    tight_ids = {r["doc_id"] for r in
+                 keyword_search(docs, queries, k=5,
+                                min_match=0.7).collect()}
+    assert tight_ids == {1, 3}  # docs reaching 2 distinct hits
+    # the floor clamps at 1: floor(0.2*3)=0 still needs one real hit
     low_ids = {r["doc_id"] for r in
                keyword_search(docs, queries, k=5,
                               min_match=0.2).collect()}
@@ -350,11 +358,12 @@ def test_rerank_query_terms_include_synonyms():
             for r in rerank_query_terms(queries).collect()}
     # question() keywords = base tokens + huqie-tokenized synonyms
     # (query.py:93-96): fast->quick,speedi and merg->join extend the
-    # 4 base stems to 7 equal-fallback-weight terms
-    assert set(rows) == {"the", "fast", "queri", "merg",
+    # 3 base stems ('the' dropped by the double rmWWW) to 6
+    # equal-fallback-weight terms
+    assert set(rows) == {"fast", "queri", "merg",
                          "quick", "speedi", "join"}
     for w in rows.values():
-        assert abs(w - 1.0 / 7.0) < 1e-9
+        assert abs(w - 1.0 / 6.0) < 1e-9
 
 
 def test_rerank_by_model_keeps_tokenless_candidates():
