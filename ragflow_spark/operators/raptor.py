@@ -18,11 +18,13 @@ Machinery kept from the reference:
 
 - input gates (raptor.py:82-85): a document with fewer than 2 chunks
   yields nothing; chunks with empty text or an empty embedding are
-  dropped first.  (When the filter itself reduces a 2-chunk doc to 1
-  the reference crashes inside UMAP on ``n_components = -1`` — the
-  stale ``end`` still counts the unfiltered list; here the filtered
-  count is authoritative and such a doc yields nothing.  Documented
-  divergence.)
+  dropped first.  (The reference computes ``end``/``original_length``
+  BEFORE the filter, so whenever the filter drops anything it either
+  crashes — UMAP on ``n_components = -1`` when one survivor remains,
+  the ``len(chunks) - end == n_clusters`` assert when >= 3 remain —
+  or silently mis-slices the output window (2 survivors).  Here the
+  filtered count is authoritative: every surviving doc builds its
+  full tree.  Documented divergence to the evident intent.)
 - the 2-node shortcut (raptor.py:119-133): a layer of exactly two
   chunks is summarized as one cluster without consulting the clusterer.
 - per-cluster prompt budgeting (raptor.py:88-97): members are ordered
