@@ -2583,6 +2583,66 @@ def _q_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     return audio_features(build_media_table(spark, sf_dir))
 
 
+def _q_ocr_det_prep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TextDetector preprocessing (deepdoc/vision/ocr.py:400-423,487 +
+    operators.py:294-400 DetResizeForTest, NormalizeImage): /32-snapped
+    target sizes with Python banker's rounding, resize ratios, and
+    bilinear pixel probes over the closed-form stub pages (linear in x,
+    so the oracle recomputes the resample's exact double arithmetic).
+    The ONNX det model downstream is the seam."""
+    from ragflow_spark.operators.visionprep import (build_ocr_pages,
+                                                    det_prep)
+
+    return det_prep(build_ocr_pages(spark, sf_dir))
+
+
+def _q_ocr_boxes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Detection postprocessing + reading order + crop frames
+    (ocr.py:460-491 filter_tag_det_res, :600-617 sorted_boxes,
+    :561-594 get_rotate_crop_image geometry) over synthetic DB-seam
+    quads: clockwise orient, clip, <=3px drop, the 10px-band bubble
+    sort, crop width/height/rot90."""
+    from ragflow_spark.operators.visionprep import (build_ocr_pages,
+                                                    ocr_boxes)
+
+    return ocr_boxes(build_ocr_pages(spark, sf_dir))
+
+
+def _q_ocr_rec_prep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TextRecognizer batching + resize_norm_img arithmetic
+    (ocr.py:141-165,351-377): stable aspect-ratio sort into 16-crop
+    batches, shared max_wh_ratio floored by 320/48, ceil-capped content
+    widths, and resampled pixel probes with the /255 -0.5 /0.5
+    normalization."""
+    from ragflow_spark.operators.visionprep import (build_rec_crops,
+                                                    rec_prep)
+
+    return rec_prep(build_rec_crops(spark, sf_dir))
+
+
+def _q_ocr_ctc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CTCLabelDecode + drop_score gate (deepdoc/vision/postprocess.py:
+    262-370, ocr.py:651-661) over synthetic recognition-head scores:
+    per-step argmax, consecutive-duplicate collapse BEFORE the blank
+    filter, mean confidence with the empty-selection 0 fallback, texts
+    below 0.5 blanked."""
+    from ragflow_spark.operators.visionprep import (build_rec_preds,
+                                                    ctc_texts)
+
+    return ctc_texts(build_rec_preds(spark, sf_dir))
+
+
+def _q_vision_nms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Greedy NMS (deepdoc/vision/operators.py:702-725, the layout
+    Recognizer's proposal filter) with the reference's +1 area
+    convention, over isolated overlapping pairs so the oracle's
+    pairwise rule equals the greedy scan."""
+    from ragflow_spark.operators.visionprep import (build_nms_boxes,
+                                                    nms_keep)
+
+    return nms_keep(build_nms_boxes(spark, sf_dir))
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: full byte-identity extraction at sf0.001."""
     return _q_extract_html(spark, "/root/testdata/sf0.001")
@@ -2643,6 +2703,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sql_refine": _q_sql_refine,
         "sql_answers": _q_sql_answers,
         "doc_progress": _q_doc_progress,
+        # -- round-3 session-7: deterministic OCR machinery ----------
+        "ocr_det_prep": _q_ocr_det_prep,
+        "ocr_boxes": _q_ocr_boxes,
+        "ocr_rec_prep": _q_ocr_rec_prep,
+        "ocr_ctc": _q_ocr_ctc,
+        "vision_nms": _q_vision_nms,
         "media_features": _q_media_features,
         "frame_sample": _q_frame_sample,
         "audio_features": _q_audio_features,
@@ -5388,6 +5454,212 @@ SELECT doc_id, 1 AS n_sections,
 FROM documents
 """
 
+    # -- deterministic OCR machinery (visionprep) ---------------------
+    # Float columns are compared UNROUNDED: both sides evaluate the
+    # identical IEEE-double expression tree (the stub pages are linear
+    # in x and constant in y, so the bilinear resample at a probe
+    # point is the transcribed clip/floor/lerp arithmetic below), and
+    # the checker's own rounding then acts on bit-equal values.
+
+    def _bil(bc: str, xp: str, w: str, rw: str, h: str, rh: str) -> str:
+        """visionops.bilinear_resize at (row 0, column ``xp``, channel
+        base value ``bc``): xs/fx from the half-pixel-center mapping,
+        x-lerp between the clamped neighbours, then the (vacuous but
+        kept) y-lerp — the same op order as the numpy body."""
+        xs = f"(((({xp}) + 0.5) * ({w})) / ({rw}) - 0.5)"
+        x0 = f"LEAST(GREATEST(FLOOR({xs}), 0), ({w}) - 1)"
+        x1 = f"LEAST({x0} + 1, ({w}) - 1)"
+        fx = f"LEAST(GREATEST({xs} - {x0}, 0), 1)"
+        ys = f"(((0.5) * ({h})) / ({rh}) - 0.5)"
+        y0 = f"LEAST(GREATEST(FLOOR({ys}), 0), ({h}) - 1)"
+        fy = f"LEAST(GREATEST({ys} - {y0}, 0), 1)"
+        top = (f"((({bc}) + {x0}) * (1.0 - {fx})"
+               f" + (({bc}) + {x1}) * {fx})")
+        return f"({top} * (1.0 - {fy}) + {top} * {fy})"
+
+    _det_mid = _bil("(doc_id * 29 + 17) % 48", "rw // 2", "w", "rw",
+                    "h", "rh")
+    ocr_det_prep_sql = f"""
+WITH p AS (
+    SELECT doc_id,
+           CAST(64 + doc_id % 128 AS INT) AS w,
+           CAST(48 + doc_id % 96 AS INT) AS h
+    FROM documents
+), s AS (
+    -- ratio is 1 (max side < 960); /32 snap with Python banker's
+    -- rounding: the .5 case (side % 32 = 16) goes to the EVEN multiple
+    SELECT doc_id, w, h,
+           GREATEST(CASE WHEN h % 32 = 16
+                         THEN 32 * ((h // 32) + ((h // 32) % 2))
+                         ELSE CAST(round(h / 32.0, 0) AS BIGINT) * 32
+                    END, 32) AS rh,
+           GREATEST(CASE WHEN w % 32 = 16
+                         THEN 32 * ((w // 32) + ((w // 32) % 2))
+                         ELSE CAST(round(w / 32.0, 0) AS BIGINT) * 32
+                    END, 32) AS rw
+    FROM p
+)
+SELECT doc_id, h AS src_h, w AS src_w,
+       CAST(rh AS INT) AS resize_h, CAST(rw AS INT) AS resize_w,
+       rh / (h * 1.0) AS ratio_h,
+       rw / (w * 1.0) AS ratio_w,
+       {_bil("(doc_id * 29) % 48", "0", "w", "rw", "h", "rh")}
+           AS px_left,
+       {_det_mid} AS px_mid,
+       {_bil("(doc_id * 29 + 34) % 48", "rw - 1", "w", "rw", "h", "rh")}
+           AS px_right,
+       ({_det_mid} * (1.0 / 255.0) - 0.456) / 0.224 AS norm_mid
+FROM s
+"""
+
+    ocr_boxes_sql = """
+WITH g AS (
+    SELECT doc_id,
+           CAST(64 + doc_id % 128 AS INT) AS w,
+           CAST(48 + doc_id % 96 AS INT) AS h,
+           b, i,
+           5 + ((doc_id * (5 + i * 2) + b * (3 + i * 4)) % 40) AS x0,
+           5 + b * 20 + i * 5 AS y0,
+           2 + ((doc_id + b * 7 + i * 13) % 42) AS bw,
+           6 + ((doc_id * 2 + b * 5 + i * 3) % 30) AS bh
+    FROM documents,
+         (SELECT unnest([0, 1, 2]) AS b),
+         (SELECT unnest([0, 1]) AS i)
+), c AS (
+    -- clip (x0 <= 44 never clips; orientation is identity for
+    -- clockwise TL-first rects), then the <=3px side filter
+    SELECT doc_id, b, x0,
+           LEAST(y0, h - 1) AS y0c,
+           LEAST(x0 + bw, w - 1) AS x2c,
+           LEAST(y0 + bh, h - 1) AS y2c
+    FROM g
+), k AS (
+    SELECT doc_id, b, x0, y0c, x2c, y2c,
+           x2c - x0 AS wd, y2c - y0c AS ht
+    FROM c
+    WHERE x2c - x0 > 3 AND y2c - y0c > 3
+)
+-- sorted_boxes: bands 15px apart never swap across; the in-band pair
+-- (5px apart) ends ordered by x then initial (y,x) order
+SELECT doc_id,
+       CAST(row_number() OVER (PARTITION BY doc_id
+                               ORDER BY b, x0, y0c) AS INT) AS rank,
+       CAST(x0 AS DOUBLE) AS x0, CAST(y0c AS DOUBLE) AS y0,
+       CAST(x2c AS DOUBLE) AS x2, CAST(y2c AS DOUBLE) AS y2,
+       CAST(wd AS INT) AS crop_w, CAST(ht AS INT) AS crop_h,
+       (ht * 1.0 / wd >= 1.5) AS rotated
+FROM k
+"""
+
+    _rec_l = _bil("((doc_id + j * 101) * 29) % 48", "0", "cw",
+                  "resized_w", "ch", "48")
+    _rec_r = _bil("((doc_id + j * 101) * 29 + 34) % 48",
+                  "resized_w - 1", "cw", "resized_w", "ch", "48")
+    ocr_rec_prep_sql = f"""
+WITH c0 AS (
+    SELECT doc_id,
+           CAST(unnest(range(doc_id % 20 + 3)) AS INT) AS j
+    FROM documents
+), c1 AS (
+    SELECT doc_id, j,
+           16 + ((doc_id + j * 7) % 32) AS ch,
+           24 + ((doc_id * 3 + j * 11) % 184) AS cw
+    FROM c0
+), r AS (
+    -- stable aspect-ratio sort (ties by crop index, the documented
+    -- determinization) into 16-crop batches
+    SELECT *,
+           CAST((row_number() OVER (PARTITION BY doc_id
+                                    ORDER BY cw / (ch * 1.0), j) - 1)
+                // 16 AS INT) AS batch_no
+    FROM c1
+), m AS (
+    SELECT *,
+           GREATEST(MAX(cw / (ch * 1.0))
+                        OVER (PARTITION BY doc_id, batch_no),
+                    320.0 / 48) AS mratio
+    FROM r
+), z AS (
+    SELECT doc_id, j, batch_no, mratio, ch, cw,
+           CAST(trunc(48 * mratio) AS INT) AS canvas_w,
+           CASE WHEN ceil(48 * (cw / (ch * 1.0))) > trunc(48 * mratio)
+                THEN CAST(trunc(48 * mratio) AS INT)
+                ELSE CAST(ceil(48 * (cw / (ch * 1.0))) AS INT)
+           END AS resized_w
+    FROM m
+)
+SELECT doc_id, j, batch_no, mratio AS max_wh_ratio, resized_w,
+       canvas_w,
+       {_rec_l} AS px_left,
+       {_rec_r} AS px_right,
+       (({_rec_l} / 255) - 0.5) / 0.5 AS norm_left
+FROM z
+"""
+
+    ocr_ctc_sql = """
+WITH st AS (
+    SELECT doc_id,
+           CAST(unnest(range(doc_id % 6 + 6)) AS INT) AS t
+    FROM documents
+), v AS (
+    SELECT doc_id, t,
+           CASE WHEN doc_id % 13 = 0
+                THEN [1.0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0]
+                ELSE [((doc_id * 7 + t * 3 + 0) % 11) / 10.0,
+                      ((doc_id * 7 + t * 3 + 5) % 11) / 10.0,
+                      ((doc_id * 7 + t * 3 + 10) % 11) / 10.0,
+                      ((doc_id * 7 + t * 3 + 15) % 11) / 10.0,
+                      ((doc_id * 7 + t * 3 + 20) % 11) / 10.0,
+                      ((doc_id * 7 + t * 3 + 25) % 11) / 10.0,
+                      ((doc_id * 7 + t * 3 + 30) % 11) / 10.0]
+           END AS ls
+    FROM st
+), a AS (
+    SELECT doc_id, t, list_max(ls) AS mx,
+           list_position(ls, list_max(ls)) - 1 AS idx
+    FROM v
+), sel AS (
+    SELECT doc_id, t, mx, idx,
+           (idx <> 0 AND (lag(idx) OVER w IS NULL
+                          OR idx <> lag(idx) OVER w)) AS s
+    FROM a WINDOW w AS (PARTITION BY doc_id ORDER BY t)
+), agg AS (
+    SELECT doc_id,
+           COALESCE(string_agg(
+               CASE WHEN s THEN substr('abcde ', idx, 1) END,
+               '' ORDER BY t), '') AS text,
+           COALESCE(AVG(CASE WHEN s THEN mx END), 0.0) AS conf_raw
+    FROM sel GROUP BY doc_id
+)
+SELECT doc_id, text, round(conf_raw, 6) AS conf,
+       CASE WHEN conf_raw >= 0.5 THEN text ELSE '' END AS kept_text
+FROM agg
+"""
+
+    vision_nms_sql = """
+WITH bx AS (
+    SELECT doc_id, CAST(j AS INT) AS j,
+           CAST(j // 2 AS INT) AS pair,
+           CAST((doc_id * (j + 3)) % 97 AS DOUBLE)
+               + CAST(j AS DOUBLE) / 100.0 AS score
+    FROM documents, (SELECT unnest([0, 1, 2, 3, 4]) AS j)
+), k AS (
+    -- isolated-pair construction: in-pair iou 1036/1364 > 0.3 for
+    -- every doc, cross-pair 0 — greedy keeps exactly the pair winner
+    -- plus the singleton
+    SELECT a.doc_id, a.j, a.score
+    FROM bx a
+    LEFT JOIN bx p ON p.doc_id = a.doc_id AND p.pair = a.pair
+                   AND p.j <> a.j
+    WHERE p.j IS NULL OR a.score > p.score
+)
+SELECT doc_id, j,
+       CAST(row_number() OVER (PARTITION BY doc_id
+                               ORDER BY score DESC) AS INT)
+           AS keep_rank
+FROM k
+"""
+
     return {
         "extract_html": extract,
         "chunks_naive": chunks_naive,
@@ -5491,6 +5763,11 @@ FROM documents
         "graph_edges": graph_edges_sql,
         "docx_img_lines": docx_img_lines_sql,
         "cite_answers": cite_answers_sql,
+        "ocr_det_prep": ocr_det_prep_sql,
+        "ocr_boxes": ocr_boxes_sql,
+        "ocr_rec_prep": ocr_rec_prep_sql,
+        "ocr_ctc": ocr_ctc_sql,
+        "vision_nms": vision_nms_sql,
         "media_features": media_features_sql,
         "frame_sample": frame_sample_sql,
         "audio_features": audio_features_sql,

@@ -224,6 +224,12 @@ def main() -> None:
     run("kb_prompts", lambda: _entry._q_kb_prompts(spark, sf_dir)
         .write.format("noop").mode("overwrite").save())
 
+    # session-7 family representative: OCR det preprocessing (map-only
+    # mapInPandas over the stub pages; ocr_boxes/rec/ctc share the
+    # shape with an added per-page group)
+    run("ocr_det_prep", lambda: _entry._q_ocr_det_prep(spark, sf_dir)
+        .write.format("noop").mode("overwrite").save())
+
     total = round(sum(timings.values()), 3)
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     stat1 = _cpu_times()

@@ -1,0 +1,326 @@
+"""OCR pre/post-processing as distributed operators — the Spark face
+of ``extractlib.visionops`` (the deterministic rule layer of
+/root/reference/deepdoc/vision/{ocr,operators,postprocess}.py; the
+ONNX det/rec inference and DBPostProcess bitmap tracing are the model
+seams, exactly like the layout/TSR recognizers).
+
+Scale shape: every operator is map-only over the page/crop rows —
+pixels are synthesized (stub codec) or decoded INSIDE the Arrow batch
+and never cross an exchange; outputs are small typed rows.  The one
+shuffle is the per-page ``applyInPandas`` group where the reference's
+logic is sequential per page: recognition batching (ocr.py:351-377
+forms batches from ONE page's crops), the sorted_boxes bubble, the
+CTC step fold — grouping by page is also what keeps those folds
+deterministic under any partitioning.
+
+Synthetic inputs mirror the multimodal stub convention
+(operators/multimodal.py): page sizes, crop boxes, and model scores
+are closed-form functions of doc_id so the DuckDB twins can recompute
+every output value; the pipeline itself treats them as opaque inputs,
+and production swaps the decoders/models behind the same signatures.
+The oracles pin elementwise bilinear samples (bit-exact double
+expression trees on both sides) plus all size/ratio/order arithmetic;
+full-tensor float32 parity is pinned by pytest goldens
+(tests/test_visionops.py) where aggregation order cannot drift.
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from ragflow_spark.extractlib import visionops as V
+
+
+def build_ocr_pages(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Synthetic page-image metadata from documents: width
+    64+doc_id%128, height 48+doc_id%96 (hits the h%32==16 banker's
+    rounding edge), pixels pixel(y,x,c) = (doc_id*29 + 17c) % 48 + x —
+    linear in x and constant in y, so bilinear resampling has a closed
+    form the oracle can recompute."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet") \
+        .select("doc_id")
+    return docs.select(
+        "doc_id",
+        (F.lit(64) + F.col("doc_id") % 128).cast("int").alias("width"),
+        (F.lit(48) + F.col("doc_id") % 96).cast("int").alias("height"))
+
+
+def _stub_page(seed: int, width: int, height: int) -> np.ndarray:
+    base = np.array([(seed * 29 + 17 * c) % 48 for c in range(3)],
+                    dtype=np.uint8)
+    x = np.arange(width, dtype=np.uint8)[None, :, None]
+    return (base[None, None, :] + x) * np.ones((height, 1, 1),
+                                               dtype=np.uint8)
+
+
+def det_prep(pages: DataFrame, limit_side_len: int = 960,
+             limit_type: str = "max") -> DataFrame:
+    """TextDetector preprocessing per page (ocr.py:400-423,487 chain):
+    DetResizeForTest size arithmetic + resample, then NormalizeImage /
+    ToCHWImage.  Emits the shape record [src_h, src_w, ratio_h,
+    ratio_w], three resampled-pixel probes (row 0; left / middle /
+    right columns on channels 0/1/2), and the middle probe pushed
+    through the normalization formula in double."""
+    def gen(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            out = {k: [] for k in ("doc_id", "src_h", "src_w",
+                                   "resize_h", "resize_w", "ratio_h",
+                                   "ratio_w", "px_left", "px_mid",
+                                   "px_right", "norm_mid")}
+            for did, w, h in zip(pdf["doc_id"], pdf["width"],
+                                 pdf["height"]):
+                img = _stub_page(int(did), int(w), int(h))
+                resized, shape = V.det_resize(img, limit_side_len,
+                                              limit_type)
+                rh, rw = resized.shape[:2]
+                px_l = float(resized[0, 0, 0])
+                px_m = float(resized[0, rw // 2, 1])
+                px_r = float(resized[0, rw - 1, 2])
+                out["doc_id"].append(int(did))
+                out["src_h"].append(int(shape[0]))
+                out["src_w"].append(int(shape[1]))
+                out["resize_h"].append(rh)
+                out["resize_w"].append(rw)
+                # float columns are NOT rounded: the twin transcribes
+                # the identical IEEE-double expression tree, so raw
+                # bits match and the checker's own rounding is applied
+                # to equal values (Python banker's round here vs
+                # DuckDB's half-away would instead mismatch on dyadic
+                # ties)
+                out["ratio_h"].append(float(shape[2]))
+                out["ratio_w"].append(float(shape[3]))
+                out["px_left"].append(px_l)
+                out["px_mid"].append(px_m)
+                out["px_right"].append(px_r)
+                # NormalizeImage's channel-1 formula in double
+                # (float32 tensor parity is golden-pinned in pytest)
+                out["norm_mid"].append(
+                    (px_m * (1.0 / 255.0) - 0.456) / 0.224)
+            yield pd.DataFrame(out)
+
+    return pages.mapInPandas(
+        gen, schema=("doc_id long, src_h int, src_w int, resize_h int, "
+                     "resize_w int, ratio_h double, ratio_w double, "
+                     "px_left double, px_mid double, px_right double, "
+                     "norm_mid double"))
+
+
+def build_det_boxes(pages: DataFrame) -> DataFrame:
+    """Synthetic DB-seam output: per page, 3 bands x 2 boxes of
+    axis-aligned clockwise quads.  Band b sits at y = 5 + 20b with its
+    two boxes 5px apart vertically (inside sorted_boxes' 10px band;
+    bands >= 10px apart so the bubble never crosses bands); x and
+    sizes are closed-form, widths 2-43 exercise the <=3 filter and
+    x+bw / y+bh overrun small pages to exercise clipping."""
+    bands = pages.select(
+        "doc_id", "width", "height",
+        F.explode(F.sequence(F.lit(0), F.lit(2))).alias("b"))
+    two = bands.select(
+        "doc_id", "width", "height", "b",
+        F.explode(F.sequence(F.lit(0), F.lit(1))).alias("i"))
+    did, b, i = F.col("doc_id"), F.col("b"), F.col("i")
+    x0 = (5 + ((did * (5 + i * 2) + b * (3 + i * 4)) % 40)) \
+        .cast("double")
+    y0 = (5 + b * 20 + i * 5).cast("double")
+    bw = (2 + ((did + b * 7 + i * 13) % 42)).cast("double")
+    bh = (6 + ((did * 2 + b * 5 + i * 3) % 30)).cast("double")
+    return two.select(
+        "doc_id", (b * 2 + i).cast("int").alias("box_j"),
+        x0.alias("x0"), y0.alias("y0"), bw.alias("bw"),
+        bh.alias("bh"), "width", "height")
+
+
+def ocr_boxes(pages: DataFrame) -> DataFrame:
+    """Detection postprocessing + reading order + crop geometry:
+    filter_tag_det_res (orient, clip, drop <=3px sides, ocr.py:477-491)
+    -> sorted_boxes (ocr.py:600-617) -> get_rotate_crop_image's target
+    frame (ocr.py:561-594).  One applyInPandas group per page — the
+    bubble pass is sequential within a page by construction."""
+    boxes = build_det_boxes(pages)
+
+    def per_page(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("box_j")
+        w = int(pdf["width"].iloc[0])
+        h = int(pdf["height"].iloc[0])
+        quads = []
+        for x0, y0, bw, bh in zip(pdf["x0"], pdf["y0"], pdf["bw"],
+                                  pdf["bh"]):
+            quads.append(np.array(
+                [[x0, y0], [x0 + bw, y0], [x0 + bw, y0 + bh],
+                 [x0, y0 + bh]], dtype="float32"))
+        kept = V.filter_tag_det_res(quads, (h, w))
+        ordered = V.sorted_boxes(kept)
+        rows = {"doc_id": pd.Series([], dtype="int64"),
+                "rank": pd.Series([], dtype="int32"),
+                "x0": pd.Series([], dtype="float64"),
+                "y0": pd.Series([], dtype="float64"),
+                "x2": pd.Series([], dtype="float64"),
+                "y2": pd.Series([], dtype="float64"),
+                "crop_w": pd.Series([], dtype="int32"),
+                "crop_h": pd.Series([], dtype="int32"),
+                "rotated": pd.Series([], dtype="bool")}
+        if not len(ordered):
+            return pd.DataFrame(rows)
+        recs = []
+        for r, box in enumerate(ordered):
+            cw, ch, rot = V.crop_geometry(box)
+            recs.append((int(pdf["doc_id"].iloc[0]), r + 1,
+                         float(box[0][0]), float(box[0][1]),
+                         float(box[2][0]), float(box[2][1]),
+                         cw, ch, bool(rot)))
+        return pd.DataFrame(recs, columns=list(rows))
+
+    return boxes.groupBy("doc_id").applyInPandas(
+        per_page,
+        schema=("doc_id long, rank int, x0 double, y0 double, "
+                "x2 double, y2 double, crop_w int, crop_h int, "
+                "rotated boolean"))
+
+
+def build_rec_crops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Synthetic text-line crops: 3 + doc_id%20 per page (so some
+    pages span multiple 16-crop recognition batches), sizes closed-form
+    in (doc_id, crop j); widths capped at 207 so the stub gradient
+    stays inside uint8."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet") \
+        .select("doc_id")
+    crops = docs.select(
+        "doc_id",
+        F.explode(F.sequence(
+            F.lit(0), (F.col("doc_id") % 20 + 2).cast("int")))
+        .alias("j"))
+    did, j = F.col("doc_id"), F.col("j")
+    return crops.select(
+        "doc_id", j.cast("int").alias("j"),
+        (16 + ((did + j * 7) % 32)).cast("int").alias("crop_h"),
+        (24 + ((did * 3 + j * 11) % 184)).cast("int").alias("crop_w"))
+
+
+def rec_prep(crops: DataFrame) -> DataFrame:
+    """TextRecognizer batching + resize_norm_img width arithmetic per
+    page (ocr.py:141-165,351-377): stable aspect-ratio sort, 16-crop
+    batches sharing max_wh_ratio (floored by 320/48), content width
+    ceil(48*w/h) capped at the int(48*ratio) canvas.  Emits per crop
+    the batch assignment, widths, two resampled-pixel probes on the
+    (48, resized_w) grid, and the left probe through the /255 -0.5
+    /0.5 normalization in double."""
+    def per_page(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("j").reset_index(drop=True)
+        widths = [int(x) for x in pdf["crop_w"]]
+        heights = [int(x) for x in pdf["crop_h"]]
+        ratios = V.rec_batch_ratios(widths, heights)
+        rows = []
+        did = int(pdf["doc_id"].iloc[0])
+        for i, (bno, mratio) in enumerate(ratios):
+            img = _stub_page(did + int(pdf["j"][i]) * 101,
+                             widths[i], heights[i])
+            resized_w, canvas_w = V.rec_resized_w(
+                heights[i], widths[i], mratio)
+            resized = V.bilinear_resize(img, 48, resized_w)
+            px_l = float(resized[0, 0, 0])
+            px_r = float(resized[0, resized_w - 1, 2])
+            # raw doubles (no rounding): twin-side expression trees
+            # are bit-identical, see det_prep
+            rows.append((did, int(pdf["j"][i]), int(bno),
+                         float(mratio), resized_w, canvas_w,
+                         px_l, px_r, (px_l / 255 - 0.5) / 0.5))
+        return pd.DataFrame(rows, columns=[
+            "doc_id", "j", "batch_no", "max_wh_ratio", "resized_w",
+            "canvas_w", "px_left", "px_right", "norm_left"])
+
+    return crops.groupBy("doc_id").applyInPandas(
+        per_page,
+        schema=("doc_id long, j int, batch_no int, max_wh_ratio double, "
+                "resized_w int, canvas_w int, px_left double, "
+                "px_right double, norm_left double"))
+
+
+CTC_CHARS = list("abcde")
+
+
+def build_rec_preds(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Synthetic recognition-head output (the ONNX seam): per doc a
+    (T, 7)-step score matrix, T = 6 + doc_id%6, score(t, c) =
+    ((doc_id*7 + t*3 + c*5) % 11) / 10; docs with doc_id%13 == 0 emit
+    pure-blank frames (the empty-selection path)."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet") \
+        .select("doc_id")
+    steps = docs.select(
+        "doc_id",
+        F.explode(F.sequence(
+            F.lit(0), (F.col("doc_id") % 6 + 5).cast("int")))
+        .alias("t"))
+    did, t = F.col("doc_id"), F.col("t")
+    scores = F.array(*[
+        F.when(did % 13 == 0,
+               F.lit(1.0) if c == 0 else F.lit(0.0))
+        .otherwise(((did * 7 + t * 3 + F.lit(c) * 5) % 11)
+                   .cast("double") / 10.0)
+        for c in range(7)])
+    return steps.select("doc_id", t.cast("int").alias("t"),
+                        scores.alias("scores"))
+
+
+def ctc_texts(preds: DataFrame,
+              drop_score: float = V.DROP_SCORE) -> DataFrame:
+    """CTCLabelDecode + the drop_score gate (postprocess.py:311-363,
+    ocr.py:651-661) over per-doc step rows.  One applyInPandas group
+    per doc — the duplicate collapse is sequential in t."""
+    charset = V.ctc_charset(CTC_CHARS, use_space_char=True)
+
+    def per_doc(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("t")
+        mat = np.array([list(s) for s in pdf["scores"]],
+                       dtype=np.float64)[None, :, :]
+        (text, conf), = V.ctc_decode(mat, charset)
+        kept, = V.drop_low_score([(text, conf)], drop_score)
+        return pd.DataFrame({
+            "doc_id": [int(pdf["doc_id"].iloc[0])],
+            "text": [text], "conf": [round(conf, 6)],
+            "kept_text": [kept]})
+
+    return preds.groupBy("doc_id").applyInPandas(
+        per_doc,
+        schema="doc_id long, text string, conf double, kept_text string")
+
+
+def build_nms_boxes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Synthetic proposal boxes for nms: per doc two overlapping pairs
+    plus one isolated singleton, scores distinct by construction."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet") \
+        .select("doc_id")
+    boxes = docs.select(
+        "doc_id",
+        F.explode(F.sequence(F.lit(0), F.lit(4))).alias("j"))
+    did, j = F.col("doc_id"), F.col("j")
+    pair = (j / 2).cast("int")            # 0,0,1,1,2
+    off = (j % 2).cast("int")             # overlap shift inside a pair
+    x1 = (pair * 200 + off * 4 + (did % 7)).cast("double")
+    y1 = (pair * 200 + off * 3).cast("double")
+    return boxes.select(
+        "doc_id", j.cast("int").alias("j"),
+        x1.alias("x1"), y1.alias("y1"),
+        (x1 + 40).alias("x2"), (y1 + 30).alias("y2"),
+        (((did * (j + 3)) % 97).cast("double")
+         + j.cast("double") / 100.0).alias("score"))
+
+
+def nms_keep(boxes: DataFrame, iou_thresh: float = 0.3) -> DataFrame:
+    """operators.py:702-725 greedy suppression per doc (the layout
+    Recognizer's proposal filter), one group per doc."""
+    def per_doc(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("j").reset_index(drop=True)
+        bb = pdf[["x1", "y1", "x2", "y2"]].to_numpy(dtype=np.float64)
+        sc = pdf["score"].to_numpy(dtype=np.float64)
+        keep = V.nms(bb, sc, iou_thresh)
+        return pd.DataFrame({
+            "doc_id": [int(pdf["doc_id"].iloc[0])] * len(keep),
+            "j": [int(pdf["j"][i]) for i in keep],
+            "keep_rank": list(range(1, len(keep) + 1))})
+
+    return boxes.groupBy("doc_id").applyInPandas(
+        per_doc, schema="doc_id long, j int, keep_rank int")
