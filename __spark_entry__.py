@@ -2643,6 +2643,23 @@ def _q_vision_nms(spark: SparkSession, sf_dir: str) -> DataFrame:
     return nms_keep(build_nms_boxes(spark, sf_dir))
 
 
+def _q_mind_map(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MindMapExtractor + the document_service mind-map row
+    (graphrag/general/mind_map_extractor.py:39-180,
+    api/db/services/document_service.py:592-609): token-budget section
+    batching, markdown-outline dictify, the list->kv pairing quirk
+    (unpaired bullets dropped), earlier-into-later batch reduce (last
+    batch's sections lead), keyset-deduped tree assembly, and the
+    indent-2 JSON rendering — the LLM markdown per batch is the seam
+    (closed-form generator here)."""
+    from ragflow_spark.operators.mindmaps import (build_mm_sections,
+                                                  mind_map_rows)
+
+    return mind_map_rows(build_mm_sections(spark, sf_dir)).select(
+        "doc_id", "docnm_kwd", "title_tks", "content_ltks",
+        "content_with_weight", "knowledge_graph_kwd", "n_batches")
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: full byte-identity extraction at sf0.001."""
     return _q_extract_html(spark, "/root/testdata/sf0.001")
@@ -2709,6 +2726,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ocr_rec_prep": _q_ocr_rec_prep,
         "ocr_ctc": _q_ocr_ctc,
         "vision_nms": _q_vision_nms,
+        "mind_map": _q_mind_map,
         "media_features": _q_media_features,
         "frame_sample": _q_frame_sample,
         "audio_features": _q_audio_features,
@@ -5636,6 +5654,50 @@ SELECT doc_id, text, round(conf_raw, 6) AS conf,
 FROM agg
 """
 
+    # mind_map: the JSON tree is rebuilt by string concatenation that
+    # mirrors json.dumps(indent=2) exactly; node shapes are fixed by
+    # the closed-form stub responses (one S/k/v chain per batch, the
+    # plain 'drop' bullet vanishing through the list->kv quirk), so
+    # the only variation is 1 vs 2 batches (doc_id % 3 = 2 -> the
+    # 3-section doc splits, and the merged children lead with batch 1)
+
+    def _mm_node(depth: int, id_expr: str, children: list) -> str:
+        pad = "  " * depth
+        pad1 = "  " * (depth + 1)
+        if children:
+            pad2 = "  " * (depth + 2)
+            kids = (" || ',\n" + pad2 + "' || ").join(children)
+            arr = "'[\n" + pad2 + "' || " + kids + \
+                  " || '\n" + pad1 + "]'"
+        else:
+            arr = "'[]'"
+        return ("'{\n" + pad1 + '"id": "\' || ' + id_expr
+                + " || '\",\n" + pad1 + '"children": \' || ' + arr
+                + " || '\n" + pad + "}'")
+
+    def _mm_s(b: int, depth: int) -> str:
+        s = f"'S{b}_' || ((doc_id + {b}) % 3)"
+        k = f"'k{b}_' || (doc_id % 2)"
+        v = f"'v' || ((doc_id * 3 + {b}) % 5)"
+        return _mm_node(depth, s,
+                        [_mm_node(depth + 2, k,
+                                  [_mm_node(depth + 4, v, [])])])
+
+    _mm_t = "'T' || (doc_id % 4)"
+    _mm_one = _mm_node(0, _mm_t, [_mm_s(0, 2)])
+    _mm_two = _mm_node(0, _mm_t, [_mm_s(1, 2), _mm_s(0, 2)])
+    mind_map_sql = f"""
+SELECT doc_id,
+       'doc_' || doc_id || '.pdf' AS docnm_kwd,
+       'doc _ ' || doc_id AS title_tks,
+       'summari summar 总 结 概 况 file 文 件 概 括' AS content_ltks,
+       CASE WHEN doc_id % 3 = 2 THEN {_mm_two}
+            ELSE {_mm_one} END AS content_with_weight,
+       'mind_map' AS knowledge_graph_kwd,
+       CASE WHEN doc_id % 3 = 2 THEN 2 ELSE 1 END AS n_batches
+FROM documents
+"""
+
     vision_nms_sql = """
 WITH bx AS (
     SELECT doc_id, CAST(j AS INT) AS j,
@@ -5768,6 +5830,7 @@ FROM k
         "ocr_rec_prep": ocr_rec_prep_sql,
         "ocr_ctc": ocr_ctc_sql,
         "vision_nms": vision_nms_sql,
+        "mind_map": mind_map_sql,
         "media_features": media_features_sql,
         "frame_sample": frame_sample_sql,
         "audio_features": audio_features_sql,

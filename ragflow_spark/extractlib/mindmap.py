@@ -1,0 +1,249 @@
+"""Mind-map extraction — the deterministic machinery of
+``MindMapExtractor`` (/root/reference/graphrag/general/
+mind_map_extractor.py:39-180) and its call site
+(/root/reference/api/db/services/document_service.py:592-609).
+
+The reference batches a document's chunks under an LLM token budget,
+asks the model for a markdown mind map per batch, converts each
+response with ``markdown_to_json.dictify`` + ``_todict``, reduces the
+batch dicts with ``_merge``, and renders a root tree via
+``_be_children``.  The LLM call is the seam; everything else is rules:
+
+- ``dictify`` here is a from-scratch parser for the markdown outline
+  grammar the mind-map prompt requests (headings + nested bullet
+  lists + plain lines), matching the public markdown_to_json library's
+  dict shape on that subset: headings nest by level, bullet runs
+  become lists where a deeper run rides as a nested list after its
+  parent item, plain lines become string values.  The library is not
+  vendored; behavior outside this outline subset is a documented seam.
+- ``_list_to_kv`` (mind_map_extractor.py:141-153): every list value
+  becomes a dict pairing each item with the FIRST element of the
+  nested list that follows it — items not followed by a sublist are
+  silently dropped, and a list with no sublists becomes {} (quirks
+  kept).
+- ``_merge`` (mind_map_extractor.py:128-139): reduce merges earlier
+  batches INTO later ones — colliding scalars keep the EARLIER batch's
+  value, colliding lists get the earlier items appended AFTER, and
+  keys new to the later dict append after its own (so a merged
+  document's children lead with the LAST batch's sections).  The
+  reference reduces in trio-nursery completion order, which is
+  nondeterministic; batch order here is section order (SURVEY §10.1
+  adaptation, same as RAPTOR).
+- ``_be_children`` / the root assembly (mind_map_extractor.py:61-77,
+  103-125): ``\\*+`` stripped from keys, a keyset suppressing repeated
+  dict keys across subtrees (leaf strings are exempt — the list branch
+  only updates the set), the single-top-key root short-circuit.
+- the batching fold (mind_map_extractor.py:88-101): budget
+  ``max(max_length*0.8, max_length-512)``, flush BEFORE adding when
+  the next section would cross it.
+- the call site's gate: a rendered JSON under 32 chars raises, which
+  the caller swallows — no mind-map row for that document.
+"""
+
+from __future__ import annotations
+
+import re
+
+from .tokens import num_tokens_from_string
+
+_HEADING_RE = re.compile(r"^(#{1,6})\s+(.*?)\s*#*\s*$")
+_BULLET_RE = re.compile(r"^(\s*)[-*+]\s+(.*)$")
+_FENCE_RE = re.compile(r"```[^\n]*")
+
+
+def dictify(md: str) -> dict:
+    """markdown_to_json.dictify for the outline subset (see module
+    docstring): nested dict keyed by headings; a heading with deeper
+    headings below it maps to their dict, a heading with bullet /
+    plain-line content maps to that list / string directly; content
+    before the first heading is outside the subset and dropped."""
+    root: dict = {}
+    stack: list[tuple[int, dict]] = [(0, root)]   # (level, container)
+    # the innermost heading currently accepting content
+    open_leaf: tuple[dict, str, int] | None = None
+    bullets: list | None = None
+    bullet_stack: list[list] = []
+    text_lines: list[str] = []
+
+    def flush_content() -> None:
+        nonlocal open_leaf, bullets, bullet_stack, text_lines
+        if open_leaf is not None:
+            holder, key, _lv = open_leaf
+            if bullets is not None:
+                holder[key] = bullets
+            elif text_lines:
+                holder[key] = (text_lines[0] if len(text_lines) == 1
+                               else list(text_lines))
+            else:
+                holder[key] = {}
+            open_leaf = None
+        bullets, bullet_stack, text_lines = None, [], []
+
+    for line in md.split("\n"):
+        h = _HEADING_RE.match(line)
+        if h:
+            level = len(h.group(1))
+            title = h.group(2)
+            if open_leaf is not None and open_leaf[2] < level \
+                    and bullets is None and not text_lines:
+                # the open heading becomes a container for this
+                # deeper heading
+                holder, key, lv = open_leaf
+                node: dict = {}
+                holder[key] = node
+                stack.append((lv, node))
+                open_leaf = None
+            else:
+                flush_content()
+            while stack[-1][0] >= level and len(stack) > 1:
+                stack.pop()
+            open_leaf = (stack[-1][1], title, level)
+            continue
+        b = _BULLET_RE.match(line)
+        if b and open_leaf is not None:
+            depth = len(b.group(1)) // 2
+            item = b.group(2)
+            if bullets is None:
+                bullets = []
+                bullet_stack = [bullets]
+            while len(bullet_stack) > depth + 1:
+                bullet_stack.pop()
+            while len(bullet_stack) < depth + 1:
+                sub: list = []
+                bullet_stack[-1].append(sub)
+                bullet_stack.append(sub)
+            bullet_stack[-1].append(item)
+            continue
+        if line.strip() and open_leaf is not None and bullets is None:
+            text_lines.append(line.strip())
+        # blank lines and pre-heading text: no state change
+
+    flush_content()
+    return root
+
+
+def _key(k: str) -> str:
+    return re.sub(r"\*+", "", k)
+
+
+def list_to_kv(data: dict) -> dict:
+    """mind_map_extractor.py:141-153 transcription."""
+    for key, value in data.items():
+        if isinstance(value, dict):
+            list_to_kv(value)
+        elif isinstance(value, list):
+            new_value = {}
+            for i in range(len(value)):
+                if isinstance(value[i], list) and i > 0:
+                    new_value[value[i - 1]] = value[i][0]
+            data[key] = new_value
+        else:
+            continue
+    return data
+
+
+def todict(layer) -> dict:
+    """mind_map_extractor.py:155-166: OrderedDict -> dict walk, then
+    the list->kv fold."""
+    to_ret = dict(layer) if isinstance(layer, dict) else layer
+    try:
+        for key, value in to_ret.items():
+            to_ret[key] = todict(value)
+    except AttributeError:
+        pass
+    return list_to_kv(to_ret)
+
+
+def merge(d1: dict, d2: dict) -> dict:
+    """mind_map_extractor.py:128-139 ``_merge`` — merges d1 INTO d2
+    (earlier batch into later), quirks kept."""
+    for k in d1:
+        if k in d2:
+            if isinstance(d1[k], dict) and isinstance(d2[k], dict):
+                merge(d1[k], d2[k])
+            elif isinstance(d1[k], list) and isinstance(d2[k], list):
+                d2[k].extend(d1[k])
+            else:
+                d2[k] = d1[k]
+        else:
+            d2[k] = d1[k]
+    return d2
+
+
+def be_children(obj, keyset: set) -> list:
+    """mind_map_extractor.py:61-77 transcription."""
+    if isinstance(obj, str):
+        obj = [obj]
+    if isinstance(obj, list):
+        keyset.update(obj)
+        obj = [re.sub(r"\*+", "", i) for i in obj]
+        return [{"id": i, "children": []} for i in obj if i]
+    arr = []
+    for k, v in obj.items():
+        k = _key(k)
+        if k and k not in keyset:
+            keyset.add(k)
+            arr.append({"id": k, "children": be_children(v, keyset)})
+    return arr
+
+
+def assemble_tree(batch_dicts: list[dict]) -> dict:
+    """The __call__ tail (mind_map_extractor.py:103-125): reduce-merge
+    the per-batch dicts (in batch order — the determinization), then
+    the root wrap with the single-top-key short-circuit."""
+    from functools import reduce
+
+    if not batch_dicts:
+        return {"id": "root", "children": []}
+    merge_json = reduce(merge, batch_dicts)
+    if len(merge_json) > 1:
+        keys = [re.sub(r"\*+", "", k) for k, v in merge_json.items()
+                if isinstance(v, dict)]
+        keyset = set(i for i in keys if i)
+        return {
+            "id": "root",
+            "children": [
+                {"id": _key(k), "children": be_children(v, keyset)}
+                for k, v in merge_json.items()
+                if isinstance(v, dict) and _key(k)
+            ],
+        }
+    k = _key(list(merge_json.keys())[0])
+    return {"id": k,
+            "children": be_children(list(merge_json.items())[0][1],
+                                    {k})}
+
+
+def batch_sections(sections: list[str], max_length: int) -> list[str]:
+    """The token-budget fold (mind_map_extractor.py:88-101): returns
+    the joined text of each LLM batch, flushing BEFORE adding a
+    section that would cross ``max(0.8*max_length, max_length-512)``."""
+    token_count = max(max_length * 0.8, max_length - 512)
+    batches: list[str] = []
+    texts: list[str] = []
+    cnt = 0
+    for section in sections:
+        section_cnt = num_tokens_from_string(section)
+        if cnt + section_cnt >= token_count and texts:
+            batches.append("".join(texts))
+            texts = []
+            cnt = 0
+        texts.append(section)
+        cnt += section_cnt
+    if texts:
+        batches.append("".join(texts))
+    return batches
+
+
+def response_to_dict(response: str) -> dict:
+    """_process_document's post-LLM path (mind_map_extractor.py:
+    168-180): strip code fences, dictify, todict."""
+    return todict(dictify(_FENCE_RE.sub("", response)))
+
+
+def render_mind_map(tree: dict) -> str:
+    """The call-site rendering (document_service.py:597):
+    json.dumps(..., ensure_ascii=False, indent=2)."""
+    import json
+
+    return json.dumps(tree, ensure_ascii=False, indent=2)

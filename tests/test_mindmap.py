@@ -1,0 +1,119 @@
+"""Unit tests for the mind-map machinery (extractlib/mindmap.py) vs
+transcriptions of /root/reference/graphrag/general/
+mind_map_extractor.py and hand-built goldens."""
+
+import re
+
+from ragflow_spark.extractlib import mindmap as M
+
+
+def test_dictify_outline_shapes():
+    md = ("# A\n"
+          "## B\n"
+          "### C\n"
+          "- x\n"
+          "  - y\n"
+          "## D\n"
+          "text line\n")
+    assert M.dictify(md) == {"A": {"B": {"C": ["x", ["y"]]},
+                                   "D": "text line"}}
+
+
+def test_dictify_sibling_bullets_and_multitext():
+    md = "# H\n- a\n  - b\n  - c\n- d\n"
+    assert M.dictify(md) == {"H": ["a", ["b", "c"], "d"]}
+    md2 = "# H\nline one\nline two\n"
+    assert M.dictify(md2) == {"H": ["line one", "line two"]}
+
+
+def test_response_strips_code_fences():
+    md = "```markdown\n# H\n- a\n  - b\n```\n"
+    assert M.response_to_dict(md) == {"H": {"a": "b"}}
+
+
+def test_list_to_kv_quirks():
+    # unpaired items dropped; plain list becomes {}
+    assert M.list_to_kv({"k": ["a", ["v"], "solo"]}) == {"k": {"a": "v"}}
+    assert M.list_to_kv({"k": ["a", "b"]}) == {"k": {}}
+    # a leading sublist (i == 0) never pairs
+    assert M.list_to_kv({"k": [["v"], "a"]}) == {"k": {}}
+
+
+def _ref_merge(self, d1, d2):
+    """Transcription of mind_map_extractor.py:128-139."""
+    for k in d1:
+        if k in d2:
+            if isinstance(d1[k], dict) and isinstance(d2[k], dict):
+                _ref_merge(self, d1[k], d2[k])
+            elif isinstance(d1[k], list) and isinstance(d2[k], list):
+                d2[k].extend(d1[k])
+            else:
+                d2[k] = d1[k]
+        else:
+            d2[k] = d1[k]
+    return d2
+
+
+def test_merge_matches_reference():
+    cases = [
+        ({"a": "x"}, {"a": "y"}),                  # scalar: d1 wins
+        ({"a": [1, 2]}, {"a": [3]}),               # list: d1 appended
+        ({"a": {"b": "1"}}, {"a": {"c": "2"}}),    # dict: union
+        ({"new": "n"}, {"old": "o"}),
+    ]
+    for d1, d2 in cases:
+        import copy
+        got = M.merge(copy.deepcopy(d1), copy.deepcopy(d2))
+        want = _ref_merge(None, copy.deepcopy(d1), copy.deepcopy(d2))
+        assert got == want, (d1, d2)
+    # merged key order: later dict's own keys first
+    got = M.merge({"a": {"p": "1"}}, {"a": {"q": "2"}})
+    assert list(got["a"].keys()) == ["q", "p"]
+
+
+def test_be_children_keyset_suppression_and_stars():
+    ks = {"root"}
+    out = M.be_children({"**K**": {"dup": "v1"}, "L": {"dup": "v2"}},
+                        ks)
+    # star-stripped key; the SECOND 'dup' subtree is suppressed
+    assert [n["id"] for n in out] == ["K", "L"]
+    assert out[0]["children"][0]["id"] == "dup"
+    assert out[1]["children"] == []
+    # leaf strings are exempt from suppression (list branch only adds)
+    out2 = M.be_children({"p": "leaf", "q": "leaf"}, set())
+    assert [c["children"][0]["id"] for c in out2] == ["leaf", "leaf"]
+
+
+def test_assemble_tree_branches():
+    # multi-top-key -> root wrap, non-dict top values skipped
+    tree = M.assemble_tree([{"A": {"x": "1"}, "B": "str", "C": {}}])
+    assert tree["id"] == "root"
+    assert [c["id"] for c in tree["children"]] == ["A", "C"]
+    # single top key -> short-circuit
+    tree2 = M.assemble_tree([{"Top": {"x": "1"}}])
+    assert tree2["id"] == "Top"
+    assert tree2["children"][0]["id"] == "x"
+    # empty input
+    assert M.assemble_tree([]) == {"id": "root", "children": []}
+
+
+def test_batch_sections_budget_fold():
+    # 64 -> budget max(51.2, -448); 20-token sections flush at the 3rd
+    secs = ["sec " * 20] * 3
+    batches = M.batch_sections(secs, 64)
+    assert [len(b) // len("sec " * 20) for b in batches] == [2, 1]
+    # a single over-budget section still forms a batch (texts empty
+    # at the check)
+    assert len(M.batch_sections(["sec " * 100], 64)) == 1
+    # exact-boundary: cnt + next == budget flushes (>= comparison)
+    secs2 = ["ab " * 26, "ab " * 26]     # 26 + 26 >= 51.2
+    assert len(M.batch_sections(secs2, 64)) == 2
+
+
+def test_render_matches_json_dumps():
+    import json
+
+    tree = M.assemble_tree([{"T": {"S": {"k": "v"}}}])
+    assert M.render_mind_map(tree) == json.dumps(
+        tree, ensure_ascii=False, indent=2)
+    assert len(M.render_mind_map({"id": "r", "children": []})) < 40
