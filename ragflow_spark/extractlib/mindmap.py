@@ -101,7 +101,10 @@ def dictify(md: str) -> dict:
             continue
         b = _BULLET_RE.match(line)
         if b and open_leaf is not None:
-            depth = len(b.group(1)) // 2
+            # clamp: a hostile response with pathologically indented
+            # bullets must not build a 10^4-deep nesting that later
+            # blows the recursive todict/be_children walks
+            depth = min(len(b.group(1)) // 2, 64)
             item = b.group(2)
             if bullets is None:
                 bullets = []
@@ -135,7 +138,11 @@ def list_to_kv(data: dict) -> dict:
             new_value = {}
             for i in range(len(value)):
                 if isinstance(value[i], list) and i > 0:
-                    new_value[value[i - 1]] = value[i][0]
+                    # depth-jumping bullets make value[i-1] itself a
+                    # list — the reference raises unhashable-key
+                    # there; degrade by skipping the malformed pair
+                    if isinstance(value[i - 1], str):
+                        new_value[value[i - 1]] = value[i][0]
             data[key] = new_value
         else:
             continue
@@ -175,6 +182,10 @@ def be_children(obj, keyset: set) -> list:
     if isinstance(obj, str):
         obj = [obj]
     if isinstance(obj, list):
+        # nested lists reach here only through malformed depth jumps,
+        # where the reference crashes on keyset.update (unhashable);
+        # degrade by keeping the string items
+        obj = [i for i in obj if isinstance(i, str)]
         keyset.update(obj)
         obj = [re.sub(r"\*+", "", i) for i in obj]
         return [{"id": i, "children": []} for i in obj if i]

@@ -117,3 +117,18 @@ def test_render_matches_json_dumps():
     assert M.render_mind_map(tree) == json.dumps(
         tree, ensure_ascii=False, indent=2)
     assert len(M.render_mind_map({"id": "r", "children": []})) < 40
+
+
+def test_dictify_hostile_indent_clamped():
+    # pathological indentation must not build unbounded nesting
+    md = "# H\n" + "\n".join(
+        (" " * (i * 4)) + "- x" + str(i) for i in range(300))
+    d = M.dictify(md)
+
+    def depth(v, n=0):
+        if isinstance(v, list):
+            return max([depth(i, n + 1) for i in v] + [n + 1])
+        return n
+    assert depth(d["H"]) <= 66
+    # and the full pipeline survives it
+    M.assemble_tree([M.todict(d)])
