@@ -194,11 +194,13 @@ def kg_content(ents: DataFrame, rels: DataFrame,
     from ragflow_spark.extractlib.tokens import num_tokens_from_string
 
     # the fused entity list is consumed twice below (the CSV section
-    # AND the kept-entity set gating community reports); materialize
-    # the small per-qid table once instead of replaying the fusion
-    # pipeline per consumer (19% off the sf0.1 bench; at scale this is
-    # a top-N-per-query table, safe to pin)
-    ents = ents.localCheckpoint()
+    # AND the kept-entity set gating community reports); checkpoint
+    # the small per-qid table so it materializes once at first action
+    # instead of replaying the fusion pipeline per consumer (19% off
+    # the sf0.1 bench; at scale this is a top-N-per-query table, safe
+    # to pin).  eager=False: building the DataFrame (e.g. for a plan
+    # dump) must not execute the job
+    ents = ents.localCheckpoint(eager=False)
 
     # score formatting happens in the Python renderer below: the
     # reference's "%.2f" % score is CPython semantics (correctly

@@ -71,21 +71,30 @@ def mind_map_rows(sections: DataFrame,
         pdf = pdf.sort_values("seq")
         did = int(pdf["doc_id"].iloc[0])
         name = str(pdf["name"].iloc[0])
-        batches = MM.batch_sections([str(s) for s in pdf["section"]],
-                                    max_length)
-        dicts = [MM.response_to_dict(llm_fn(did, b, text))
-                 for b, text in enumerate(batches)]
-        rendered = MM.render_mind_map(MM.assemble_tree(dicts))
+        empty = pd.DataFrame({
+            "doc_id": pd.Series([], dtype="int64"),
+            "docnm_kwd": pd.Series([], dtype="object"),
+            "title_tks": pd.Series([], dtype="object"),
+            "content_ltks": pd.Series([], dtype="object"),
+            "content_with_weight": pd.Series([], dtype="object"),
+            "knowledge_graph_kwd": pd.Series([], dtype="object"),
+            "kb_id": pd.Series([], dtype="object"),
+            "n_batches": pd.Series([], dtype="int32")})
+        try:
+            batches = MM.batch_sections(
+                [str(s) for s in pdf["section"]], max_length)
+            dicts = [MM.response_to_dict(llm_fn(did, b, text))
+                     for b, text in enumerate(batches)]
+            rendered = MM.render_mind_map(MM.assemble_tree(dicts))
+        except Exception:
+            # the reference call site wraps the whole build in
+            # try/except (document_service.py:594-610): a document
+            # whose responses don't parse (e.g. a heading-less reply
+            # -> empty merge dict -> IndexError in the root wrap)
+            # loses its mind-map row, never the job
+            return empty
         if len(rendered) < 32:      # the call-site gate: row dropped
-            return pd.DataFrame({
-                "doc_id": pd.Series([], dtype="int64"),
-                "docnm_kwd": pd.Series([], dtype="object"),
-                "title_tks": pd.Series([], dtype="object"),
-                "content_ltks": pd.Series([], dtype="object"),
-                "content_with_weight": pd.Series([], dtype="object"),
-                "knowledge_graph_kwd": pd.Series([], dtype="object"),
-                "kb_id": pd.Series([], dtype="object"),
-                "n_batches": pd.Series([], dtype="int32")})
+            return empty
         return pd.DataFrame([{
             "doc_id": did,
             "docnm_kwd": name,

@@ -132,3 +132,23 @@ def test_dictify_hostile_indent_clamped():
     assert depth(d["H"]) <= 66
     # and the full pipeline survives it
     M.assemble_tree([M.todict(d)])
+
+
+def test_mind_map_rows_skips_unparseable_doc(spark):
+    """A doc whose LLM reply has no headings loses its row, not the
+    job (the reference call site's try/except)."""
+    from ragflow_spark.operators.mindmaps import (build_mm_sections,
+                                                  mind_map_rows,
+                                                  stub_mm_response)
+
+    def flaky(did, b, text):
+        if did % 5 == 0:
+            return "Sorry, here is a summary:\n- point one\n"
+        return stub_mm_response(did, b, text)
+
+    rows = mind_map_rows(
+        build_mm_sections(spark, "/root/testdata/sf0.001"),
+        llm_fn=flaky).collect()
+    ids = {r["doc_id"] for r in rows}
+    assert ids and all(d % 5 != 0 for d in ids)
+    assert any(d % 5 == 1 for d in ids)
