@@ -43,6 +43,11 @@ def build_ocr_pages(spark: SparkSession, sf_dir: str) -> DataFrame:
     form the oracle can recompute."""
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet") \
         .select("doc_id")
+    # the test parquet is one file -> one input split; det_prep is
+    # map-only (no shuffle to fan it out), so spread the pages across
+    # the executors here (same precedent as corpus.gen.build_pages)
+    docs = docs.repartition(spark.sparkContext.defaultParallelism,
+                            "doc_id")
     return docs.select(
         "doc_id",
         (F.lit(64) + F.col("doc_id") % 128).cast("int").alias("width"),
