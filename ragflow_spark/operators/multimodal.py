@@ -55,6 +55,11 @@ def build_media_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     output would be) but closed-form for the DuckDB oracle."""
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
         "doc_id", "n_chars")
+    # one parquet file -> one input split, and every consumer here is
+    # map-only (no shuffle to fan it out): spread the media rows
+    # across executors at the source (build_pages precedent)
+    docs = docs.repartition(spark.sparkContext.defaultParallelism,
+                            "doc_id")
 
     def gen(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
