@@ -186,7 +186,9 @@ def _q_doc_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     vs the closed-form SQL formula — parity gate for the chunk oracles."""
     from ragflow_spark.operators.textstats import token_counts
 
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    # single-file test parquet + map-only Arrow stage: fan out first
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet") \
+        .repartition(spark.sparkContext.defaultParallelism, "doc_id")
     return token_counts(docs)
 
 
@@ -328,7 +330,9 @@ def _q_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     word-5-gram hashes, the winnowing primitive)."""
     from ragflow_spark.operators.textstats import fingerprints
 
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    # single-file test parquet + map-only Arrow stage: fan out first
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet") \
+        .repartition(spark.sparkContext.defaultParallelism, "doc_id")
     return fingerprints(docs)
 
 
