@@ -1105,7 +1105,8 @@ def _q_match_expr(spark: SparkSession, sf_dir: str) -> DataFrame:
     import pandas as pd
 
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet") \
-        .select("doc_id")
+        .select("doc_id") \
+        .repartition(spark.sparkContext.defaultParallelism, "doc_id")
     phrases = ["What is the best way to merge fast queries",
                "a 7 query x plans merge data",
                "数据分析管道是什么",
@@ -1323,7 +1324,8 @@ def _q_chunks_resume(spark: SparkSession, sf_dir: str) -> DataFrame:
     flattened scalars are value-checked."""
     import pandas as pd
 
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet") \
+        .repartition(spark.sparkContext.defaultParallelism, "doc_id")
 
     def gen(it):
         from ragflow_spark.extractlib.resume import chunk_resume
@@ -1379,7 +1381,8 @@ def _q_chunks_resume_enriched(spark: SparkSession,
     adaptation documented in resume_enrich)."""
     import pandas as pd
 
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet") \
+        .repartition(spark.sparkContext.defaultParallelism, "doc_id")
 
     def gen(it):
         import datetime
@@ -2011,7 +2014,8 @@ def _q_index_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ragflow_spark.operators.indexing import index_rows
 
     d = F.col("doc_id")
-    chunks = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+    chunks = spark.read.parquet(f"{sf_dir}/documents.parquet") \
+        .repartition(spark.sparkContext.defaultParallelism, "doc_id").select(
         "doc_id",
         F.substring("text", 1, 100).alias("content_with_weight"),
         F.when(d % 4 == 0, F.encode(F.substring("text", 1, 8), "utf-8"))
@@ -2178,7 +2182,9 @@ def _q_community_reports(spark: SparkSession,
                 F.lit('"},"plain"],"rating":'), r,
                 F.lit(',"rating_explanation":"re'), d, F.lit('"}'))))
     responses = spark.read.parquet(
-        f"{sf_dir}/documents.parquet").select(
+        f"{sf_dir}/documents.parquet") \
+        .repartition(spark.sparkContext.defaultParallelism, "doc_id") \
+        .select(
         F.lit(0).alias("level"), d.alias("comm"),
         resp.alias("response"))
     return parse_community_reports(responses)
@@ -2276,7 +2282,8 @@ def _q_sql_answers(spark: SparkSession, sf_dir: str) -> DataFrame:
                  F.lit(" "), F.lit("None"))
     rows = F.when(d % 4 == 0, F.array(r1, r2, r3)) \
         .otherwise(F.array(r1, r2))
-    df = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+    df = spark.read.parquet(f"{sf_dir}/documents.parquet") \
+        .repartition(spark.sparkContext.defaultParallelism, "doc_id").select(
         d.alias("qid"), cols.alias("columns"), rows.alias("rows"))
     return sql_answer_tables(df, _SQLCHAT_FIELD_MAP)
 
@@ -2320,7 +2327,8 @@ def _q_docx_img_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
     multimodal stub seam ((w, h) geometry only)."""
     import pandas as pd
 
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet") \
+        .repartition(spark.sparkContext.defaultParallelism, "doc_id")
 
     def gen(it):
         from ragflow_spark.extractlib.docxparse import \
