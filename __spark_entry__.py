@@ -2679,66 +2679,16 @@ def entry(spark: SparkSession) -> DataFrame:
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Ordering is deliberate: the driver's correctness gate works the
-    # dict front-to-back under a budget (CORRECTNESS_r02 stamped
-    # exactly the first 50 of 75), so the queries that lacked a driver
-    # row in r2 — the retrieval stack, office/structured tails,
-    # multimodal, events — come FIRST, followed by this round's new
-    # operators, then the 50 already stamped in r2. A truncated run
-    # therefore still stamps every component family across rounds.
+    # dict front-to-back under a budget (r2 and r3 each stamped
+    # exactly the first 50), so the 16 queries that have never had a
+    # driver stamp in ANY round — the multimodal family (r1 ran them
+    # before their oracles existed) and the whole retrieval stack —
+    # come FIRST, then msg_fit (driver-red in r3, hardened this
+    # round), then this round's new operators, then the rest in
+    # oldest-stamp-first order so a truncated run refreshes the
+    # stalest evidence.
     return {
-        # -- r2-unstamped tail, promoted (all locally green in r2) ----
-        "chunks_txt": _q_chunks_txt,
-        "chunks_json": _q_chunks_json,
-        "parse_md": _q_parse_md,
-        "events_rollup": _q_events_rollup,
-        "events_props": _q_events_props,
-        "xlsx_html": _q_xlsx_html,
-        "csv_rows": _q_csv_rows,
-        "chunks_pptx": _q_chunks_pptx,
-        "chunks_resume": _q_chunks_resume,
-        "chunks_resume_enriched": _q_chunks_resume_enriched,
-        "communities": _q_communities,
-        "community_weights": _q_community_weights,
-        "graph_nodes": _q_graph_nodes,
-        "graph_edges": _q_graph_edges,
-        "docx_img_lines": _q_docx_img_lines,
-        # -- round-3 session-2 additions (legacy CFB formats) ---------
-        "chunks_doc": _q_chunks_doc,
-        "chunks_ppt": _q_chunks_ppt,
-        "pdf_scraps": _q_pdf_scraps,
-        "kg_ents": _q_kg_ents,
-        "kg_rels": _q_kg_rels,
-        "kg_content": _q_kg_content,
-        "match_expr": _q_match_expr,
-        "graph_pagerank": _q_graph_pagerank,
-        "ents_resolved": _q_ents_resolved,
-        "rels_resolved": _q_rels_resolved,
-        "resolution_parse": _q_resolution_parse,
-        "mentions_ents": _q_mentions_ents,
-        "mentions_rels": _q_mentions_rels,
-        "kg_chunk_ents": _q_kg_chunk_ents,
-        "kg_chunk_rels": _q_kg_chunk_rels,
-        "eval_metrics": _q_eval_metrics,
-        "task_plan": _q_task_plan,
-        "task_reuse": _q_task_reuse,
-        "chunk_embed": _q_chunk_embed,
-        "index_rows": _q_index_rows,
-        "raptor_tiers": _q_raptor_tiers,
-        "msg_fit": _q_msg_fit,
-        "kb_prompts": _q_kb_prompts,
-        "community_csv": _q_community_csv,
-        "community_reports": _q_community_reports,
-        "subgraph_stats": _q_subgraph_stats,
-        "sql_refine": _q_sql_refine,
-        "sql_answers": _q_sql_answers,
-        "doc_progress": _q_doc_progress,
-        # -- round-3 session-7: deterministic OCR machinery ----------
-        "ocr_det_prep": _q_ocr_det_prep,
-        "ocr_boxes": _q_ocr_boxes,
-        "ocr_rec_prep": _q_ocr_rec_prep,
-        "ocr_ctc": _q_ocr_ctc,
-        "vision_nms": _q_vision_nms,
-        "mind_map": _q_mind_map,
+        # -- never driver-stamped (r1-r3), promoted to the front -----
         "media_features": _q_media_features,
         "frame_sample": _q_frame_sample,
         "audio_features": _q_audio_features,
@@ -2755,7 +2705,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "query_tags": _q_query_tags,
         "doc_tags": _q_doc_tags,
         "rank_features": _q_rank_features,
-        # -- r2-stamped queries (CORRECTNESS_r02 green rows) ----------
+        # -- driver-red in r3, hardened in round 4 --------------------
+        "msg_fit": _q_msg_fit,
+        # -- r2-stamped queries (stalest green evidence) --------------
         "extract_html": _q_extract_html,
         "chunks_naive": _q_chunks_naive,
         "chunk_one": _q_chunk_one,
@@ -2806,6 +2758,56 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "docx_tables_html": _q_docx_tables_html,
         "docx_table_titles": _q_docx_table_titles,
         "chunks_xlsx": _q_chunks_xlsx,
+        # -- r3-stamped queries (freshest evidence, stamped 2026-08-18)
+        "chunks_txt": _q_chunks_txt,
+        "chunks_json": _q_chunks_json,
+        "parse_md": _q_parse_md,
+        "events_rollup": _q_events_rollup,
+        "events_props": _q_events_props,
+        "xlsx_html": _q_xlsx_html,
+        "csv_rows": _q_csv_rows,
+        "chunks_pptx": _q_chunks_pptx,
+        "chunks_resume": _q_chunks_resume,
+        "chunks_resume_enriched": _q_chunks_resume_enriched,
+        "communities": _q_communities,
+        "community_weights": _q_community_weights,
+        "graph_nodes": _q_graph_nodes,
+        "graph_edges": _q_graph_edges,
+        "docx_img_lines": _q_docx_img_lines,
+        "chunks_doc": _q_chunks_doc,
+        "chunks_ppt": _q_chunks_ppt,
+        "pdf_scraps": _q_pdf_scraps,
+        "kg_ents": _q_kg_ents,
+        "kg_rels": _q_kg_rels,
+        "kg_content": _q_kg_content,
+        "match_expr": _q_match_expr,
+        "graph_pagerank": _q_graph_pagerank,
+        "ents_resolved": _q_ents_resolved,
+        "rels_resolved": _q_rels_resolved,
+        "resolution_parse": _q_resolution_parse,
+        "mentions_ents": _q_mentions_ents,
+        "mentions_rels": _q_mentions_rels,
+        "kg_chunk_ents": _q_kg_chunk_ents,
+        "kg_chunk_rels": _q_kg_chunk_rels,
+        "eval_metrics": _q_eval_metrics,
+        "task_plan": _q_task_plan,
+        "task_reuse": _q_task_reuse,
+        "chunk_embed": _q_chunk_embed,
+        "index_rows": _q_index_rows,
+        "raptor_tiers": _q_raptor_tiers,
+        "kb_prompts": _q_kb_prompts,
+        "community_csv": _q_community_csv,
+        "community_reports": _q_community_reports,
+        "subgraph_stats": _q_subgraph_stats,
+        "sql_refine": _q_sql_refine,
+        "sql_answers": _q_sql_answers,
+        "doc_progress": _q_doc_progress,
+        "ocr_det_prep": _q_ocr_det_prep,
+        "ocr_boxes": _q_ocr_boxes,
+        "ocr_rec_prep": _q_ocr_rec_prep,
+        "ocr_ctc": _q_ocr_ctc,
+        "vision_nms": _q_vision_nms,
+        "mind_map": _q_mind_map,
     }
 
 
@@ -4210,7 +4212,7 @@ fit AS (SELECT j2.*,
                CASE WHEN total < 60 THEN 'A'
                     WHEN coalesce(tot_b, 0) < 60 THEN 'B'
                     ELSE 'C' END AS br,
-               CASE WHEN (ll * 1.0 / (ll + ll2)) > 0.8
+               CASE WHEN ll * 5 > (ll + ll2) * 4
                     THEN first_kept ELSE last_kept END AS trunc_seq
         FROM j2)
 SELECT conv_id, seq, role,
