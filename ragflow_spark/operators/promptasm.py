@@ -130,37 +130,52 @@ def fit_messages(msgs: DataFrame, max_length: int = 4000) -> DataFrame:
 
     case_a = F.col("_total") < max_length
     case_b = F.coalesce(F.col("_tot_b"), F.lit(0)) < max_length
-    trunc_first = (F.col("_ll") / (F.col("_ll") + F.col("_ll2"))) > 0.8
+    # the reference compares ll / (ll + ll2) > 0.8 in Python floats
+    # (rag/prompts.py:84); ll*5 > (ll+ll2)*4 is the exact rational
+    # form — identical for every token-count pair below ~2.5e14
+    # (the quotient sits ≥ 1/(5q) away from 4/5 whenever unequal,
+    # far above double rounding error) and keeps the whole query
+    # float-free end to end
+    trunc_first = (F.col("_ll") * 5) > ((F.col("_ll") + F.col("_ll2"))
+                                        * 4)
     trunc_seq = F.when(trunc_first, F.col("_first_kept")) \
         .otherwise(F.col("_last_kept"))
     kept = t.where(case_a | F.col("_keep_b")).unionByName(
         t.where(~case_a & F.col("_dup")))
+    # _slice/_budget are non-nullable (boolean + coalesced long) so
+    # the pandas batches below always arrive as bool/int64 regardless
+    # of how Arrow splits rows into batches — a nullable long column
+    # flips between int64/float64/object depending on the null mix of
+    # the particular batch, which is the kind of
+    # environment-sensitive surface a value-hash gate can trip on
+    slice_b = (~case_a & ~case_b & (F.col("seq") == trunc_seq))
     kept = (kept
+            .withColumn("_slice", slice_b)
             .withColumn("_budget",
-                        F.when(case_a | case_b, F.lit(None))
-                        .when(F.col("seq") == trunc_seq,
-                              F.lit(max_length) - F.col("_ll2"))
-                        .otherwise(F.lit(None)))
+                        F.when(slice_b,
+                               F.lit(max_length) - F.col("_ll2"))
+                        .otherwise(F.lit(0)).cast("long"))
             .withColumn("fit_tokens",
                         F.when(case_a, F.col("_total"))
                         .when(case_b, F.col("_tot_b"))
-                        .otherwise(F.lit(max_length))))
+                        .otherwise(F.lit(max_length)).cast("long")))
 
     def head_batches(it: Iterator[pd.DataFrame]) \
             -> Iterator[pd.DataFrame]:
         for pdf in it:
             pdf = pdf.copy()
             pdf["content"] = [
-                s if pd.isna(b) else token_head(s, int(b))
-                for s, b in zip(pdf["content"], pdf["_budget"])]
+                token_head(s, int(b)) if sl else s
+                for s, b, sl in zip(pdf["content"], pdf["_budget"],
+                                    pdf["_slice"])]
             yield pdf
 
     sliced = kept.select("conv_id", "seq", "role", "content",
-                         "_budget", "fit_tokens")
+                         "_slice", "_budget", "fit_tokens")
     fields = ", ".join(f"{f.name} {f.dataType.simpleString()}"
                        for f in sliced.schema.fields)
     return (sliced.mapInPandas(head_batches, schema=fields)
-            .drop("_budget"))
+            .drop("_slice", "_budget"))
 
 
 def kb_prompts(chunks: DataFrame, doc_meta: DataFrame,

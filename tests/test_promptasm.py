@@ -213,3 +213,27 @@ def test_fit_messages_system_last_duplicates(spark):
     want = sorted((m["_i"], m["role"], m["content"], c)
                   for m in fitted)
     assert got[11] == want
+
+
+def test_msg_fit_driver_config_fresh_process():
+    """Run the driver-gate msg_fit query in a FRESH process at
+    local[32] / 200 shuffle partitions — the configuration class of
+    the r3 driver run whose value-hash mismatched (CORRECTNESS_r03)
+    but never reproduced locally at local[8]. The checker compares
+    the Spark result against the DuckDB oracle hash exactly the way
+    the driver does."""
+    import os
+    import subprocess
+    import sys
+    from pathlib import Path
+
+    repo = Path(__file__).resolve().parent.parent
+    env = dict(os.environ, CHECK_MASTER="local[32]",
+               CHECK_SHUFFLE="200")
+    out = subprocess.run(
+        [sys.executable, "tools/check_correctness.py",
+         "/root/testdata/sf0.01", "--only=msg_fit"],
+        capture_output=True, text=True, env=env, cwd=repo,
+        timeout=600)
+    assert "FAILURES: 0" in out.stdout, out.stdout + out.stderr
+    assert "msg_fit" in out.stdout.replace("\r", "\n")

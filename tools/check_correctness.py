@@ -62,7 +62,11 @@ def main() -> int:
     import __spark_entry__ as entrymod
     from ragflow_spark.job.session import get_spark
 
-    spark = get_spark(master="local[8]", shuffle_partitions=8)
+    import os
+
+    spark = get_spark(
+        master=os.environ.get("CHECK_MASTER", "local[8]"),
+        shuffle_partitions=int(os.environ.get("CHECK_SHUFFLE", "8")))
     spark.sparkContext.setLogLevel("ERROR")
 
     con = duckdb.connect()
