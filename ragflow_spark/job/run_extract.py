@@ -53,13 +53,21 @@ def run_job(spark: SparkSession, input_path: str, output_dir: str,
             repartition: int | None = None, run_id: str | None = None,
             fail_after_wave: int | None = None,
             index: bool = False, kb_id: str = "kb",
-            input_format: str = "parquet") -> dict:
+            input_format: str = "parquet",
+            index_clock: float | None = None) -> dict:
     """Run the extraction job; returns a summary dict.
 
     ``fail_after_wave`` injects a crash after the k-th wave commits
     (test hook for the resume guarantee).
     """
     run_id = run_id or f"run-{int(time.time() * 1000):x}"
+    # one job-level index timestamp (injectable): a per-wave wall
+    # clock would re-stamp replayed buckets on resume, leaving one
+    # output dir mixing create_time values across waves/retries
+    if index_clock is None:
+        index_clock = time.time()
+    index_create_time = time.strftime("%Y-%m-%d %H:%M:%S",
+                                      time.localtime(index_clock))
     digest = ck.config_digest(template, {"n_buckets": n_buckets})
     ckpt_path = f"{output_dir}/_checkpoint"
     extracted_path = f"{output_dir}/extracted"
@@ -110,8 +118,8 @@ def run_job(spark: SparkSession, input_path: str, output_dir: str,
                     F.lit(None).cast("binary").alias("image"),
                     "chunk_seq", "bucket"),
                 kb_id,
-                create_time=time.strftime("%Y-%m-%d %H:%M:%S"),
-                create_timestamp=time.time())
+                create_time=index_create_time,
+                create_timestamp=index_clock)
             _write_partitioned(idx, f"{output_dir}/index")
         wall_ms = int((time.perf_counter() - t0) * 1000)
 

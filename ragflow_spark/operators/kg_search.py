@@ -65,11 +65,13 @@ def nhop_pairs(ents_q: DataFrame) -> DataFrame:
         F.sum(F.col("sim") / (F.col("hop_i") + 2)).alias("nhop_sim"),
         F.expr("max_by(w, struct(ent_seq, nbr_seq, hop_i))")
          .alias("nhop_pagerank"),
-        F.min(F.col("ent_seq").cast("long") * 1000000000000
-              + F.col("nbr_seq").cast("long") * 1000000
-              + F.col("hop_i"))
-         .alias("first_seen"))  # 10^6-wide fields: no collision below
-                                # a million paths/hops per entity
+        # struct min orders lexicographically on (ent_seq, nbr_seq,
+        # hop_i) with no width assumption (an arithmetic packing
+        # would silently corrupt the tie-break past 10^6 paths)
+        F.min(F.struct(F.col("ent_seq").cast("long").alias("ent_seq"),
+                       F.col("nbr_seq").cast("long").alias("nbr_seq"),
+                       F.col("hop_i").cast("long").alias("hop_i")))
+         .alias("first_seen"))
 
 
 def fuse_entities(ents_q: DataFrame, ents_t: DataFrame,
@@ -119,7 +121,9 @@ def fuse_relations(rels: DataFrame, ents_q: DataFrame,
         .select("qid", "f", "t", "sim", "pagerank", "rel_seq",
                 "description",
                 F.coalesce("nhop_sim", F.lit(0.0)).alias("s_nhop"),
-                F.lit(None).cast("long").alias("first_seen"))
+                F.lit(None).cast(
+                    "struct<ent_seq:bigint,nbr_seq:bigint,"
+                    "hop_i:bigint>").alias("first_seen"))
     leftover = nh.join(
         rels.select("qid", "f", "t").withColumn("c", F.lit(1)),
         ["qid", "f", "t"], "left_anti") \

@@ -190,10 +190,16 @@ def tag_features(subjects: DataFrame, kb_terms: DataFrame,
     the KB — production totals dwarf S=1000, a small corpus needs a
     proportionally small S."""
     # the KB is the curated small side and feeds three branches (term
-    # match, prior, tag agg) — cache so the derivation isn't re-run
-    # per branch (at scale these are materialized index tables)
-    kb_terms = kb_terms.cache()
-    kb_tags = kb_tags.cache()
+    # match, prior, tag agg) — pin it so the derivation isn't re-run
+    # per branch (at scale these are materialized index tables).
+    # localCheckpoint (lazy) rather than cache(): checkpointed blocks
+    # are reclaimed by the ContextCleaner when the DataFrame goes out
+    # of scope, whereas cache() pins the plan in the CacheManager
+    # until an explicit unpersist this function has no place to issue
+    # (the result is lazy, so unpersisting before the caller's action
+    # would defeat the pin)
+    kb_terms = kb_terms.localCheckpoint(eager=False)
+    kb_tags = kb_tags.localCheckpoint(eager=False)
     clauses = subject_clauses(subjects, id_col, text_col,
                               question=question)
     # Match against KB *signatures*, not KB rows: whether a subject
@@ -216,14 +222,17 @@ def tag_features(subjects: DataFrame, kb_terms: DataFrame,
         clauses.groupBy("id", "msm", "term", "mult")
         .agg(F.collect_list("match_key").alias("keys"))
         .groupBy("id")
-        .agg(F.first("msm").alias("msm"),
+        # max, not first: every clause row of one subject carries the
+        # same msm today, but max is order-independent by
+        # construction if a producer ever mixes them
+        .agg(F.max("msm").alias("msm"),
              F.collect_list(F.struct("keys", "mult")).alias("qarr"))
     )
     kb_sets = kb_terms.groupBy("kb_id").agg(
         F.sort_array(F.collect_set("term")).alias("kbt"))
     sig_tag = (kb_sets.join(kb_tags, "kb_id")
                .groupBy("kbt", "tag").agg(F.count("*").alias("n"))
-               .cache())
+               .localCheckpoint(eager=False))
     # deterministic 8-byte signature id (hash of the sorted term set)
     sigs = sig_tag.select("kbt").distinct().withColumn(
         "sig_id", F.xxhash64(F.concat_ws(" ", "kbt")))
