@@ -2672,6 +2672,27 @@ def _q_mind_map(spark: SparkSession, sf_dir: str) -> DataFrame:
         "content_with_weight", "knowledge_graph_kwd", "n_batches")
 
 
+def _q_ocr_quads(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DBPostProcess quad extraction from the det probability map
+    (deepdoc/vision/postprocess.py:115-167,233-261 at the ocr.py:420
+    det config), with every library call re-derived from its
+    published algorithm: Suzuki-Abe border following for
+    cv2.findContours, monotone-chain + rotating calipers for
+    cv2.minAreaRect, an inclusive scanline fill for
+    cv2.fillPoly-based fast scoring, and a transcription of Clipper
+    6.4.2's round-join offset for pyclipper unclip.  Synthetic maps
+    hold three axis-aligned regions per page with dyadic constant
+    probabilities, so every gate (min side, score threshold,
+    post-unclip side, scale clip on all four edges) and every output
+    coordinate is a closed form the oracle recomputes — including the
+    half-away-from-zero Clipper rounding of x +/- d where
+    d = 1.5*area/perimeter."""
+    from ragflow_spark.operators.visionprep import (build_det_maps,
+                                                    ocr_quads)
+
+    return ocr_quads(build_det_maps(spark, sf_dir))
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: full byte-identity extraction at sf0.001."""
     return _q_extract_html(spark, "/root/testdata/sf0.001")
@@ -2707,6 +2728,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rank_features": _q_rank_features,
         # -- driver-red in r3, hardened in round 4 --------------------
         "msg_fit": _q_msg_fit,
+        # -- new in round 4 -------------------------------------------
+        "ocr_quads": _q_ocr_quads,
         # -- r2-stamped queries (stalest green evidence) --------------
         "extract_html": _q_extract_html,
         "chunks_naive": _q_chunks_naive,
@@ -5736,7 +5759,56 @@ SELECT doc_id, j,
 FROM k
 """
 
+    # ocr_quads twin: the bitmap walk collapses to a closed form on
+    # axis-aligned regions — mini box 1 = the region's pixel extents
+    # (short side min(rw,rh)-1), score = the dyadic fill value, the
+    # Clipper round-join offset's extreme points land at
+    # round-half-away(x +/- d) with d = 1.5*area/perimeter (the exact
+    # expression tree below reproduces the doubles bit-for-bit), and
+    # the second mini box is that offset rectangle; scale x by the
+    # exact ratio 2, clip both axes.  DuckDB round() is half away
+    # from zero on doubles = Clipper's Round.
+    ocr_quads_sql = """
+WITH pg AS (
+    SELECT doc_id, 80 + doc_id % 80 AS w, 60 + doc_id % 48 AS h
+    FROM documents
+), geo AS (
+    SELECT doc_id, w, h,
+           3 + (doc_id * 5 + r * 11) % 20 AS rx0,
+           (h // 3) * r + 2 AS ry0,
+           2 + (doc_id + r * 13) % 30 AS rw,
+           4 + (doc_id * 3 + r * 7) % 12 AS rh,
+           (45 + ((doc_id * 7 + r * 31) % 77)) / 128.0 AS p
+    FROM pg, (SELECT unnest([0, 1, 2]) AS r)
+), kept AS (
+    SELECT *, rx0 + rw - 1 AS rx1, ry0 + rh - 1 AS ry1,
+           (rw - 1) * (rh - 1) * 1.5
+               / (2.0 * ((rw - 1) + (rh - 1))) AS d
+    FROM geo
+    WHERE least(rw, rh) - 1 >= 3 AND p >= 0.5
+), off AS (
+    SELECT *, CAST(round(rx0 - d) AS BIGINT) AS ox0,
+           CAST(round(rx1 + d) AS BIGINT) AS ox1,
+           CAST(round(ry0 - d) AS BIGINT) AS oy0,
+           CAST(round(ry1 + d) AS BIGINT) AS oy1
+    FROM kept
+), ok2 AS (
+    SELECT * FROM off WHERE least(ox1 - ox0, oy1 - oy0) >= 5
+), fin AS (
+    SELECT doc_id,
+           greatest(0, least(2 * ox0, 2 * w)) AS fx0,
+           greatest(0, least(2 * ox1, 2 * w)) AS fx1,
+           greatest(0, least(oy0, h)) AS fy0,
+           greatest(0, least(oy1, h)) AS fy1, p
+    FROM ok2
+)
+SELECT doc_id, fx0 AS x0, fy0 AS y0, fx1 AS x1, fy0 AS y1,
+       fx1 AS x2, fy1 AS y2, fx0 AS x3, fy1 AS y3, p AS score
+FROM fin
+"""
+
     return {
+        "ocr_quads": ocr_quads_sql,
         "extract_html": extract,
         "chunks_naive": chunks_naive,
         "chunk_one": chunk_one,

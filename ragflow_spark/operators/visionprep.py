@@ -329,3 +329,83 @@ def nms_keep(boxes: DataFrame, iou_thresh: float = 0.3) -> DataFrame:
 
     return boxes.groupBy("doc_id").applyInPandas(
         per_doc, schema="doc_id long, j int, keep_rank int")
+
+
+def build_det_maps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Synthetic det probability-map metadata: page W = 80+doc_id%80,
+    H = 60+doc_id%48; three axis-aligned text regions per page in
+    separate horizontal thirds (>=6 rows apart, >=2px from every
+    edge), each with a dyadic constant probability p = m/128 so the
+    bitmap-walk scores are bit-exact across engines (dbpost module
+    doc).  Region r: x0 = 3+(doc_id*5+r*11)%20, y0 = (H//3)*r+2,
+    rw = 2+(doc_id+r*13)%30 (rw<=3 exercises the min-side gate),
+    rh = 4+(doc_id*3+r*7)%12, m = 45+((doc_id*7+r*31)%77) (m<64
+    exercises the score gate)."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet") \
+        .select("doc_id")
+    # map-only chain: fan the single-split parquet across executors
+    docs = docs.repartition(spark.sparkContext.defaultParallelism,
+                            "doc_id")
+    return docs.select(
+        "doc_id",
+        (F.lit(80) + F.col("doc_id") % 80).cast("int").alias("width"),
+        (F.lit(60) + F.col("doc_id") % 48).cast("int").alias("height"))
+
+
+def _det_map(doc_id: int, w: int, h: int) -> np.ndarray:
+    pred = np.zeros((h, w), dtype=np.float32)
+    band = h // 3
+    for r in range(3):
+        x0 = 3 + (doc_id * 5 + r * 11) % 20
+        y0 = band * r + 2
+        rw = 2 + (doc_id + r * 13) % 30
+        rh = 4 + (doc_id * 3 + r * 7) % 12
+        p = (45 + ((doc_id * 7 + r * 31) % 77)) / 128.0
+        pred[y0:y0 + rh, x0:x0 + rw] = p
+    return pred
+
+
+def ocr_quads(pages: DataFrame) -> DataFrame:
+    """DBPostProcess quad extraction over the det maps — the full
+    bitmap walk (binarize, Suzuki-Abe border following, min-area
+    rect, fast score, Clipper round-join unclip, second rect, scale
+    to the source frame) from extractlib.dbpost; reference
+    deepdoc/vision/postprocess.py:115-167,233-261 with the det config
+    of ocr.py:420-421.  Map-only over pages: the probability map is
+    synthesized inside the Arrow batch (stub model seam — production
+    swaps the ONNX det head behind the same signature) and never
+    crosses an exchange; output rows are 8 int corners + a score.
+
+    The source frame is (2*width, height): the x-ratio-2 path
+    exercises the scale arithmetic with exact doubles, and offset
+    boxes overrunning the map exercise both clip sides."""
+    from ragflow_spark.extractlib import dbpost as DB
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        cols = ["doc_id", "x0", "y0", "x1", "y1", "x2", "y2",
+                "x3", "y3", "score"]
+        for pdf in it:
+            recs = []
+            for doc_id, w, h in zip(pdf["doc_id"], pdf["width"],
+                                    pdf["height"]):
+                pred = _det_map(int(doc_id), int(w), int(h))
+                boxes, scores = DB.db_postprocess(
+                    pred, src_h=int(h), src_w=2 * int(w))
+                for b, s in zip(boxes, scores):
+                    recs.append((int(doc_id),
+                                 int(b[0][0]), int(b[0][1]),
+                                 int(b[1][0]), int(b[1][1]),
+                                 int(b[2][0]), int(b[2][1]),
+                                 int(b[3][0]), int(b[3][1]),
+                                 float(s)))
+            if recs:
+                yield pd.DataFrame(recs, columns=cols)
+            else:
+                yield pd.DataFrame(
+                    {c: pd.Series([], dtype="float64" if c == "score"
+                                  else "int64") for c in cols})
+
+    return pages.mapInPandas(
+        batches,
+        schema=("doc_id long, x0 long, y0 long, x1 long, y1 long, "
+                "x2 long, y2 long, x3 long, y3 long, score double"))
