@@ -1827,6 +1827,99 @@ def _q_mentions_rels(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_mentions")
 
 
+def _q_light_gleans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LightRAG gleaning-fold bookkeeping
+    (graphrag/light/graph_extractor.py:83-110): the history/token
+    arithmetic around the chat seam and the light-specific
+    continuation normalization strip().strip('\"').strip(\"'\")
+    .lower() != 'yes' (the general extractor compares raw == 'YES').
+    Contents are 'word '-repeats so the pinned token counter equals
+    word counts and every line's count is a closed sum; the five
+    continuation variants cover both quote-stripping paths and the
+    stop case, and max_gleanings=3 exercises the final-round break
+    that skips the continuation consult."""
+    from ragflow_spark.operators.extraction import light_glean_fold
+
+    d = F.col("doc_id")
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet") \
+        .select("doc_id")
+    docs = docs.repartition(spark.sparkContext.defaultParallelism,
+                            "doc_id")
+    turns = docs.select(
+        F.concat(F.lit("ck"), d.cast("string")).alias("chunk_key"),
+        d.alias("seq"),
+        F.expr("repeat('word ', cast(5 + doc_id % 7 as int))")
+        .alias("hint_prompt"),
+        F.expr("repeat('word ', cast(3 + doc_id % 9 as int))")
+        .alias("initial"),
+        F.expr("transform(sequence(0, 2), g -> repeat('word ', "
+               "cast(2 + (doc_id * 3 + g * 5) % 8 as int)))")
+        .alias("gleans"),
+        F.expr("transform(sequence(0, 2), g -> element_at("
+               "array('yes', '\"YES\"', ' Yes ', 'no', "
+               "concat(char(39), 'yes', char(39))), "
+               "cast((doc_id + 3 * g) % 5 as int) + 1))")
+        .alias("ifloops"),
+        F.expr("repeat('word ', 4)").alias("continue_prompt"),
+        F.expr("concat(' ', repeat('word ', 6))")
+        .alias("ifloop_prompt"))
+    return light_glean_fold(turns, max_gleanings=3).select(
+        "chunk_key", "seq", "final_result", "n_gleans", "token_count")
+
+
+def _q_mentions_ents_light(spark: SparkSession, sf_dir: str) \
+        -> DataFrame:
+    """LightRAG extraction end-to-end on the deterministic side: the
+    glean fold's separator-free concatenation (a record SPANNING the
+    initial/glean boundary only parses because final_result += glean
+    joins the halves, graph_extractor.py:103), the stop rule gating
+    the second glean's records, then the shared record grammar
+    (split_string_by_multi_markers at :111-115 with the light
+    prompt's '##'/'<|COMPLETE|>'/'<|>' delimiters, utils.py:286-291)
+    and _merge_nodes — identical helpers to the general variant by
+    design (graphrag/general/extractor.py:63-88)."""
+    from ragflow_spark.operators.extraction import (
+        light_glean_fold, merge_entity_mentions,
+        parse_extraction_records)
+    from ragflow_spark.operators.resolution import \
+        truncate_descriptions
+
+    d = F.col("doc_id")
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet") \
+        .select("doc_id")
+    docs = docs.repartition(spark.sparkContext.defaultParallelism,
+                            "doc_id")
+    i = (d % 25).cast("string")
+    j = ((d + 7) % 25).cast("string")
+    k = (d % 23).cast("string")
+    d50 = (d % 50).cast("string")
+    initial = F.concat(
+        F.lit('("entity"<|>e'), i, F.lit("<|>geo<|>descA "), d50,
+        F.lit(')##("entity"<|>f'), j, F.lit("<|>person<|>descB"))
+    glean0 = F.concat(F.lit(" "), d50, F.lit(")##"))
+    glean1 = F.concat(
+        F.lit('("entity"<|>g'), k, F.lit("<|>event<|>descC "), d50,
+        F.lit(")##<|COMPLETE|>"))
+    ifloop0 = F.when(d % 2 == 0, F.lit("yes")).otherwise(F.lit('"no"'))
+    turns = docs.select(
+        F.concat(F.lit("ck"), d.cast("string")).alias("chunk_key"),
+        d.alias("seq"),
+        F.lit("").alias("hint_prompt"),
+        initial.alias("initial"),
+        F.array(glean0, glean1).alias("gleans"),
+        F.array(ifloop0, F.lit("yes")).alias("ifloops"),
+        F.lit("").alias("continue_prompt"),
+        F.lit("").alias("ifloop_prompt"))
+    folded = light_glean_fold(turns, max_gleanings=2)
+    ents, _rels = parse_extraction_records(
+        folded, response_col="final_result")
+    merged = truncate_descriptions(merge_entity_mentions(ents))
+    return merged.select(
+        "entity_name", "entity_type", "description",
+        F.concat_ws("|", "source_id").alias("source_ids"),
+        "n_mentions")
+
+
 def _q_kg_chunk_ents(spark: SparkSession, sf_dir: str) -> DataFrame:
     """graph_node_to_chunk (utils.py:302-326) over the merged
     extraction mentions: the full index-side pipeline — parse ->
@@ -2730,6 +2823,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "msg_fit": _q_msg_fit,
         # -- new in round 4 -------------------------------------------
         "ocr_quads": _q_ocr_quads,
+        "light_gleans": _q_light_gleans,
+        "mentions_ents_light": _q_mentions_ents_light,
         # -- r2-stamped queries (stalest green evidence) --------------
         "extract_html": _q_extract_html,
         "chunks_naive": _q_chunks_naive,
@@ -3856,6 +3951,93 @@ agg AS (SELECT entity_name,
 SELECT a.entity_name, p.entity_type, a.description, a.source_ids,
        a.n_mentions
 FROM agg a JOIN pick p USING (entity_name)
+"""
+
+    # light-gleaning twins: every content string is a 'word '-repeat,
+    # so the pinned token counter equals word counts and each
+    # token_count line is a closed sum ('Output:' = 3 tokens; the
+    # continuation variants cost [1,3,1,1,3]); the fold consults the
+    # continuation seam for g < max-1 only
+    light_gleans_sql = """
+WITH b AS (
+    SELECT doc_id, 5 + doc_id % 7 AS hp, 3 + doc_id % 9 AS ki
+    FROM documents
+), g AS (
+    SELECT b.*, g, 2 + (doc_id * 3 + g * 5) % 8 AS kg,
+           (doc_id + 3 * g) % 5 AS v
+    FROM b, (SELECT unnest([0, 1, 2]) AS g)
+), gg AS (
+    SELECT *, sum(kg + 4) OVER (PARTITION BY doc_id ORDER BY g)
+               AS cum,
+           v <> 3 AS cont,
+           CASE WHEN v IN (1, 4) THEN 3 ELSE 1 END AS itok
+    FROM g
+), p AS (
+    SELECT doc_id, hp, ki,
+           max(CASE WHEN g = 0 THEN cum END) AS cum0,
+           max(CASE WHEN g = 1 THEN cum END) AS cum1,
+           max(CASE WHEN g = 2 THEN cum END) AS cum2,
+           max(CASE WHEN g = 0 THEN kg END) AS kg0,
+           max(CASE WHEN g = 1 THEN kg END) AS kg1,
+           max(CASE WHEN g = 2 THEN kg END) AS kg2,
+           bool_and(CASE WHEN g = 0 THEN cont ELSE true END) AS c0,
+           bool_and(CASE WHEN g = 1 THEN cont ELSE true END) AS c1,
+           max(CASE WHEN g = 0 THEN itok END) AS it0,
+           max(CASE WHEN g = 1 THEN itok END) AS it1
+    FROM gg GROUP BY doc_id, hp, ki
+)
+SELECT 'ck' || CAST(doc_id AS VARCHAR) AS chunk_key, doc_id AS seq,
+       repeat('word ', CAST(ki + kg0
+           + CASE WHEN c0 THEN kg1
+                  + CASE WHEN c1 THEN kg2 ELSE 0 END
+                  ELSE 0 END AS INT)) AS final_result,
+       CAST(CASE WHEN NOT c0 THEN 1 WHEN NOT c1 THEN 2 ELSE 3 END
+            AS INT) AS n_gleans,
+       CAST(hp + ki
+           + (3 + ki + 4 + cum0 + hp + 4)
+           + (3 + ki + 4 + cum0 + it0 + 6)
+           + CASE WHEN c0 THEN (3 + ki + 4 + cum1 + hp + 4)
+                  + (3 + ki + 4 + cum1 + it1 + 6) ELSE 0 END
+           + CASE WHEN c0 AND c1
+                  THEN (3 + ki + 4 + cum2 + hp + 4) ELSE 0 END
+           AS BIGINT) AS token_count
+FROM p
+"""
+
+    # light-extraction twin: record A parses for every doc, record B
+    # only exists because the separator-free glean concatenation
+    # joins its halves, record C's doc set is gated by the light
+    # continuation rule ('"no"' normalizes to no)
+    mentions_ents_light_sql = """
+WITH m AS (
+    SELECT doc_id, doc_id % 25 AS i, (doc_id + 7) % 25 AS j,
+           doc_id % 23 AS k, doc_id % 50 AS d50,
+           doc_id % 2 = 0 AS ev
+    FROM documents
+), em AS (
+    SELECT doc_id, 'E' || CAST(i AS VARCHAR) AS entity_name,
+           'GEO' AS entity_type,
+           'descA ' || CAST(d50 AS VARCHAR) AS description,
+           'ck' || CAST(doc_id AS VARCHAR) AS source_id
+    FROM m
+    UNION ALL
+    SELECT doc_id, 'F' || CAST(j AS VARCHAR), 'PERSON',
+           'descB ' || CAST(d50 AS VARCHAR),
+           'ck' || CAST(doc_id AS VARCHAR)
+    FROM m
+    UNION ALL
+    SELECT doc_id, 'G' || CAST(k AS VARCHAR), 'EVENT',
+           'descC ' || CAST(d50 AS VARCHAR),
+           'ck' || CAST(doc_id AS VARCHAR)
+    FROM m WHERE ev
+)
+SELECT entity_name, max(entity_type) AS entity_type,
+       string_agg(DISTINCT description, '<SEP>'
+                  ORDER BY description) AS description,
+       string_agg(DISTINCT source_id, '|'
+                  ORDER BY source_id) AS source_ids,
+       count(*) AS n_mentions
+FROM em GROUP BY entity_name
 """
 
     mentions_rels_sql = """
@@ -5809,6 +5991,8 @@ FROM fin
 
     return {
         "ocr_quads": ocr_quads_sql,
+        "light_gleans": light_gleans_sql,
+        "mentions_ents_light": mentions_ents_light_sql,
         "extract_html": extract,
         "chunks_naive": chunks_naive,
         "chunk_one": chunk_one,

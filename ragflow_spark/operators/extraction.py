@@ -348,3 +348,70 @@ def subgraph_gate(ents: DataFrame, rels: DataFrame,
                       - F.coalesce("n_edges", F.lit(0)))
                      .alias("ignored_rels")))
     return kept, stats
+
+
+def light_glean_fold(turns: DataFrame,
+                     max_gleanings: int = 3) -> DataFrame:
+    """The LightRAG extractor's gleaning fold
+    (graphrag/light/graph_extractor.py:83-110) — the deterministic
+    conversation bookkeeping around the per-chunk chat seam:
+
+    - token_count starts at tokens(hint_prompt + initial);
+    - history = pack_user_ass("Output:", initial, continue_prompt)
+      (utils.py:279-284 role alternation — only the contents matter
+      for the token arithmetic, newline-joined);
+    - per glean round: history gains [glean, continue_prompt], then
+      token_count += tokens(join(history) + hint + continue_prompt),
+      final_result += glean (NO separator — records may span glean
+      boundaries, and the parser sees the concatenation);
+    - the loop breaks at max_gleanings-1 WITHOUT consulting the
+      continuation seam; otherwise token_count += tokens(join(history)
+      + if_loop_result + if_loop_prompt) and the light-specific
+      normalization ``strip().strip('"').strip("'").lower() != "yes"``
+      stops the fold (the general extractor instead compares the raw
+      response to "YES" — graph_extractor.py:133).
+
+    Input columns: chunk_key, seq, hint_prompt, initial,
+    gleans array<string> (max_gleanings entries), ifloops
+    array<string>, continue_prompt, ifloop_prompt.  Output: one row
+    per chunk with final_result, n_gleans, token_count.  Map-only
+    Arrow stage (the pinned token counter is Python); nothing
+    shuffles.
+    """
+    import pandas as pd
+
+    from ragflow_spark.extractlib.tokens import num_tokens_from_string
+
+    def fold(it):
+        for pdf in it:
+            recs = []
+            for r in pdf.itertuples(index=False):
+                tc = num_tokens_from_string(r.hint_prompt + r.initial)
+                history = ["Output:", r.initial, r.continue_prompt]
+                final = r.initial
+                n = 0
+                for g in range(max_gleanings):
+                    glean = r.gleans[g]
+                    history.extend([glean, r.continue_prompt])
+                    tc += num_tokens_from_string(
+                        "\n".join(history) + r.hint_prompt
+                        + r.continue_prompt)
+                    final += glean
+                    n += 1
+                    if g == max_gleanings - 1:
+                        break
+                    ifl = r.ifloops[g]
+                    tc += num_tokens_from_string(
+                        "\n".join(history) + ifl + r.ifloop_prompt)
+                    if ifl.strip().strip('"').strip("'").lower() \
+                            != "yes":
+                        break
+                recs.append((r.chunk_key, int(r.seq), final, n, tc))
+            yield pd.DataFrame(
+                recs, columns=["chunk_key", "seq", "final_result",
+                               "n_gleans", "token_count"])
+
+    return turns.mapInPandas(
+        fold, schema=("chunk_key string, seq long, "
+                      "final_result string, n_gleans int, "
+                      "token_count long"))

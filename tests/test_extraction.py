@@ -174,3 +174,73 @@ def test_merge_relation_mentions(spark):
     assert got["keywords"] == ["k1", "k2"]
     assert got["source_id"] == ["c1", "c2"]
     assert got["n_mentions"] == 3
+
+
+def _glean_run(spark, row, max_gleanings):
+    from ragflow_spark.operators.extraction import light_glean_fold
+    df = spark.createDataFrame(
+        [row], "chunk_key string, seq long, hint_prompt string, "
+               "initial string, gleans array<string>, "
+               "ifloops array<string>, continue_prompt string, "
+               "ifloop_prompt string")
+    return light_glean_fold(df, max_gleanings=max_gleanings) \
+        .collect()[0]
+
+
+def test_light_glean_delimiter_collision(spark):
+    """A record delimiter split across the glean boundary: the fold's
+    separator-free concatenation (graph_extractor.py:103) must fuse
+    '#' + '#' into one '##' so the downstream split sees TWO records,
+    and a tuple delimiter split as '<|' + '>' must fuse too."""
+    from ragflow_spark.operators.extraction import \
+        parse_extraction_records
+
+    r = _glean_run(
+        spark,
+        ("c1", 0, "", '("entity"<|>a<|>geo<|>d1)#',
+         ['#("entity"<|', '>b<|>geo<|>d2)##<|COMPLETE|>'],
+         ["yes", "yes"], "", ""),
+        max_gleanings=2)
+    assert r["n_gleans"] == 2
+    assert r["final_result"].count("##") == 2
+    df = spark.createDataFrame(
+        [(r["chunk_key"], 0, r["final_result"])],
+        "chunk_key string, seq long, response string")
+    ents, _ = parse_extraction_records(df)
+    assert sorted(e["entity_name"] for e in ents.collect()) == \
+        ["A", "B"]
+
+
+def test_light_glean_stop_normalization(spark):
+    """The light continuation rule strips whitespace, double quotes,
+    then single quotes before lowercasing (graph_extractor.py:108);
+    the general extractor's raw == 'YES' comparison must NOT be
+    applied."""
+    cases = [
+        ('"YES"', 3), ("' Yes garbage", 1), (" yes ", 3),
+        ("'YES'", 3), ('"no"', 1), ("YES.", 1),
+        # '" yes"' strips quotes to ' yes' -> the inner space
+        # survives the strip order and kills the match
+        ('" yes"', 1),
+    ]
+    for ifl, want in cases:
+        r = _glean_run(
+            spark,
+            ("c", 0, "", "x", ["a", "b", "c"], [ifl, "yes", "yes"],
+             "", ""),
+            max_gleanings=3)
+        assert r["n_gleans"] == want, ifl
+
+
+def test_light_glean_last_round_skips_consult(spark):
+    """now_glean_index == max_gleanings-1 breaks BEFORE the
+    continuation consult (graph_extractor.py:101-102): a 'no' at the
+    final slot must not matter, and its tokens must not be counted."""
+    r1 = _glean_run(spark, ("c", 0, "word ", "word ",
+                            ["word ", "word "], ["yes", "no"],
+                            "word ", "word "), max_gleanings=2)
+    r2 = _glean_run(spark, ("c", 0, "word ", "word ",
+                            ["word ", "word "], ["yes", "yes"],
+                            "word ", "word "), max_gleanings=2)
+    assert r1["n_gleans"] == r2["n_gleans"] == 2
+    assert r1["token_count"] == r2["token_count"]
