@@ -362,13 +362,18 @@ def rerank_by_model(docs: DataFrame, queries: DataFrame,
 
     with rank_fea 0 absent rank features. Same broadcast shape as
     rerank_fusion; the model-scored page is the tiny side."""
-    cands = model_sims.select("qid", "doc_id", "msim").cache()
+    # lazy localCheckpoint, not cache(): these pins have no unpersist
+    # site (the result is lazy), and checkpointed blocks are reclaimed
+    # by the ContextCleaner when the frames go out of scope instead of
+    # living in the CacheManager forever (same idiom as tag_features)
+    cands = model_sims.select("qid", "doc_id", "msim") \
+        .localCheckpoint(eager=False)
     cand_ids = cands.select("doc_id").distinct()
     dtw = doc_term_weights(
         docs.join(F.broadcast(cand_ids), "doc_id"),
-        dedup=False).cache()
+        dedup=False).localCheckpoint(eager=False)
     dstats = dtw.groupBy("doc_id").agg(F.count("*").alias("dlen"))
-    qtw = rerank_query_terms(queries).cache()
+    qtw = rerank_query_terms(queries).localCheckpoint(eager=False)
     qnorm = qtw.groupBy("qid").agg(
         F.sum(F.col("weight") * F.col("weight")).alias("qq"))
     overlap = (
@@ -515,19 +520,20 @@ def rerank_fusion(docs: DataFrame, embeddings: DataFrame,
     broadcast; the only exchanges carry (qid, doc_id, scalar) rows.
     Missing embeddings fall back to the reference's zero vector
     (search.py:288-295) -> cosine 0."""
-    # the candidate set (<= n_queries * topn rows) feeds three branches;
-    # cache it so Spark's tree-shaped plans don't re-derive the whole
-    # keyword_search DAG (postings + top-k) once per branch
+    # the candidate set (<= n_queries * topn rows) feeds three
+    # branches; pin it so Spark's tree-shaped plans don't re-derive
+    # the whole keyword_search DAG (postings + top-k) once per branch
     cands = keyword_search(docs, queries, k=topn, postings=postings) \
-        .select("qid", "doc_id").cache()
+        .select("qid", "doc_id").localCheckpoint(eager=False)
     cand_ids = cands.select("doc_id").distinct()
     dtw = doc_term_weights(
-        docs.join(F.broadcast(cand_ids), "doc_id")).cache()
+        docs.join(F.broadcast(cand_ids), "doc_id")) \
+        .localCheckpoint(eager=False)
     dstats = dtw.groupBy("doc_id").agg(F.count("*").alias("dlen"))
     # the rerank token side is question()'s keywords — base tokens PLUS
     # huqie-tokenized synonyms (query.py:93-96), normalized together and
     # accumulated per term (toDict, query.py:218-221)
-    qtw = rerank_query_terms(queries).cache()
+    qtw = rerank_query_terms(queries).localCheckpoint(eager=False)
     qnorm = qtw.groupBy("qid").agg(
         F.sum(F.col("weight") * F.col("weight")).alias("qq"))
 

@@ -116,3 +116,44 @@ def test_rank_feature_scores_formula(spark):
     # doc 2: common 'lag' -> 10 * (2*3) / sqrt(9) / qd
     assert abs(rows[(0, 2)] - round(10 * 6 / 3 / qd, 6)) < 1e-9
     assert set(rows) == {(0, 1), (0, 2)}
+
+
+def test_operators_leave_no_sql_cache_behind(spark):
+    """The multi-branch pins in tag_features and the retrieval rerank
+    operators use lazy localCheckpoints, NOT cache(): a cache() with
+    no unpersist site parks the plan in the SQL CacheManager forever
+    (a slow leak in a long-lived session), while checkpointed blocks
+    are reclaimed when the frames go out of scope.  Guard the idiom:
+    after running each operator to completion the CacheManager must
+    be empty."""
+    from pyspark.sql import functions as F
+
+    from ragflow_spark.operators.tagging import tag_features
+
+    def cache_mgr_empty():
+        return spark._jsparkSession.sharedState().cacheManager() \
+            .isEmpty()
+
+    subjects = spark.createDataFrame(
+        [(1, "alpha beta"), (2, "beta gamma")],
+        "doc_id long, text string")
+    kb_terms = spark.createDataFrame(
+        [("k1", "alpha"), ("k1", "beta"), ("k2", "gamma")],
+        "kb_id string, term string")
+    kb_tags = spark.createDataFrame(
+        [("k1", "t1"), ("k2", "t2")], "kb_id string, tag string")
+    tag_features(subjects, kb_terms, kb_tags, smooth=10).collect()
+    assert cache_mgr_empty()
+
+    from ragflow_spark.operators.retrieval import rerank_by_model
+
+    docs = spark.createDataFrame(
+        [(10, "alpha beta gamma"), (11, "beta beta delta")],
+        "doc_id long, text string")
+    queries = spark.createDataFrame(
+        [(1, "alpha beta")], "qid long, question string")
+    sims = spark.createDataFrame(
+        [(1, 10, 0.9), (1, 11, 0.4)],
+        "qid long, doc_id long, msim double")
+    rerank_by_model(docs, queries, sims).collect()
+    assert cache_mgr_empty()
