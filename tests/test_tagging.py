@@ -130,6 +130,10 @@ def test_operators_leave_no_sql_cache_behind(spark):
 
     from ragflow_spark.operators.tagging import tag_features
 
+    # other tests in the shared session may hold their own caches;
+    # the invariant under test is that THESE operators add none
+    spark.catalog.clearCache()
+
     def cache_mgr_empty():
         return spark._jsparkSession.sharedState().cacheManager() \
             .isEmpty()
