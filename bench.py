@@ -229,6 +229,10 @@ def main() -> None:
     # shape with an added per-page group)
     run("ocr_det_prep", lambda: _entry._q_ocr_det_prep(spark, sf_dir)
         .write.format("noop").mode("overwrite").save())
+    # round 4: the DBPostProcess bitmap walk (Suzuki-Abe tracing +
+    # calipers + Clipper offset per page, map-only Arrow stage)
+    run("ocr_quads", lambda: _entry._q_ocr_quads(spark, sf_dir)
+        .write.format("noop").mode("overwrite").save())
 
     total = round(sum(timings.values()), 3)
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
