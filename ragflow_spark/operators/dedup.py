@@ -384,19 +384,23 @@ def dup_clusters(pairs: DataFrame, max_iters: int = 20,
                 .select(F.col("l_src").alias("src"), "jlbl"))
         # localCheckpoint truncates the per-round lineage — without it
         # every round's plan re-embeds all previous rounds and the job
-        # slows superlinearly with iteration count
+        # slows superlinearly with iteration count.  The convergence
+        # flag rides along in the checkpointed row (the old label is
+        # already in hand here), so the per-round check is a scan of
+        # the materialized round, not another two-shuffle join.
+        nlbl = F.least(
+            "lbl", F.coalesce("nlbl", F.col("lbl")),
+            F.coalesce("jlbl", F.col("lbl")))
         new_labels = (
             labels.join(nbr, "src", "left").join(jump, "src", "left")
-            .select("src", F.least(
-                "lbl", F.coalesce("nlbl", F.col("lbl")),
-                F.coalesce("jlbl", F.col("lbl"))).alias("lbl"))
+            .select("src", nlbl.alias("new_lbl"),
+                    (nlbl != F.col("lbl")).alias("chg"))
             .localCheckpoint()
         )
-        changed = (new_labels.alias("n")
-                   .join(labels.alias("o"), "src")
-                   .where(F.col("n.lbl") != F.col("o.lbl")).count())
+        changed = new_labels.where("chg").count()
         labels.unpersist()
-        labels = new_labels
+        labels = new_labels.select(
+            "src", F.col("new_lbl").alias("lbl"))
         if changed == 0:
             break
     edges.unpersist()

@@ -30,6 +30,9 @@ window ordering.
 """
 from __future__ import annotations
 
+import csv
+import io
+
 import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
@@ -169,6 +172,24 @@ def fuse_relations(rels: DataFrame, ents_q: DataFrame,
                 "description")
 
 
+def _pandas_csv(rows: list[dict]) -> str:
+    """``pd.DataFrame(rows).to_csv()`` byte-for-byte, without building
+    a DataFrame per query (the reference renders each query's section
+    through pandas at search.py:243,252; a tiny-frame construction per
+    qid dominated this operator's profile).  pandas' C writer and the
+    stdlib csv module agree on QUOTE_MINIMAL string data — RangeIndex
+    first column, quoting on ``, " \\r \\n``, doubled quotes, None as
+    empty — pinned by test_kg_search's parity cases against real
+    pandas."""
+    buf = io.StringIO()
+    w = csv.writer(buf, lineterminator="\n")
+    cols = list(rows[0].keys())
+    w.writerow([""] + cols)
+    for i, d in enumerate(rows):
+        w.writerow([i] + [d[c] for c in cols])
+    return buf.getvalue()
+
+
 def _desc_text(col):
     """``json.loads(description).get("description", "")`` with the
     reference's empty-string fallback (search.py:232,249-252)."""
@@ -246,10 +267,11 @@ def kg_content(ents: DataFrame, rels: DataFrame,
 
     def render(pdf: pd.DataFrame) -> pd.DataFrame:
         out = {"qid": [], "content": []}
-        for _, row in pdf.iterrows():
+        for qid, r_ents, r_rels, r_comms in zip(
+                pdf["qid"], pdf["ents"], pdf["rels"], pdf["comms"]):
             budget = max_token
             ents_rows, rels_rows, txts = [], [], []
-            for s in sorted(row["ents"] if row["ents"] is not None
+            for s in sorted(r_ents if r_ents is not None
                             else [], key=lambda x: x["rank"]):
                 d = {"Entity": s["Entity"],
                      "Score": "%.2f" % s["Score"],
@@ -259,7 +281,7 @@ def kg_content(ents: DataFrame, rels: DataFrame,
                 if budget <= 0:
                     ents_rows.pop()
                     break
-            for s in sorted(row["rels"] if row["rels"] is not None
+            for s in sorted(r_rels if r_rels is not None
                             else [], key=lambda x: x["rank"]):
                 d = {"From Entity": s["From"], "To Entity": s["To"],
                      "Score": "%.2f" % s["Score"],
@@ -272,12 +294,12 @@ def kg_content(ents: DataFrame, rels: DataFrame,
             txt = ""
             if ents_rows:
                 txt += "\n---- Entities ----\n{}".format(
-                    pd.DataFrame(ents_rows).to_csv())
+                    _pandas_csv(ents_rows))
             if rels_rows:
                 txt += "\n---- Relations ----\n{}".format(
-                    pd.DataFrame(rels_rows).to_csv())
+                    _pandas_csv(rels_rows))
             for ii, c in enumerate(sorted(
-                    row["comms"] if row["comms"] is not None else [],
+                    r_comms if r_comms is not None else [],
                     key=lambda x: x["crank"])):
                 txts.append("# {}. {}\n## Content\n{}\n## Evidences"
                             "\n{}\n".format(ii + 1, c["name"],
@@ -287,10 +309,16 @@ def kg_content(ents: DataFrame, rels: DataFrame,
             if txts:
                 txt += ("\n---- Community Report ----\n"
                         + "\n".join(txts))
-            out["qid"].append(row["qid"])
+            out["qid"].append(qid)
             out["content"].append(txt)
         return pd.DataFrame(out)
 
+    # AQE coalesces the tiny per-qid shuffles to one partition, which
+    # would run the Python renderer serially; spread the CPU-bound
+    # render stage across the session's cores (the map-only fan-out
+    # rule — the extra exchange carries top-n rows per qid only)
+    sc = packed.sparkSession.sparkContext
+    packed = packed.repartition(sc.defaultParallelism, "qid")
     return packed.mapInPandas(
         lambda it: (render(pdf) for pdf in it),
         schema="qid bigint, content string")

@@ -216,3 +216,31 @@ def test_content_empty_sections_omitted(spark):
     assert "---- Entities ----" not in txt
     assert txt.startswith("\n---- Relations ----")
     assert "Community" not in txt
+
+
+def test_pandas_csv_parity_with_real_pandas():
+    """_pandas_csv must be byte-identical to pd.DataFrame(rows)
+    .to_csv() — the reference's renderer (search.py:243,252) — across
+    QUOTE_MINIMAL's edge cases: delimiter/quote/CR/LF in fields,
+    empty strings, None, unicode, and column names needing quotes."""
+    import pandas as pd
+
+    from ragflow_spark.operators.kg_search import _pandas_csv
+
+    cases = [
+        [{"Entity": "e1", "Score": "2.52", "Description": "plain"}],
+        [{"Entity": "a,b", "Score": "0.00",
+          "Description": 'say "hi"'},
+         {"Entity": "line\nbreak", "Score": "1.10",
+          "Description": "tab\there"}],
+        [{"Entity": "", "Score": "9.99", "Description": None}],
+        [{"Entity": "cr\rhere", "Score": "1.00",
+          "Description": "semi;colon"}],
+        [{"Entity": "ünïcødé 中文", "Score": "3.14",
+          "Description": "emoji 🙂"}],
+        [{"A,col": "v", 'B"q': "w"}],
+        [{"From Entity": "e1", "To Entity": "e2", "Score": "0.05",
+          "Description": "d"} for _ in range(6)],
+    ]
+    for rows in cases:
+        assert _pandas_csv(rows) == pd.DataFrame(rows).to_csv()
