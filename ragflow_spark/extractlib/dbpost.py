@@ -63,6 +63,7 @@ _DEF_ARC_TOLERANCE = 0.25
 # Moore neighborhood, clockwise starting east, in (dy, dx)
 _NBRS = ((0, 1), (1, 1), (1, 0), (1, -1),
          (0, -1), (-1, -1), (-1, 0), (-1, 1))
+_NBR_IDX = {d: k for k, d in enumerate(_NBRS)}
 
 
 def trace_borders(bitmap: np.ndarray) -> list[np.ndarray]:
@@ -83,21 +84,28 @@ def trace_borders(bitmap: np.ndarray) -> list[np.ndarray]:
     f[1:-1, 1:-1] = (bitmap > 0).astype(np.int32)
     nbd = 1
     borders: list[np.ndarray] = []
-    for i in range(1, h + 1):
-        for j in range(1, w + 1):
-            if f[i, j] == 0:
-                continue
-            if f[i, j] == 1 and f[i, j - 1] == 0:
-                start_nbr = (i, j - 1)          # outer border
-            elif f[i, j] >= 1 and f[i, j + 1] == 0:
-                start_nbr = (i, j + 1)          # hole border
-            else:
-                continue
-            nbd += 1
-            pts = _follow(f, (i, j), start_nbr, nbd)
-            borders.append(
-                np.array([(x - 1, y - 1) for y, x in pts],
-                         dtype=np.int64))
+    # Marks replace 1 with ±nbd but never touch 0, so zero-ness is a
+    # scan invariant: a pixel can fire a start condition only if it is
+    # nonzero AND its west or east neighbor is zero.  Precomputing
+    # that candidate set (np.nonzero is row-major = raster order)
+    # replaces the full h*w Python scan with a walk over boundary
+    # pixels only — identical trace order and marks by construction.
+    inner = f[1:-1, 1:-1] != 0
+    edge = (f[1:-1, :-2] == 0) | (f[1:-1, 2:] == 0)
+    cis, cjs = np.nonzero(inner & edge)
+    for i, j in zip((cis + 1).tolist(), (cjs + 1).tolist()):
+        v = f[i, j]
+        if v == 1 and f[i, j - 1] == 0:
+            start_nbr = (i, j - 1)              # outer border
+        elif v >= 1 and f[i, j + 1] == 0:
+            start_nbr = (i, j + 1)              # hole border
+        else:
+            continue
+        nbd += 1
+        pts = _follow(f, (i, j), start_nbr, nbd)
+        borders.append(
+            np.array([(x - 1, y - 1) for y, x in pts],
+                     dtype=np.int64))
     return borders
 
 
@@ -106,7 +114,7 @@ def _follow(f: np.ndarray, p0: tuple[int, int],
     """Walk one border from ``p0`` whose examination started at
     neighbor ``n0``; returns the border pixels in trace order."""
     # step 3.1: clockwise from n0, find the first nonzero neighbor
-    base = _NBRS.index((n0[0] - p0[0], n0[1] - p0[1]))
+    base = _NBR_IDX[(n0[0] - p0[0], n0[1] - p0[1])]
     first = None
     for k in range(1, 9):
         d = _NBRS[(base + k) % 8]
@@ -120,7 +128,7 @@ def _follow(f: np.ndarray, p0: tuple[int, int],
     p2, p3 = first, p0                          # (prev, current)
     while True:
         # step 3.3: counterclockwise from the element after p2
-        base = _NBRS.index((p2[0] - p3[0], p2[1] - p3[1]))
+        base = _NBR_IDX[(p2[0] - p3[0], p2[1] - p3[1])]
         p4 = None
         east_bg = False
         for k in range(1, 9):
