@@ -5692,29 +5692,52 @@ FROM documents
 """
 
     # -- deterministic OCR machinery (visionprep) ---------------------
-    # Float columns are compared UNROUNDED: both sides evaluate the
-    # identical IEEE-double expression tree (the stub pages are linear
-    # in x and constant in y, so the bilinear resample at a probe
-    # point is the transcribed clip/floor/lerp arithmetic below), and
-    # the checker's own rounding then acts on bit-equal values.
+    # The det/rec resample is cv2's fixed-point INTER_LINEAR kernel
+    # (visionops.fixedpoint_resize_u8) — pure integer arithmetic once
+    # the taps are quantized, so the twin recomputes the probe pixels
+    # EXACTLY.  cv2's one float32 surface (the coefficient chain) is
+    # replicated bit-exactly via CAST(<double op> AS REAL): a product
+    # or difference of two float32 values is exact in double, so
+    # double-compute-then-round-to-float32 equals the hardware float32
+    # op (and *2048 is a power-of-two scale, exact outright).  The
+    # stub pages are linear in x and constant in y, so a probe's two
+    # horizontal taps are (bc+sx) and (bc+sx+1) and the two vertical
+    # rows share one H value.
 
-    def _bil(bc: str, xp: str, w: str, rw: str, h: str, rh: str) -> str:
-        """visionops.bilinear_resize at (row 0, column ``xp``, channel
-        base value ``bc``): xs/fx from the half-pixel-center mapping,
-        x-lerp between the clamped neighbours, then the (vacuous but
-        kept) y-lerp — the same op order as the numpy body."""
-        xs = f"(((({xp}) + 0.5) * ({w})) / ({rw}) - 0.5)"
-        x0 = f"LEAST(GREATEST(FLOOR({xs}), 0), ({w}) - 1)"
-        x1 = f"LEAST({x0} + 1, ({w}) - 1)"
-        fx = f"LEAST(GREATEST({xs} - {x0}, 0), 1)"
-        ys = f"(((0.5) * ({h})) / ({rh}) - 0.5)"
-        y0 = f"LEAST(GREATEST(FLOOR({ys}), 0), ({h}) - 1)"
-        fy = f"LEAST(GREATEST({ys} - {y0}, 0), 1)"
-        top = (f"((({bc}) + {x0}) * (1.0 - {fx})"
-               f" + (({bc}) + {x1}) * {fx})")
-        return f"({top} * (1.0 - {fy}) + {top} * {fy})"
+    def _rhe(v: str) -> str:
+        """cvRound (round half to even) of a nonneg double-held
+        float32 value; DuckDB round() is half-away so ties are
+        hand-folded to the even integer."""
+        fl = f"CAST(FLOOR({v}) AS BIGINT)"
+        return (f"(CASE WHEN ({v}) - FLOOR({v}) = 0.5 "
+                f"THEN {fl} + ({fl} % 2) "
+                f"ELSE CAST(round({v}, 0) AS BIGINT) END)")
 
-    _det_mid = _bil("(doc_id * 29 + 17) % 48", "rw // 2", "w", "rw",
+    def _fxp(bc: str, xp: str, w: str, rw: str, h: str, rh: str) -> str:
+        """fixedpoint_resize_u8 at (row 0, column ``xp``, channel base
+        value ``bc``): float32 tap chain with x-edge zeroing, 2048
+        quantization via cvRound, then the integer horizontal tap sum
+        and the uchar vertical pass (both >>16 truncations kept)."""
+        f = (f"CAST((({xp}) + 0.5) * (({w}) / (({rw}) * 1.0)) - 0.5 "
+             f"AS REAL)")
+        sxr = f"CAST(FLOOR({f}) AS BIGINT)"
+        sx = f"LEAST(GREATEST({sxr}, 0), ({w}) - 1)"
+        fx = (f"(CASE WHEN {sxr} < 0 OR {sxr} >= ({w}) - 1 "
+              f"THEN CAST(0.0 AS REAL) "
+              f"ELSE CAST({f} - {sxr} AS REAL) END)")
+        a0 = _rhe(f"(CAST(1.0 - {fx} AS REAL) * 2048)")
+        a1 = _rhe(f"({fx} * 2048)")
+        hh = (f"((({bc}) + {sx}) * {a0} + "
+              f"(({bc}) + LEAST({sx} + 1, ({w}) - 1)) * {a1})")
+        fyy = f"CAST(0.5 * (({h}) / (({rh}) * 1.0)) - 0.5 AS REAL)"
+        syr = f"CAST(FLOOR({fyy}) AS BIGINT)"
+        fy = f"CAST({fyy} - {syr} AS REAL)"
+        b0 = _rhe(f"(CAST(1.0 - {fy} AS REAL) * 2048)")
+        b1 = _rhe(f"({fy} * 2048)")
+        return (f"CAST((((({b0} * ({hh} >> 4)) >> 16) + "
+                f"(({b1} * ({hh} >> 4)) >> 16) + 2) >> 2) AS DOUBLE)")
+
+    _det_mid = _fxp("(doc_id * 29 + 17) % 48", "rw // 2", "w", "rw",
                     "h", "rh")
     ocr_det_prep_sql = f"""
 WITH p AS (
@@ -5740,10 +5763,10 @@ SELECT doc_id, h AS src_h, w AS src_w,
        CAST(rh AS INT) AS resize_h, CAST(rw AS INT) AS resize_w,
        rh / (h * 1.0) AS ratio_h,
        rw / (w * 1.0) AS ratio_w,
-       {_bil("(doc_id * 29) % 48", "0", "w", "rw", "h", "rh")}
+       {_fxp("(doc_id * 29) % 48", "0", "w", "rw", "h", "rh")}
            AS px_left,
        {_det_mid} AS px_mid,
-       {_bil("(doc_id * 29 + 34) % 48", "rw - 1", "w", "rw", "h", "rh")}
+       {_fxp("(doc_id * 29 + 34) % 48", "rw - 1", "w", "rw", "h", "rh")}
            AS px_right,
        ({_det_mid} * (1.0 / 255.0) - 0.456) / 0.224 AS norm_mid
 FROM s
@@ -5788,9 +5811,9 @@ SELECT doc_id,
 FROM k
 """
 
-    _rec_l = _bil("((doc_id + j * 101) * 29) % 48", "0", "cw",
+    _rec_l = _fxp("((doc_id + j * 101) * 29) % 48", "0", "cw",
                   "resized_w", "ch", "48")
-    _rec_r = _bil("((doc_id + j * 101) * 29 + 34) % 48",
+    _rec_r = _fxp("((doc_id + j * 101) * 29 + 34) % 48",
                   "resized_w - 1", "cw", "resized_w", "ch", "48")
     ocr_rec_prep_sql = f"""
 WITH c0 AS (

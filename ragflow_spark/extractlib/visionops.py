@@ -27,13 +27,17 @@ arithmetic with two model seams.  Everything deterministic is here:
 - ``nms`` (operators.py:702-725) with the reference's +1 area
   convention.
 
-The model seams — ONNX det/rec inference and ``DBPostProcess``'s
-bitmap-to-polygon tracing (cv2.findContours + pyclipper, binary-image
-topology, not rule arithmetic) — stay seams, exactly like the layout /
-TSR recognizers (SURVEY §2.5).  ``cv2.resize``'s fixed-point
-INTER_LINEAR kernel is likewise a pixel-level seam: ``bilinear_resize``
-here is the float half-pixel-center form (the documented stand-in; the
-size/ratio arithmetic around it is exact).
+The model seams — ONNX det/rec inference — stay seams, exactly like
+the layout / TSR recognizers (SURVEY §2.5); ``DBPostProcess``'s
+bitmap walk is implemented in ``dbpost``.  ``cv2.resize``'s
+fixed-point INTER_LINEAR kernel for 8-bit images is implemented from
+the public OpenCV source in ``fixedpoint_resize_u8`` (used by the
+det/rec paths, which feed cv2.resize uint8 frames); the remaining
+pixel seams are ``cv2.warpPerspective``'s INTER_BITS warp kernel
+(``crop_rotate`` keeps float bilinear sampling over the exact
+homography) and INTER_CUBIC (``layout_preprocess`` keeps
+``bilinear_resize``, the float half-pixel-center form, as its
+stand-in).
 
 Determinism adaptation (documented): ``rec_batch_order`` pins the
 width-ratio argsort tie order to the original index (numpy's default
@@ -119,19 +123,93 @@ def bilinear_resize(img: np.ndarray, out_h: int, out_w: int) -> np.ndarray:
     return top * (1.0 - fy) + bot * fy
 
 
+# cv2.resize INTER_LINEAR fixed-point constants (imgproc/src/resize.cpp)
+INTER_RESIZE_COEF_BITS = 11
+INTER_RESIZE_COEF_SCALE = 1 << INTER_RESIZE_COEF_BITS      # 2048
+
+
+def _resize_coeffs_fixed(src: int, dst: int, zero_edges: bool):
+    """One axis of cv2.resize INTER_LINEAR's fixed-point tap setup
+    (resize.cpp invoker): ``f = (float)((d+0.5)*scale - 0.5)`` —
+    double inner product cast to float32 — ``s = cvFloor(f)``,
+    ``f -= s``, coefficients ``(1.f-f, f)`` scaled by 2048 and
+    quantized with cvRound (round half to even).  The x axis zeroes
+    ``f`` at both edges (the xmin/xmax regions read a single tap at
+    full weight); the y axis keeps raw ``f`` and clips row indices at
+    gather time instead — cv2's two edge conventions differ and the
+    distinction is observable (the two ``>>16`` truncations of the
+    vertical pass make split-coefficient taps on one clamped row
+    differ by 1 from a single full-weight tap).
+
+    Returns (ofs, a0, a1) int64 arrays of length ``dst``."""
+    scale = src / dst                            # double, as in C++
+    d = np.arange(dst, dtype=np.float64)
+    f = ((d + 0.5) * scale - 0.5).astype(np.float32)
+    s = np.floor(f).astype(np.int64)
+    f = (f - s.astype(np.float32)).astype(np.float32)
+    if zero_edges:
+        left = s < 0
+        s[left] = 0
+        f[left] = np.float32(0.0)
+        tail = s >= src - 1
+        s[tail] = src - 1
+        f[tail] = np.float32(0.0)
+    # (1.f - f) is the chain's one true float32 rounding; the *2048
+    # that follows is a power-of-two scale, exact in float32
+    c0 = (np.float32(1.0) - f) * np.float32(INTER_RESIZE_COEF_SCALE)
+    c1 = f * np.float32(INTER_RESIZE_COEF_SCALE)
+    return s, np.rint(c0).astype(np.int64), np.rint(c1).astype(np.int64)
+
+
+def fixedpoint_resize_u8(img: np.ndarray, out_h: int,
+                         out_w: int) -> np.ndarray:
+    """cv2.resize(img, (out_w, out_h)) for uint8 images — the default
+    INTER_LINEAR fixed-point kernel, transcribed from the public
+    OpenCV imgproc/src/resize.cpp (HResizeLinear / the uchar
+    VResizeLinear specialization / the 8U invoker), including the
+    cv::resize quirk that an exact 2x2 downscale silently switches to
+    the INTER_AREA fast path (``(a+b+c+d+2)>>2``).
+
+    Horizontal pass: ``H = S[sx]*a0 + S[sx+1]*a1`` in int32-range
+    integers; vertical pass is the uchar specialization
+    ``((b0*(H0>>4))>>16) + ((b1*(H1>>4))>>16) + 2) >> 2``."""
+    h, w = img.shape[:2]
+    squeeze = img.ndim == 2
+    im = img.astype(np.int64)
+    if squeeze:
+        im = im[..., None]
+    if w == 2 * out_w and h == 2 * out_h:
+        s = (im[0::2, 0::2] + im[0::2, 1::2]
+             + im[1::2, 0::2] + im[1::2, 1::2])
+        out = ((s + 2) >> 2).astype(np.uint8)
+        return out[..., 0] if squeeze else out
+    xs, xa0, xa1 = _resize_coeffs_fixed(w, out_w, zero_edges=True)
+    ys, yb0, yb1 = _resize_coeffs_fixed(h, out_h, zero_edges=False)
+    x1 = np.minimum(xs + 1, w - 1)
+    H = (im[:, xs, :] * xa0[None, :, None]
+         + im[:, x1, :] * xa1[None, :, None])
+    r0 = np.clip(ys, 0, h - 1)
+    r1 = np.clip(ys + 1, 0, h - 1)
+    out = (((yb0[:, None, None] * (H[r0] >> 4)) >> 16)
+           + ((yb1[:, None, None] * (H[r1] >> 4)) >> 16))
+    out = ((out + 2) >> 2).astype(np.uint8)
+    return out[..., 0] if squeeze else out
+
+
 def det_resize(img: np.ndarray, limit_side_len: int = 960,
                limit_type: str = "max") -> tuple[np.ndarray, np.ndarray]:
     """DetResizeForTest.__call__ for the resize_type==0 path the
     reference's TextDetector config selects (operators.py:314-329,
     ocr.py:400-407): pad tiny images, compute the /32-snapped target,
-    resample, and return (img, [src_h, src_w, ratio_h, ratio_w])."""
+    resample with cv2's fixed-point INTER_LINEAR kernel, and return
+    (img, [src_h, src_w, ratio_h, ratio_w])."""
     src_h, src_w = img.shape[:2]
     if src_h + src_w < 64:
         img = det_image_padding(img)
     h, w = img.shape[:2]
     resize_h, resize_w = det_resize_shape(h, w, limit_side_len,
                                           limit_type)
-    out = bilinear_resize(img, resize_h, resize_w)
+    out = fixedpoint_resize_u8(img, resize_h, resize_w)
     ratio_h = resize_h / float(h)
     ratio_w = resize_w / float(w)
     return out, np.array([src_h, src_w, ratio_h, ratio_w])
@@ -369,7 +447,8 @@ def rec_resize_norm(img: np.ndarray, max_wh_ratio: float,
     h, w = img.shape[:2]
     resized_w, imgw = rec_resized_w(h, w, max_wh_ratio, rec_shape,
                                     model_w)
-    resized = bilinear_resize(img, imgh, resized_w).astype("float32")
+    resized = fixedpoint_resize_u8(img, imgh, resized_w) \
+        .astype("float32")
     resized = resized.transpose((2, 0, 1)) / 255
     resized -= 0.5
     resized /= 0.5

@@ -225,7 +225,7 @@ def rec_prep(crops: DataFrame) -> DataFrame:
                              widths[i], heights[i])
             resized_w, canvas_w = V.rec_resized_w(
                 heights[i], widths[i], mratio)
-            resized = V.bilinear_resize(img, 48, resized_w)
+            resized = V.fixedpoint_resize_u8(img, 48, resized_w)
             px_l = float(resized[0, 0, 0])
             px_r = float(resized[0, resized_w - 1, 2])
             # raw doubles (no rounding): twin-side expression trees

@@ -111,6 +111,77 @@ def test_normalize_and_chw_golden():
 
 
 # ---------------------------------------------------------------------------
+# cv2 fixed-point INTER_LINEAR kernel (resize.cpp transcription)
+
+
+def test_fixedpoint_resize_identity():
+    rng = np.random.RandomState(3)
+    img = rng.randint(0, 256, (9, 13, 3)).astype(np.uint8)
+    assert np.array_equal(V.fixedpoint_resize_u8(img, 9, 13), img)
+
+
+def test_fixedpoint_resize_hand_downscale():
+    # ramp 0..9, 10 -> 4 columns: per-column taps hand-quantized
+    # (fx in {0.75, 0.25} -> coefficients (512,1536)/(1536,512)),
+    # vertical pass degenerate (fy=0)
+    img = (np.arange(10, dtype=np.uint8).reshape(1, 10, 1)
+           * np.ones((2, 1, 1), np.uint8))
+    out = V.fixedpoint_resize_u8(img, 2, 4)
+    assert out[0, :, 0].tolist() == [1, 3, 6, 8]
+
+
+def test_fixedpoint_resize_vertical_split_taps():
+    # 2 -> 4 rows: dy=0 has sy=-1, fy=0.75 — cv2 does NOT zero the y
+    # edge; both taps clamp to row 0 with split coefficients
+    # (512, 1536), whose separate >>16 truncations reproduce row 0
+    # only because 10*2048 is shift-exact; dy=1 blends rows 0 and 1
+    # with (1536, 512) -> 70
+    img = (np.array([[10], [250]], np.uint8)[:, :, None]
+           * np.ones((1, 3, 1), np.uint8))
+    out = V.fixedpoint_resize_u8(img, 4, 3)
+    assert out[:, 0, 0].tolist() == [10, 70, 190, 250]
+
+
+def test_fixedpoint_resize_2x_area_quirk():
+    # cv::resize silently switches INTER_LINEAR to the INTER_AREA
+    # fast path on an exact 2x2 downscale: (a+b+c+d+2)>>2
+    rng = np.random.RandomState(11)
+    img = rng.randint(0, 256, (8, 12, 3)).astype(np.uint8)
+    out = V.fixedpoint_resize_u8(img, 4, 6)
+    a = img.astype(np.int64)
+    want = ((a[0::2, 0::2] + a[0::2, 1::2]
+             + a[1::2, 0::2] + a[1::2, 1::2] + 2) >> 2)
+    assert np.array_equal(out, want.astype(np.uint8))
+
+
+def test_fixedpoint_resize_x_edge_single_tap():
+    # upscale: dx=0 has sx<0 -> cv2 zeroes the x tap (full weight on
+    # column 0), so the left edge reproduces column 0 exactly
+    img = (np.array([[7, 200, 40]], np.uint8)[:, :, None]
+           * np.ones((3, 1, 1), np.uint8))
+    out = V.fixedpoint_resize_u8(img, 3, 9)
+    assert out[0, 0, 0] == 7 and out[0, 8, 0] == 40
+
+
+def test_fixedpoint_resize_coeff_rounding_half_even():
+    # cvRound rounds half to even: both 1.5 and 2.5 quantize to 2
+    s, a0, a1 = V._resize_coeffs_fixed(4096, 4096, zero_edges=True)
+    assert (a0 + a1 == 2048).all()
+    assert np.rint(np.float32(1.5)) == 2.0
+    assert np.rint(np.float32(2.5)) == 2.0
+
+
+def test_fixedpoint_resize_within_one_of_float_form():
+    # the fixed-point kernel is the float bilinear quantized to 11-bit
+    # taps: on smooth data every pixel lands within 1 grey level
+    rng = np.random.RandomState(5)
+    img = rng.randint(0, 256, (24, 40, 3)).astype(np.uint8)
+    fp = V.fixedpoint_resize_u8(img, 37, 61).astype(np.float64)
+    fl = V.bilinear_resize(img, 37, 61)
+    assert float(np.abs(fp - fl).max()) <= 1.0
+
+
+# ---------------------------------------------------------------------------
 # detection postprocessing
 
 
