@@ -376,25 +376,38 @@ def dup_clusters(pairs: DataFrame, max_iters: int = 20,
     labels = edges.select("src").distinct() \
         .withColumn("lbl", F.col("src")).cache()
     for _ in range(max_iters):
+        # One round = three candidate streams unioned into a single
+        # min-aggregation (3 exchanges: the two candidate joins and
+        # the groupBy) instead of nbr-groupBy + jump-join + a 3-way
+        # join back onto labels (5).  The own-label stream carries the
+        # old label so the convergence flag falls out of the same agg
+        # (exactly one own row per src, so max() over the
+        # otherwise-null column is deterministic).
+        # ids can be longs (doc ids) OR strings (resolution_mapping
+        # feeds entity names) — the absent-own-label null must carry
+        # the label type or the union coerces the whole column
+        null_lbl = F.lit(None).cast(labels.schema["lbl"].dataType)
+        own = labels.select("src", F.col("lbl").alias("cand"),
+                            F.col("lbl").alias("own_lbl"))
         nbr = (edges.join(labels.withColumnRenamed("src", "dst"), "dst")
-               .groupBy("src").agg(F.min("lbl").alias("nlbl")))
+               .select("src", F.col("lbl").alias("cand"),
+                       null_lbl.alias("own_lbl")))
         jump = (labels.select(F.col("src").alias("l_src"), "lbl")
                 .join(labels.select(F.col("src").alias("lbl"),
                                     F.col("lbl").alias("jlbl")), "lbl")
-                .select(F.col("l_src").alias("src"), "jlbl"))
+                .select(F.col("l_src").alias("src"),
+                        F.col("jlbl").alias("cand"),
+                        null_lbl.alias("own_lbl")))
         # localCheckpoint truncates the per-round lineage — without it
         # every round's plan re-embeds all previous rounds and the job
-        # slows superlinearly with iteration count.  The convergence
-        # flag rides along in the checkpointed row (the old label is
-        # already in hand here), so the per-round check is a scan of
-        # the materialized round, not another two-shuffle join.
-        nlbl = F.least(
-            "lbl", F.coalesce("nlbl", F.col("lbl")),
-            F.coalesce("jlbl", F.col("lbl")))
+        # slows superlinearly with iteration count.
         new_labels = (
-            labels.join(nbr, "src", "left").join(jump, "src", "left")
-            .select("src", nlbl.alias("new_lbl"),
-                    (nlbl != F.col("lbl")).alias("chg"))
+            own.unionByName(nbr).unionByName(jump)
+            .groupBy("src")
+            .agg(F.min("cand").alias("new_lbl"),
+                 F.max("own_lbl").alias("old_lbl"))
+            .select("src", "new_lbl",
+                    (F.col("new_lbl") != F.col("old_lbl")).alias("chg"))
             .localCheckpoint()
         )
         changed = new_labels.where("chg").count()
