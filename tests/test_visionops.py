@@ -171,6 +171,21 @@ def test_fixedpoint_resize_coeff_rounding_half_even():
     assert np.rint(np.float32(2.5)) == 2.0
 
 
+def test_fixedpoint_resize_degenerate_sizes():
+    # single-column source: both taps clamp to column 0 at full
+    # weight; single-pixel output averages nothing out of range
+    img = (np.array([[5], [9]], np.uint8)[:, :, None]
+           * np.ones((1, 1, 3), np.uint8))
+    out = V.fixedpoint_resize_u8(img, 4, 3)
+    assert out.shape == (4, 3, 3)
+    assert (out[0] == 5).all() and (out[3] == 9).all()
+    one = V.fixedpoint_resize_u8(img, 1, 1)
+    assert one.shape == (1, 1, 3)
+    # grayscale (2-D) round-trips without a channel axis
+    g = np.arange(12, dtype=np.uint8).reshape(3, 4)
+    assert V.fixedpoint_resize_u8(g, 3, 4).shape == (3, 4)
+
+
 def test_fixedpoint_resize_within_one_of_float_form():
     # the fixed-point kernel is the float bilinear quantized to 11-bit
     # taps: on smooth data every pixel lands within 1 grey level
