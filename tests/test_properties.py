@@ -156,3 +156,31 @@ def test_naive_merge_docx_text_lossless(sections):
     want = sum(i[1] for _t, i in sections if i)
     got = sum(i[1] for i in imgs if i)
     assert got == want
+
+
+@given(st.integers(1, 40), st.integers(1, 40),
+       st.integers(1, 40), st.integers(1, 40),
+       st.integers(0, 2**32 - 1))
+@settings(max_examples=80, deadline=None)
+def test_fixedpoint_resize_tracks_float_form(h, w, oh, ow, seed):
+    """The fixed-point kernel is the float bilinear with 11-bit tap
+    quantization and truncating >>16 stages: every output pixel must
+    stay within 2 grey levels of the float form (coefficient rounding
+    <=0.5/2048 per tap, two >>16 truncations, the final +2>>2), stay
+    in uint8 range, and preserve constant images exactly."""
+    import numpy as np
+
+    from ragflow_spark.extractlib import visionops as V
+
+    rng = np.random.RandomState(seed)
+    img = rng.randint(0, 256, (h, w, 3)).astype(np.uint8)
+    fp = V.fixedpoint_resize_u8(img, oh, ow)
+    assert fp.shape == (oh, ow, 3) and fp.dtype == np.uint8
+    if h == 2 * oh and w == 2 * ow:
+        return  # the 2x2 INTER_AREA switch is pinned separately
+    fl = V.bilinear_resize(img, oh, ow)
+    assert float(np.abs(fp.astype(np.float64) - fl).max()) <= 2.0
+    v = int(rng.randint(0, 256))
+    const = np.full((h, w, 3), v, np.uint8)
+    assert np.array_equal(V.fixedpoint_resize_u8(const, oh, ow),
+                          np.full((oh, ow, 3), v, np.uint8))
