@@ -180,7 +180,10 @@ def _pandas_csv(rows: list[dict]) -> str:
     stdlib csv module agree on QUOTE_MINIMAL string data — RangeIndex
     first column, quoting on ``, " \\r \\n``, doubled quotes, None as
     empty — pinned by test_kg_search's parity cases against real
-    pandas."""
+    pandas.  The line terminator is pinned to ``\\n``: pandas defaults
+    to ``os.linesep``, so byte parity is exact on POSIX (both this
+    sandbox and the reference's serving environment); a Windows driver
+    would be a documented divergence."""
     buf = io.StringIO()
     w = csv.writer(buf, lineterminator="\n")
     cols = list(rows[0].keys())
