@@ -195,3 +195,48 @@ def test_polygons_from_bitmap_rect():
     assert max(xs) == min(40, D._clipper_round(29 + d))
     assert min(ys) == max(0, D._clipper_round(5 - d))
     assert max(ys) == min(40, D._clipper_round(24 + d))
+
+
+def _trace_borders_naive(bitmap):
+    """The pre-optimization full raster scan (every pixel visited in
+    Python) — the prefiltered production scan must be trace-identical
+    to this on any bitmap."""
+    h, w = bitmap.shape
+    f = np.zeros((h + 2, w + 2), dtype=np.int32)
+    f[1:-1, 1:-1] = (bitmap > 0).astype(np.int32)
+    nbd = 1
+    borders = []
+    for i in range(1, h + 1):
+        for j in range(1, w + 1):
+            if f[i, j] == 0:
+                continue
+            if f[i, j] == 1 and f[i, j - 1] == 0:
+                start_nbr = (i, j - 1)
+            elif f[i, j] >= 1 and f[i, j + 1] == 0:
+                start_nbr = (i, j + 1)
+            else:
+                continue
+            nbd += 1
+            pts = D._follow(f, (i, j), start_nbr, nbd)
+            borders.append(np.array([(x - 1, y - 1) for y, x in pts],
+                                    dtype=np.int64))
+    return borders
+
+
+def test_trace_borders_prefilter_equivalence_random():
+    """Candidate prefiltering must reproduce the naive scan exactly —
+    border count, order, and every pixel — on dense random bitmaps
+    (checkerboards and speckle are the prefilter's worst case: nearly
+    every nonzero pixel is a candidate)."""
+    rng = np.random.RandomState(42)
+    cases = [rng.randint(0, 2, (rng.randint(1, 24), rng.randint(1, 24)))
+             for _ in range(40)]
+    cases.append(np.indices((9, 9)).sum(axis=0) % 2)   # checkerboard
+    cases.append(np.ones((7, 5), dtype=int))           # solid block
+    cases.append(np.zeros((4, 6), dtype=int))          # empty
+    for bm in cases:
+        got = D.trace_borders(bm.astype(np.uint8))
+        want = _trace_borders_naive(bm.astype(np.uint8))
+        assert len(got) == len(want)
+        for g, w_ in zip(got, want):
+            assert np.array_equal(g, w_)

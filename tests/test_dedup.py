@@ -65,3 +65,51 @@ def test_entity_candidate_pairs_blocking_is_lossless():
     assert got == want
     assert (1, 2) in got and (6, 7) in got and (8, 9) in got
     assert (1, 3) not in got  # type block holds
+
+
+def test_dup_clusters_vs_union_find_random_both_id_types():
+    """The fused union-agg round must equal a plain union-find on
+    random graphs — for LONG doc ids and for STRING entity names (the
+    resolution_mapping consumer), including tree depths that force
+    multiple propagation rounds."""
+    import random
+
+    from ragflow_spark.job.session import get_spark
+    from ragflow_spark.operators.dedup import dup_clusters
+
+    spark = get_spark("local[4]", shuffle_partitions=4)
+
+    def uf_clusters(pairs):
+        parent = {}
+
+        def find(x):
+            parent.setdefault(x, x)
+            while parent[x] != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
+
+        for a, b in pairs:
+            ra, rb = find(a), find(b)
+            if ra != rb:
+                parent[ra] = rb
+        return {x: min(m for m in parent
+                       if find(m) == find(x)) for x in parent}
+
+    rng = random.Random(7)
+    for trial in range(3):
+        n = 40
+        pairs = [(rng.randrange(n), rng.randrange(n))
+                 for _ in range(30)]
+        pairs = [(a, b) for a, b in pairs if a != b]
+        df = spark.createDataFrame(pairs,
+                                   schema="doc_a long, doc_b long")
+        got = {r["doc_id"]: r["cluster_id"]
+               for r in dup_clusters(df).collect()}
+        assert got == uf_clusters(pairs)
+        spairs = [(f"e{a}", f"e{b}") for a, b in pairs]
+        sdf = spark.createDataFrame(
+            spairs, schema="doc_a string, doc_b string")
+        sgot = {r["doc_id"]: r["cluster_id"]
+                for r in dup_clusters(sdf).collect()}
+        assert sgot == uf_clusters(spairs)
