@@ -1155,12 +1155,12 @@ def _q_term_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
         from ragflow_spark.extractlib.termweight import TermWeightDealer
 
         dealer = TermWeightDealer()
+        # weights depend only on doc_id % 4 — compute each phrase once
+        memo = [dealer.weights(dealer.split(p)) for p in phrases]
         for pdf in it:
             dids, terms, ws = [], [], []
             for doc_id in pdf["doc_id"]:
-                tw = dealer.weights(
-                    dealer.split(phrases[int(doc_id) % 4]))
-                for t, w in tw:
+                for t, w in memo[int(doc_id) % 4]:
                     dids.append(doc_id)
                     terms.append(t)
                     ws.append(round(w, 6))
