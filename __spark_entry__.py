@@ -2155,24 +2155,49 @@ def _q_raptor_tiers(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.element_at("vec", 2).alias("v1"))
 
 
+def _build_fit_msgs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Synthetic conversations for message_fit_in: 4 messages per conv,
+    'word'-repeat contents so the pinned token count is the word count.
+    Every conv_id % 5 == 0 conversation ENDS in a system message,
+    firing the prompts.py:73-75 duplicate-keep quirk (the reference
+    appends msg[-1] to the system-filtered list unconditionally, so
+    that message rides twice with double-counted tokens) in both the
+    reduced-fits branch and the slice branch."""
+    d = F.col("doc_id")
+    return spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        F.expr("doc_id div 4").alias("conv_id"),
+        (d % 4).alias("seq"),
+        F.when(d % 4 == 0, "system").when(d % 4 == 2, "assistant")
+        .when((d % 4 == 3) & (F.expr("doc_id div 4") % 5 == 0),
+              "system")
+        .otherwise("user").alias("role"),
+        F.expr("repeat('word ', cast(1 + ((doc_id * 7) % 50) as int))")
+        .alias("content"))
+
+
 def _q_msg_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
     """message_fit_in (rag/prompts.py:58-93) over synthetic
     conversations (4 messages per conv, 'word'-repeat contents so the
     pinned token count is the word count): the fits-whole branch, the
-    system+last reduction, and both token-slice sides — including the
-    negative slice budget Python semantics — all fire at
-    max_length=60."""
+    system+last reduction, both token-slice sides, and the
+    ends-in-system duplicate-keep quirk (kept twice, tokens counted
+    twice, a slice mutating both copies) all fire at max_length=60."""
     from ragflow_spark.operators.promptasm import fit_messages
 
-    d = F.col("doc_id")
-    msgs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
-        F.expr("doc_id div 4").alias("conv_id"),
-        (d % 4).alias("seq"),
-        F.when(d % 4 == 0, "system").when(d % 4 == 2, "assistant")
-        .otherwise("user").alias("role"),
-        F.expr("repeat('word ', cast(1 + ((doc_id * 7) % 50) as int))")
-        .alias("content"))
-    return fit_messages(msgs, max_length=60)
+    return fit_messages(_build_fit_msgs(spark, sf_dir), max_length=60)
+
+
+def _q_msg_fit_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The msg_fit pipeline's integer evidence surface (same operator,
+    meta=True): branch tag, token totals, ll/ll2, slice flag + budget,
+    fit_tokens, and the post-slice length(content) — no opaque string
+    column, so a driver-side value-hash divergence localizes to one
+    named intermediate (msg_fit was driver-red in r3/r4 while green at
+    every local configuration; this query is the bisector)."""
+    from ragflow_spark.operators.promptasm import fit_messages
+
+    return fit_messages(_build_fit_msgs(spark, sf_dir), max_length=60,
+                        meta=True)
 
 
 def _q_kb_prompts(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2786,6 +2811,23 @@ def _q_ocr_quads(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ocr_quads(build_det_maps(spark, sf_dir))
 
 
+def _q_ocr_crops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """get_rotate_crop_image's warp (deepdoc/vision/ocr.py:561-594,
+    cv2.warpPerspective BORDER_REPLICATE INTER_CUBIC) as the OWNED
+    fixed-point remap kernel (extractlib.warpkernel, transcribed from
+    the public OpenCV imgwarp.cpp): closed-form inverse homography
+    over integer-corner quads (rect / parallelogram / perspective),
+    cvRound INTER_BITS=5 coordinates, quantized 32x32 bicubic weight
+    tiles with the short-saturation + central-2x2 correction quirks,
+    replicate-clamped taps, FixedPtCast output.  Probe pixels through
+    the unrotated warp; the twin recomputes the entire double +
+    integer expression tree."""
+    from ragflow_spark.operators.visionprep import (build_crop_quads,
+                                                    ocr_crops)
+
+    return ocr_crops(build_crop_quads(spark, sf_dir))
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: full byte-identity extraction at sf0.001."""
     return _q_extract_html(spark, "/root/testdata/sf0.001")
@@ -2793,16 +2835,95 @@ def entry(spark: SparkSession) -> DataFrame:
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Ordering is deliberate: the driver's correctness gate works the
-    # dict front-to-back under a budget (r2 and r3 each stamped
-    # exactly the first 50), so the 16 queries that have never had a
-    # driver stamp in ANY round — the multimodal family (r1 ran them
-    # before their oracles existed) and the whole retrieval stack —
-    # come FIRST, then msg_fit (driver-red in r3, hardened this
-    # round), then this round's new operators, then the rest in
-    # oldest-stamp-first order so a truncated run refreshes the
-    # stalest evidence.
+    # dict front-to-back under a budget (r2-r4 each stamped exactly
+    # the first 50), so the round-5 evidence targets come first: the
+    # msg_fit bisector pair, then every query whose code changed in
+    # round 4 after its last driver stamp, then new round-5 queries,
+    # then the rest in oldest-stamp-first order so a truncated run
+    # refreshes the stalest evidence.
     return {
-        # -- never driver-stamped (r1-r3), promoted to the front -----
+        # round-5 front: the msg_fit bisector pair (driver-red in
+        # r3/r4, green locally; the meta twin localizes which column
+        # diverges), then the queries whose code changed in round 4
+        # AFTER their last driver stamp (re-verified locally; these
+        # need fresh driver rows on current code), incl. mind_map
+        # (grammar hardened in round 5)
+        "msg_fit_meta": _q_msg_fit_meta,
+        "msg_fit": _q_msg_fit,
+        "ocr_det_prep": _q_ocr_det_prep,
+        "ocr_rec_prep": _q_ocr_rec_prep,
+        "kg_content": _q_kg_content,
+        "raptor_tiers": _q_raptor_tiers,
+        "kg_ents": _q_kg_ents,
+        "kg_rels": _q_kg_rels,
+        "index_rows": _q_index_rows,
+        "mind_map": _q_mind_map,
+        # new in round 5
+        "ocr_crops": _q_ocr_crops,
+        # r2-stamped queries (stalest green evidence)
+        "chunks_paper": _q_chunks_paper,
+        "chunks_laws": _q_chunks_laws,
+        "chunk_spans": _q_chunk_spans,
+        "chunks_qa": _q_chunks_qa,
+        "extract_entities": _q_extract_entities,
+        "chunks_email": _q_chunks_email,
+        "chunks_table": _q_chunks_table,
+        "chunks_tag": _q_chunks_tag,
+        "chunks_manual": _q_chunks_manual,
+        "tokenize_docs": _q_tokenize_docs,
+        "tokenize_huqie": _q_tokenize_huqie,
+        "chunks_docx": _q_chunks_docx,
+        "chunks_docx_img": _q_chunks_docx_img,
+        "chunks_laws_docx": _q_chunks_laws_docx,
+        "chunks_qa_docx": _q_chunks_qa_docx,
+        "chunks_manual_docx": _q_chunks_manual_docx,
+        "chunks_book_docx": _q_chunks_book_docx,
+        "docx_tables_html": _q_docx_tables_html,
+        "docx_table_titles": _q_docx_table_titles,
+        "chunks_xlsx": _q_chunks_xlsx,
+        # r3-stamped queries
+        "chunks_txt": _q_chunks_txt,
+        "chunks_json": _q_chunks_json,
+        "parse_md": _q_parse_md,
+        "events_rollup": _q_events_rollup,
+        "events_props": _q_events_props,
+        "xlsx_html": _q_xlsx_html,
+        "csv_rows": _q_csv_rows,
+        "chunks_pptx": _q_chunks_pptx,
+        "chunks_resume": _q_chunks_resume,
+        "chunks_resume_enriched": _q_chunks_resume_enriched,
+        "communities": _q_communities,
+        "community_weights": _q_community_weights,
+        "graph_nodes": _q_graph_nodes,
+        "graph_edges": _q_graph_edges,
+        "docx_img_lines": _q_docx_img_lines,
+        "chunks_doc": _q_chunks_doc,
+        "chunks_ppt": _q_chunks_ppt,
+        "pdf_scraps": _q_pdf_scraps,
+        "match_expr": _q_match_expr,
+        "graph_pagerank": _q_graph_pagerank,
+        "ents_resolved": _q_ents_resolved,
+        "rels_resolved": _q_rels_resolved,
+        "resolution_parse": _q_resolution_parse,
+        "mentions_ents": _q_mentions_ents,
+        "mentions_rels": _q_mentions_rels,
+        "kg_chunk_ents": _q_kg_chunk_ents,
+        "kg_chunk_rels": _q_kg_chunk_rels,
+        "eval_metrics": _q_eval_metrics,
+        "task_plan": _q_task_plan,
+        "task_reuse": _q_task_reuse,
+        "chunk_embed": _q_chunk_embed,
+        "kb_prompts": _q_kb_prompts,
+        "community_csv": _q_community_csv,
+        "community_reports": _q_community_reports,
+        "subgraph_stats": _q_subgraph_stats,
+        "sql_refine": _q_sql_refine,
+        "sql_answers": _q_sql_answers,
+        "doc_progress": _q_doc_progress,
+        "ocr_boxes": _q_ocr_boxes,
+        "ocr_ctc": _q_ocr_ctc,
+        "vision_nms": _q_vision_nms,
+        # r4-stamped queries (freshest evidence, stamped 2026-08-18)
         "media_features": _q_media_features,
         "frame_sample": _q_frame_sample,
         "audio_features": _q_audio_features,
@@ -2819,13 +2940,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "query_tags": _q_query_tags,
         "doc_tags": _q_doc_tags,
         "rank_features": _q_rank_features,
-        # -- driver-red in r3, hardened in round 4 --------------------
-        "msg_fit": _q_msg_fit,
-        # -- new in round 4 -------------------------------------------
         "ocr_quads": _q_ocr_quads,
         "light_gleans": _q_light_gleans,
         "mentions_ents_light": _q_mentions_ents_light,
-        # -- r2-stamped queries (stalest green evidence) --------------
         "extract_html": _q_extract_html,
         "chunks_naive": _q_chunks_naive,
         "chunk_one": _q_chunk_one,
@@ -2856,76 +2973,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "extract_pdf_tbody": _q_extract_pdf_tbody,
         "extract_pdf_tables": _q_extract_pdf_tables,
         "extract_pdf_tables_html": _q_extract_pdf_tables_html,
-        "chunks_paper": _q_chunks_paper,
-        "chunks_laws": _q_chunks_laws,
-        "chunk_spans": _q_chunk_spans,
-        "chunks_qa": _q_chunks_qa,
-        "extract_entities": _q_extract_entities,
-        "chunks_email": _q_chunks_email,
-        "chunks_table": _q_chunks_table,
-        "chunks_tag": _q_chunks_tag,
-        "chunks_manual": _q_chunks_manual,
-        "tokenize_docs": _q_tokenize_docs,
-        "tokenize_huqie": _q_tokenize_huqie,
-        "chunks_docx": _q_chunks_docx,
-        "chunks_docx_img": _q_chunks_docx_img,
-        "chunks_laws_docx": _q_chunks_laws_docx,
-        "chunks_qa_docx": _q_chunks_qa_docx,
-        "chunks_manual_docx": _q_chunks_manual_docx,
-        "chunks_book_docx": _q_chunks_book_docx,
-        "docx_tables_html": _q_docx_tables_html,
-        "docx_table_titles": _q_docx_table_titles,
-        "chunks_xlsx": _q_chunks_xlsx,
-        # -- r3-stamped queries (freshest evidence, stamped 2026-08-18)
-        "chunks_txt": _q_chunks_txt,
-        "chunks_json": _q_chunks_json,
-        "parse_md": _q_parse_md,
-        "events_rollup": _q_events_rollup,
-        "events_props": _q_events_props,
-        "xlsx_html": _q_xlsx_html,
-        "csv_rows": _q_csv_rows,
-        "chunks_pptx": _q_chunks_pptx,
-        "chunks_resume": _q_chunks_resume,
-        "chunks_resume_enriched": _q_chunks_resume_enriched,
-        "communities": _q_communities,
-        "community_weights": _q_community_weights,
-        "graph_nodes": _q_graph_nodes,
-        "graph_edges": _q_graph_edges,
-        "docx_img_lines": _q_docx_img_lines,
-        "chunks_doc": _q_chunks_doc,
-        "chunks_ppt": _q_chunks_ppt,
-        "pdf_scraps": _q_pdf_scraps,
-        "kg_ents": _q_kg_ents,
-        "kg_rels": _q_kg_rels,
-        "kg_content": _q_kg_content,
-        "match_expr": _q_match_expr,
-        "graph_pagerank": _q_graph_pagerank,
-        "ents_resolved": _q_ents_resolved,
-        "rels_resolved": _q_rels_resolved,
-        "resolution_parse": _q_resolution_parse,
-        "mentions_ents": _q_mentions_ents,
-        "mentions_rels": _q_mentions_rels,
-        "kg_chunk_ents": _q_kg_chunk_ents,
-        "kg_chunk_rels": _q_kg_chunk_rels,
-        "eval_metrics": _q_eval_metrics,
-        "task_plan": _q_task_plan,
-        "task_reuse": _q_task_reuse,
-        "chunk_embed": _q_chunk_embed,
-        "index_rows": _q_index_rows,
-        "raptor_tiers": _q_raptor_tiers,
-        "kb_prompts": _q_kb_prompts,
-        "community_csv": _q_community_csv,
-        "community_reports": _q_community_reports,
-        "subgraph_stats": _q_subgraph_stats,
-        "sql_refine": _q_sql_refine,
-        "sql_answers": _q_sql_answers,
-        "doc_progress": _q_doc_progress,
-        "ocr_det_prep": _q_ocr_det_prep,
-        "ocr_boxes": _q_ocr_boxes,
-        "ocr_rec_prep": _q_ocr_rec_prep,
-        "ocr_ctc": _q_ocr_ctc,
-        "vision_nms": _q_vision_nms,
-        "mind_map": _q_mind_map,
     }
 
 
@@ -4385,11 +4432,18 @@ FROM allt
     # the closed-form k; the slice keeps max(0, min(k, budget<0 ?
     # k+budget : budget)) words — token_head cuts at piece starts,
     # which for 'word '*k is exactly repeat('word ', kept)
-    msg_fit_sql = """
+    # msg_fit twins: the CTE chain is shared by the string query and
+    # its integer evidence surface (msg_fit_meta).  The ends-in-system
+    # duplicate quirk (prompts.py:73-75): that message is kept TWICE
+    # outside branch A (the union arm) with its tokens double-counted
+    # in tot_b, and a branch-C slice on its seq mutates both copies.
+    _msg_fit_ctes = """
 WITH m AS (
   SELECT doc_id // 4 AS conv_id, doc_id % 4 AS seq,
          CASE WHEN doc_id % 4 = 0 THEN 'system'
               WHEN doc_id % 4 = 2 THEN 'assistant'
+              WHEN doc_id % 4 = 3 AND (doc_id // 4) % 5 = 0
+                   THEN 'system'
               ELSE 'user' END AS role,
          1 + ((doc_id * 7) % 50) AS k
   FROM documents),
@@ -4398,10 +4452,13 @@ st AS (SELECT conv_id, sum(k) AS total, count(*) AS n,
        FROM m GROUP BY conv_id),
 kb AS (SELECT m.*, st.total, st.n, st.last_seq,
               (m.role = 'system'
-               OR (m.seq = st.last_seq AND st.n > 1)) AS keep_b
+               OR (m.seq = st.last_seq AND st.n > 1)) AS keep_b,
+              (m.role = 'system' AND m.seq = st.last_seq
+               AND st.n > 1) AS dup
        FROM m JOIN st USING (conv_id)),
 kbs AS (SELECT conv_id,
-               sum(CASE WHEN keep_b THEN k END) AS tot_b,
+               sum(CASE WHEN keep_b THEN k END)
+                 + coalesce(sum(CASE WHEN dup THEN k END), 0) AS tot_b,
                min(CASE WHEN keep_b THEN seq END) AS first_kept,
                max(CASE WHEN keep_b THEN seq END) AS last_kept
         FROM kb GROUP BY conv_id),
@@ -4419,17 +4476,37 @@ fit AS (SELECT j2.*,
                     ELSE 'C' END AS br,
                CASE WHEN ll * 5 > (ll + ll2) * 4
                     THEN first_kept ELSE last_kept END AS trunc_seq
-        FROM j2)
+        FROM j2),
+outrows AS (
+  SELECT * FROM fit WHERE br = 'A' OR keep_b
+  UNION ALL
+  SELECT * FROM fit WHERE br <> 'A' AND dup)
+"""
+
+    _msg_fit_budget = ("greatest(0, least(k, CASE WHEN 60 - ll2 >= 0 "
+                       "THEN 60 - ll2 ELSE k + 60 - ll2 END))")
+    msg_fit_sql = f"""{_msg_fit_ctes}
 SELECT conv_id, seq, role,
        CASE WHEN br = 'C' AND seq = trunc_seq
-            THEN repeat('word ', CAST(greatest(0, least(k,
-                     CASE WHEN 60 - ll2 >= 0 THEN 60 - ll2
-                          ELSE k + 60 - ll2 END)) AS INT))
+            THEN repeat('word ', CAST({_msg_fit_budget} AS INT))
             ELSE repeat('word ', CAST(k AS INT)) END AS content,
        CASE br WHEN 'A' THEN total WHEN 'B' THEN tot_b
                ELSE 60 END AS fit_tokens
-FROM fit
-WHERE br = 'A' OR keep_b
+FROM outrows
+"""
+
+    msg_fit_meta_sql = f"""{_msg_fit_ctes}
+SELECT conv_id, seq, role, br,
+       total, coalesce(tot_b, -1) AS tot_b,
+       coalesce(ll, -1) AS ll, coalesce(ll2, -1) AS ll2,
+       (br = 'C' AND seq = trunc_seq) AS sliced,
+       CASE WHEN br = 'C' AND seq = trunc_seq
+            THEN 60 - ll2 ELSE 0 END AS budget,
+       CASE br WHEN 'A' THEN total WHEN 'B' THEN tot_b
+               ELSE 60 END AS fit_tokens,
+       5 * (CASE WHEN br = 'C' AND seq = trunc_seq
+                 THEN {_msg_fit_budget} ELSE k END) AS content_len
+FROM outrows
 """
 
     # kb_prompt twin: the corpus word-token formula (exact on this
@@ -6012,7 +6089,196 @@ SELECT doc_id, fx0 AS x0, fy0 AS y0, fx1 AS x1, fy0 AS y1,
 FROM fin
 """
 
+    # ocr_crops twin: the ENTIRE owned warp chain — closed-form
+    # square-to-quad homography (exact integer corners -> pinned
+    # double expression tree), warpPerspective's per-pixel fixed-point
+    # coordinates (cvRound at INTER_BITS=5), the quantized bicubic
+    # weight tile at the probe's phase (float32 outer products, 2^15
+    # quantization with short saturation, the central-2x2 first-min/
+    # first-max correction), replicate-clamped taps over the
+    # y-constant gradient page (so only COLUMN sums of the tile touch
+    # pixels), and FixedPtCast.  Every double op transcribes
+    # warpkernel.py's expression tree 1:1; float32 rounding points are
+    # CAST(... AS REAL).
+    def _rhea(v: str) -> str:
+        """cvRound (round half to even) for either sign: DuckDB
+        round() is half-away, so .5 ties fold to the even neighbour
+        (floor + 1 when floor is odd — correct for negatives too)."""
+        fl = f"CAST(FLOOR({v}) AS BIGINT)"
+        return (f"(CASE WHEN ({v}) - FLOOR({v}) = 0.5 "
+                f"THEN {fl} + (CASE WHEN {fl} % 2 = 0 THEN 0 ELSE 1 "
+                f"END) ELSE CAST(round({v}, 0) AS BIGINT) END)")
+
+    def _cubw(xf: str, k: int) -> str:
+        """interpolateCubic coefficient k at phase ``xf`` (A=-0.75).
+        Every intermediate is an exact dyadic (denominator <= 2^17,
+        small magnitude), so double equals OpenCV's float32 chain."""
+        if k == 0:
+            return (f"(((-0.75 * (({xf}) + 1.0) + 3.75) "
+                    f"* (({xf}) + 1.0) - 6.0) * (({xf}) + 1.0) + 3.0)")
+        if k == 1:
+            return (f"(((1.25 * ({xf}) - 2.25) * ({xf})) * ({xf}) "
+                    f"+ 1.0)")
+        if k == 2:
+            return (f"(((1.25 * (1.0 - ({xf})) - 2.25) "
+                    f"* (1.0 - ({xf}))) * (1.0 - ({xf})) + 1.0)")
+        return f"(1.0 - wx0 - wx1 - wx2)"     # caller renames
+
+    _qterm = {}
+    for k1 in range(4):
+        for k2 in range(4):
+            _qterm[(k1, k2)] = (
+                "LEAST(GREATEST(" +
+                _rhea(f"CAST(CAST(wy{k1} * wx{k2} AS REAL) AS DOUBLE)"
+                      f" * 32768.0") + ", -32768), 32767)")
+    _isum = " + ".join(f"q{k1}{k2}" for k1 in range(4)
+                       for k2 in range(4))
+    _amx2 = ("(q22 >= q23 AND q22 >= q32 AND q22 >= q33) OR "
+             "(q32 > q22 AND q32 > q23 AND q32 >= q33)")
+    _amn2 = ("(q22 <= q23 AND q22 <= q32 AND q22 <= q33) OR "
+             "(q32 < q22 AND q32 < q23 AND q32 <= q33)")
+    _pix = {k: (f"((doc_id * 29 + 17 * probe) % 48 "
+                f"+ LEAST(GREATEST(sx - 1 + {k}, 0), w - 1))")
+            for k in range(4)}
+
+    ocr_crops_sql = f"""
+WITH qd AS (
+    SELECT doc_id, j, probe,
+           CAST(64 + doc_id % 128 AS BIGINT) AS w,
+           CAST(48 + doc_id % 96 AS BIGINT) AS h
+    FROM documents,
+         (SELECT unnest([0, 1, 2]) AS j),
+         (SELECT unnest([0, 1, 2]) AS probe)
+), cor AS (
+    SELECT qd.*,
+        CASE j WHEN 0 THEN CASE WHEN doc_id % 3 = 0 THEN 0
+                                ELSE 2 + doc_id % 5 END
+               WHEN 1 THEN 6 + doc_id % 7
+               ELSE 4 + doc_id % 6 END AS x0,
+        CASE j WHEN 0 THEN CASE WHEN doc_id % 3 = 0 THEN 0
+                                ELSE 3 + doc_id % 7 END
+               WHEN 1 THEN 5 + doc_id % 5
+               ELSE 4 + doc_id % 4 END AS y0,
+        CASE j WHEN 0 THEN 8 + doc_id % 12
+               WHEN 1 THEN 9 + doc_id % 9
+               ELSE 10 + doc_id % 10 END AS ww,
+        CASE j WHEN 0 THEN 6 + doc_id % 25
+               WHEN 1 THEN 7 + doc_id % 6
+               ELSE 8 + doc_id % 8 END AS hh,
+        CASE j WHEN 1 THEN 1 + doc_id % 3 ELSE 0 END AS wdy,
+        CASE j WHEN 1 THEN 1 + doc_id % 2 ELSE 0 END AS hdx,
+        CASE j WHEN 2 THEN 1 + doc_id % 3 ELSE 0 END AS ex,
+        CASE j WHEN 2 THEN 1 + doc_id % 2 ELSE 0 END AS ey
+    FROM qd
+), cor2 AS (
+    -- corner coordinates: j=0 rect (wdy=hdx=ex=ey=0), j=1
+    -- parallelogram (sheared by wdy/hdx), j=2 perspective (p2 pushed
+    -- out by ex/ey)
+    SELECT *,
+        x0 + ww AS x1, y0 + wdy AS y1,
+        x0 + ww + hdx + ex AS x2, y0 + wdy + hh + ey AS y2,
+        x0 + hdx AS x3, y0 + hh AS y3
+    FROM cor
+), geo AS (
+    SELECT *,
+        CASE j WHEN 0 THEN ww
+               WHEN 1 THEN CAST(trunc(sqrt(
+                   CAST(ww * ww + wdy * wdy AS DOUBLE))) AS BIGINT)
+               ELSE CAST(trunc(sqrt(CAST((ww + ex) * (ww + ex)
+                   + ey * ey AS DOUBLE))) AS BIGINT) END AS cw,
+        CASE j WHEN 0 THEN hh
+               WHEN 1 THEN CAST(trunc(sqrt(
+                   CAST(hdx * hdx + hh * hh AS DOUBLE))) AS BIGINT)
+               ELSE CAST(trunc(sqrt(CAST(ex * ex
+                   + (hh + ey) * (hh + ey) AS DOUBLE))) AS BIGINT)
+        END AS ch
+    FROM cor2
+), hom AS (
+    -- Heckbert square-to-quad closed form over exact integer corners
+    SELECT *,
+        (((x0 - x1 + x2 - x3) * (y3 - y2)
+          - (y0 - y1 + y2 - y3) * (x3 - x2))
+         / ((x1 - x2) * (y3 - y2) - (y1 - y2) * (x3 - x2))) AS gg,
+        (((x1 - x2) * (y0 - y1 + y2 - y3)
+          - (y1 - y2) * (x0 - x1 + x2 - x3))
+         / ((x1 - x2) * (y3 - y2) - (y1 - y2) * (x3 - x2))) AS hg
+    FROM geo
+), mtx AS (
+    SELECT *,
+        (x1 - x0 + gg * x1) / cw AS m0,
+        (x3 - x0 + hg * x3) / ch AS m1,
+        CAST(x0 AS DOUBLE) AS m2,
+        (y1 - y0 + gg * y1) / cw AS m3,
+        (y3 - y0 + hg * y3) / ch AS m4,
+        CAST(y0 AS DOUBLE) AS m5,
+        gg / cw AS m6,
+        hg / ch AS m7
+    FROM hom
+), pc AS (
+    SELECT *,
+        CASE probe WHEN 0 THEN 0 WHEN 1 THEN cw // 2
+                   ELSE cw - 1 END AS pxd,
+        CASE probe WHEN 0 THEN 0 WHEN 1 THEN ch // 2
+                   ELSE ch - 1 END AS pyd
+    FROM mtx
+), wdiv AS (
+    SELECT *, m6 * pxd + m7 * pyd + 1.0 AS w0 FROM pc
+), fp AS (
+    SELECT *,
+        {_rhea("LEAST(GREATEST((m0 * pxd + m1 * pyd + m2) * "
+               "(CASE WHEN w0 <> 0 THEN 32.0 / w0 ELSE 0.0 END), "
+               "-2147483648.0), 2147483647.0)")} AS bx,
+        {_rhea("LEAST(GREATEST((m3 * pxd + m4 * pyd + m5) * "
+               "(CASE WHEN w0 <> 0 THEN 32.0 / w0 ELSE 0.0 END), "
+               "-2147483648.0), 2147483647.0)")} AS by
+    FROM wdiv
+), phase AS (
+    SELECT *, bx // 32 AS sx, (bx % 32) / 32.0 AS xf,
+           (by % 32) / 32.0 AS yf
+    FROM fp
+), wts AS (
+    SELECT *,
+        {_cubw('xf', 0)} AS wx0, {_cubw('xf', 1)} AS wx1,
+        {_cubw('xf', 2)} AS wx2,
+        {_cubw('yf', 0)} AS wy0, {_cubw('yf', 1)} AS wy1,
+        {_cubw('yf', 2)} AS wy2
+    FROM phase
+), wts2 AS (
+    SELECT *, (1.0 - wx0 - wx1 - wx2) AS wx3,
+           (1.0 - wy0 - wy1 - wy2) AS wy3
+    FROM wts
+), qt AS (
+    SELECT *,
+        {", ".join(f"{_qterm[(k1, k2)]} AS q{k1}{k2}"
+                   for k1 in range(4) for k2 in range(4))}
+    FROM wts2
+), corr AS (
+    SELECT *, 32768 - ({_isum}) AS adj FROM qt
+), cols AS (
+    SELECT *,
+        q00 + q10 + q20 + q30 AS cs0,
+        q01 + q11 + q21 + q31 AS cs1,
+        q02 + q12 + q22 + q32
+          + CASE WHEN adj > 0 AND ({_amx2}) THEN adj
+                 WHEN adj < 0 AND ({_amn2}) THEN adj
+                 ELSE 0 END AS cs2,
+        q03 + q13 + q23 + q33
+          + CASE WHEN adj > 0 AND NOT ({_amx2}) THEN adj
+                 WHEN adj < 0 AND NOT ({_amn2}) THEN adj
+                 ELSE 0 END AS cs3
+    FROM corr
+)
+SELECT doc_id, CAST(j AS INT) AS j, CAST(probe AS INT) AS probe,
+       CAST(cw AS INT) AS cw, CAST(ch AS INT) AS ch,
+       (ch * 1.0 / cw >= 1.5) AS rotated,
+       LEAST(GREATEST((cs0 * {_pix[0]} + cs1 * {_pix[1]}
+                       + cs2 * {_pix[2]} + cs3 * {_pix[3]}
+                       + 16384) >> 15, 0), 255) AS val
+FROM cols
+"""
+
     return {
+        "ocr_crops": ocr_crops_sql,
         "ocr_quads": ocr_quads_sql,
         "light_gleans": light_gleans_sql,
         "mentions_ents_light": mentions_ents_light_sql,
@@ -6090,6 +6356,7 @@ FROM fin
         "chunk_embed": chunk_embed_sql,
         "index_rows": index_rows_sql,
         "raptor_tiers": raptor_tiers_sql,
+        "msg_fit_meta": msg_fit_meta_sql,
         "msg_fit": msg_fit_sql,
         "kb_prompts": kb_prompts_sql,
         "community_csv": community_csv_sql,

@@ -32,12 +32,16 @@ the layout / TSR recognizers (SURVEY §2.5); ``DBPostProcess``'s
 bitmap walk is implemented in ``dbpost``.  ``cv2.resize``'s
 fixed-point INTER_LINEAR kernel for 8-bit images is implemented from
 the public OpenCV source in ``fixedpoint_resize_u8`` (used by the
-det/rec paths, which feed cv2.resize uint8 frames); the remaining
-pixel seams are ``cv2.warpPerspective``'s INTER_BITS warp kernel
-(``crop_rotate`` keeps float bilinear sampling over the exact
-homography) and INTER_CUBIC (``layout_preprocess`` keeps
-``bilinear_resize``, the float half-pixel-center form, as its
-stand-in).
+det/rec paths, which feed cv2.resize uint8 frames);
+``cv2.warpPerspective``'s fixed-point remap kernel (INTER_BITS
+coordinates, quantized 32x32 weight tables, both INTER_LINEAR and the
+INTER_CUBIC mode the crop path uses) is implemented in
+``extractlib.warpkernel`` and wired into ``warp_crop``.  The remaining
+pixel seam is ``cv2.resize``'s INTER_CUBIC kernel
+(``layout_preprocess`` keeps ``bilinear_resize``, the float
+half-pixel-center form, as its stand-in), plus the last-ulp matrix
+seam documented in ``warpkernel`` (closed-form homography vs cv's
+LU solve).
 
 Determinism adaptation (documented): ``rec_batch_order`` pins the
 width-ratio argsort tie order to the original index (numpy's default
@@ -346,35 +350,24 @@ def perspective_matrix(src: np.ndarray, dst: np.ndarray) -> np.ndarray:
     return np.append(h, 1.0).reshape(3, 3)
 
 
-def warp_crop(img: np.ndarray, points: np.ndarray) -> np.ndarray:
-    """get_rotate_crop_image with the warp resample as the pixel seam:
-    exact homography + inverse mapping, bilinear sampling with edge
-    replication standing in for cv2's INTER_CUBIC kernel; the rot90
-    branch is exact."""
+def warp_crop(img: np.ndarray, points: np.ndarray,
+              method: str = "cubic") -> np.ndarray:
+    """get_rotate_crop_image's resample (ocr.py:561-594):
+    ``cv2.warpPerspective(img, M, (w, h),
+    borderMode=cv2.BORDER_REPLICATE, flags=cv2.INTER_CUBIC)`` as the
+    fixed-point remap kernel of ``extractlib.warpkernel`` (INTER_BITS=5
+    coordinates, 32x32 quantized weight tables, FixedPtCast output),
+    then the exact rot90 branch.  The inverse map comes from the
+    closed-form square-to-quad projective mapping instead of cv's
+    LU-solve-and-invert — the stated last-ulp matrix seam; the kernel
+    itself is exact integer arithmetic (warpkernel module doc)."""
+    from ragflow_spark.extractlib import warpkernel as WK
+
     crop_w, crop_h, rotated = crop_geometry(points)
-    dst = np.float32([[0, 0], [crop_w, 0], [crop_w, crop_h],
-                      [0, crop_h]])
-    m = perspective_matrix(np.asarray(points, dtype=np.float64), dst)
-    minv = np.linalg.inv(m)
-    ys, xs = np.mgrid[0:crop_h, 0:crop_w]
-    ones = np.ones_like(xs, dtype=np.float64)
-    tgt = np.stack([xs + 0.0, ys + 0.0, ones], axis=-1)
-    srcp = tgt @ minv.T
-    sx = srcp[..., 0] / srcp[..., 2]
-    sy = srcp[..., 1] / srcp[..., 2]
-    h, w = img.shape[:2]
-    sx = np.clip(sx, 0, w - 1)
-    sy = np.clip(sy, 0, h - 1)
-    x0 = np.floor(sx).astype(np.int64)
-    y0 = np.floor(sy).astype(np.int64)
-    x1 = np.minimum(x0 + 1, w - 1)
-    y1 = np.minimum(y0 + 1, h - 1)
-    fx = (sx - x0)[..., None]
-    fy = (sy - y0)[..., None]
-    im = img.astype(np.float64)
-    top = im[y0, x0] * (1 - fx) + im[y0, x1] * fx
-    bot = im[y1, x0] * (1 - fx) + im[y1, x1] * fx
-    out = top * (1 - fy) + bot * fy
+    minv = WK.quad_to_rect_inverse(
+        np.asarray(points, dtype=np.float64), crop_w, crop_h)
+    out = WK.warp_perspective_u8(np.ascontiguousarray(img), minv,
+                                 crop_w, crop_h, method)
     if rotated:
         out = np.rot90(out)
     return out

@@ -86,11 +86,19 @@ def _with_tokens(df: DataFrame, text_col: str,
     return df.mapInPandas(batches, schema=f"{fields}, {out_col} long")
 
 
-def fit_messages(msgs: DataFrame, max_length: int = 4000) -> DataFrame:
+def fit_messages(msgs: DataFrame, max_length: int = 4000,
+                 meta: bool = False) -> DataFrame:
     """(conv_id, seq, role, content, fit_tokens): the per-conversation
     message list after message_fit_in, one row per surviving message.
 
     ``msgs``: (conv_id, seq, role, content), ``seq`` the list order.
+
+    ``meta=True`` swaps the sliced ``content`` string for the integer
+    evidence surface of the SAME pipeline — branch tag, token totals,
+    slice flag/budget, and the post-slice ``length(content)`` — so a
+    value-hash divergence localizes to one named intermediate instead
+    of an opaque string mismatch (every column is non-null int/bool/
+    1-char string; nullable window results are pinned to -1).
     """
     t = _with_tokens(msgs, "content", "_tok")
     w = Window.partitionBy("conv_id")
@@ -170,12 +178,26 @@ def fit_messages(msgs: DataFrame, max_length: int = 4000) -> DataFrame:
                                     pdf["_slice"])]
             yield pdf
 
-    sliced = kept.select("conv_id", "seq", "role", "content",
+    dbg = [F.when(case_a, "A").when(case_b, "B").otherwise("C")
+           .alias("br"),
+           F.col("_total").cast("long").alias("total"),
+           F.coalesce(F.col("_tot_b"), F.lit(-1)).cast("long")
+           .alias("tot_b"),
+           F.coalesce(F.col("_ll"), F.lit(-1)).cast("long").alias("ll"),
+           F.coalesce(F.col("_ll2"), F.lit(-1)).cast("long")
+           .alias("ll2")] if meta else []
+    sliced = kept.select("conv_id", "seq", "role", "content", *dbg,
                          "_slice", "_budget", "fit_tokens")
     fields = ", ".join(f"{f.name} {f.dataType.simpleString()}"
                        for f in sliced.schema.fields)
-    return (sliced.mapInPandas(head_batches, schema=fields)
-            .drop("_slice", "_budget"))
+    out = sliced.mapInPandas(head_batches, schema=fields)
+    if meta:
+        return out.select(
+            "conv_id", "seq", "role", "br", "total", "tot_b", "ll",
+            "ll2", F.col("_slice").alias("sliced"),
+            F.col("_budget").alias("budget"), "fit_tokens",
+            F.length("content").cast("long").alias("content_len"))
+    return out.drop("_slice", "_budget")
 
 
 def kb_prompts(chunks: DataFrame, doc_meta: DataFrame,

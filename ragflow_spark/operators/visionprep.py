@@ -331,6 +331,99 @@ def nms_keep(boxes: DataFrame, iou_thresh: float = 0.3) -> DataFrame:
         per_doc, schema="doc_id long, j int, keep_rank int")
 
 
+def build_crop_quads(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Synthetic crop quads over the build_ocr_pages stub pages, three
+    per page, all with exact-integer corners (the det pipeline emits
+    int32 corners) chosen so the closed-form homography twin covers
+    every warp regime:
+
+    * j=0 axis-aligned rect — integer translate (every fixed-point
+      phase is 0, the saturated (0,0) table tile), at the page corner
+      when doc_id%3==0 so the BORDER_REPLICATE tap clamp fires, tall
+      enough at some sizes to flip the rot90 ratio;
+    * j=1 parallelogram (affine warp, g=h=0) — dense fractional
+      phases through the quantized cubic tables;
+    * j=2 true perspective quad (one corner pushed out, g,h != 0) —
+      the per-pixel 32/W division path.
+    """
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet") \
+        .select("doc_id")
+    docs = docs.repartition(spark.sparkContext.defaultParallelism,
+                            "doc_id")
+    return docs.select(
+        "doc_id",
+        (F.lit(64) + F.col("doc_id") % 128).cast("int").alias("width"),
+        (F.lit(48) + F.col("doc_id") % 96).cast("int").alias("height"),
+        F.explode(F.array(F.lit(0), F.lit(1), F.lit(2))).alias("j"))
+
+
+def _crop_quad(d: int, j: int) -> np.ndarray:
+    """The integer corner quad for (doc_id, j) — mirrored verbatim by
+    the ocr_crops DuckDB twin."""
+    if j == 0:
+        x0 = 0 if d % 3 == 0 else 2 + d % 5
+        y0 = 0 if d % 3 == 0 else 3 + d % 7
+        bw = 8 + d % 12
+        bh = 6 + d % 25
+        return np.array([[x0, y0], [x0 + bw, y0],
+                         [x0 + bw, y0 + bh], [x0, y0 + bh]],
+                        dtype=np.float64)
+    if j == 1:
+        px, py = 6 + d % 7, 5 + d % 5
+        wdx, wdy = 9 + d % 9, 1 + d % 3
+        hdx, hdy = 1 + d % 2, 7 + d % 6
+        return np.array([[px, py], [px + wdx, py + wdy],
+                         [px + wdx + hdx, py + wdy + hdy],
+                         [px + hdx, py + hdy]], dtype=np.float64)
+    px, py = 4 + d % 6, 4 + d % 4
+    bw, bh = 10 + d % 10, 8 + d % 8
+    ex, ey = 1 + d % 3, 1 + d % 2
+    return np.array([[px, py], [px + bw, py],
+                     [px + bw + ex, py + bh + ey], [px, py + bh]],
+                    dtype=np.float64)
+
+
+def ocr_crops(quads: DataFrame) -> DataFrame:
+    """get_rotate_crop_image (ocr.py:561-594) as the OWNED fixed-point
+    warp: crop frame geometry (target size from opposing edge norms,
+    the rot90 ratio), the closed-form inverse homography, and
+    cv2.warpPerspective's INTER_CUBIC remap kernel
+    (extractlib.warpkernel) over the stub gradient pages.  Emits one
+    row per (page, quad, probe): probe p samples the UNROTATED warp at
+    dst (0,0) / (ch//2, cw//2) / (ch-1, cw-1) on channel p — the
+    DuckDB twin recomputes each probe through the entire double +
+    fixed-point expression tree (coordinates, quantized weight tiles
+    with the saturation correction, replicate-clamped taps,
+    FixedPtCast).  Map-only: pixels are synthesized inside the Arrow
+    batch and never cross an exchange."""
+    from ragflow_spark.extractlib import warpkernel as WK
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        cols = ["doc_id", "j", "probe", "cw", "ch", "rotated", "val"]
+        for pdf in it:
+            recs = []
+            for did, w, h, j in zip(pdf["doc_id"], pdf["width"],
+                                    pdf["height"], pdf["j"]):
+                did, w, h, j = int(did), int(w), int(h), int(j)
+                img = _stub_page(did, w, h)
+                pts = _crop_quad(did, j)
+                cw, ch, rot = V.crop_geometry(pts)
+                minv = WK.quad_to_rect_inverse(pts, cw, ch)
+                out = WK.warp_perspective_u8(img, minv, cw, ch,
+                                             "cubic")
+                probes = ((0, 0), (ch // 2, cw // 2),
+                          (ch - 1, cw - 1))
+                for p, (py, px) in enumerate(probes):
+                    recs.append((did, j, p, cw, ch, bool(rot),
+                                 int(out[py, px, p])))
+            yield pd.DataFrame(recs, columns=cols)
+
+    return quads.mapInPandas(
+        batches,
+        schema=("doc_id long, j int, probe int, cw int, ch int, "
+                "rotated boolean, val long"))
+
+
 def build_det_maps(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Synthetic det probability-map metadata: page W = 80+doc_id%80,
     H = 60+doc_id%48; three axis-aligned text regions per page in

@@ -40,9 +40,11 @@ def _ref_fit(msg, max_length):
     ll = num_tokens_from_string(msg_[0]["content"])
     ll2 = num_tokens_from_string(msg_[-1]["content"])
     which = 0 if ll / (ll + ll2) > 0.8 else -1
-    m = dict(msg_[which])
-    m["content"] = token_head(m["content"], max_length - ll2)
-    msg[which] = m
+    # in-place, like the reference (prompts.py:85-92): when the
+    # conversation ends in a system message, msg_[-1] IS the earlier
+    # list entry, so the slice shows through BOTH kept copies
+    msg_[which]["content"] = token_head(msg_[which]["content"],
+                                        max_length - ll2)
     return max_length, msg
 
 
@@ -215,13 +217,73 @@ def test_fit_messages_system_last_duplicates(spark):
     assert got[11] == want
 
 
+def test_fit_messages_dup_slice_mutates_both(spark):
+    """A conversation ending in a system message whose slice lands on
+    that message: BOTH kept copies are sliced (the reference slices
+    msg_[-1], the same dict object as the earlier list entry)."""
+    convs = {21: [{"role": "system", "content": "word " * 21},
+                  {"role": "user", "content": "word " * 60},
+                  {"role": "system", "content": "word " * 42}]}
+    got = _fit_run(spark, convs, max_length=60)
+    # tot_b = 21 + 42 + 42 = 105 >= 60 -> slice; ll=21, ll2=42,
+    # ratio < 0.8 -> last sliced to 60-42=18 tokens, both copies
+    c, fitted = _ref_fit(list(convs[21]), 60)
+    assert c == 60
+    want = sorted((m["_i"], m["role"], m["content"], c)
+                  for m in fitted)
+    assert got[21] == want
+    assert [r[0] for r in got[21]] == [0, 2, 2]
+    assert all(r[2] == "word " * 18 for r in got[21][1:])
+
+
+def test_fit_messages_meta_surface(spark):
+    """meta=True emits the integer evidence columns of the same
+    pipeline: branch tag, totals, ll/ll2, slice budget, post-slice
+    content length."""
+    from ragflow_spark.operators.promptasm import fit_messages
+    convs = {
+        1: [("system", 3), ("user", 4)],                    # branch A
+        2: [("system", 5), ("user", 50), ("user", 6)],      # branch B
+        4: [("system", 10), ("user", 60), ("user", 55)],    # C, last
+        21: [("system", 21), ("user", 60), ("system", 42)],  # C + dup
+    }
+    rows = [(cid, i, r, "word " * n)
+            for cid, msg in convs.items()
+            for i, (r, n) in enumerate(msg)]
+    df = spark.createDataFrame(
+        rows, schema="conv_id long, seq long, role string, "
+                     "content string")
+    got = {}
+    for r in fit_messages(df, 60, meta=True).collect():
+        got.setdefault(r["conv_id"], []).append(r.asDict())
+    a = sorted(got[1], key=lambda r: r["seq"])
+    assert [r["br"] for r in a] == ["A", "A"]
+    assert [r["fit_tokens"] for r in a] == [7, 7]
+    assert [r["content_len"] for r in a] == [15, 20]
+    assert all(not r["sliced"] and r["budget"] == 0 for r in a)
+    b = sorted(got[2], key=lambda r: r["seq"])
+    assert [r["seq"] for r in b] == [0, 2]
+    assert [r["br"] for r in b] == ["B", "B"]
+    assert [r["fit_tokens"] for r in b] == [11, 11]
+    c = sorted(got[4], key=lambda r: r["seq"])
+    assert [r["seq"] for r in c] == [0, 2]
+    assert [r["br"] for r in c] == ["C", "C"]
+    assert [(r["ll"], r["ll2"]) for r in c] == [(10, 55), (10, 55)]
+    assert [r["sliced"] for r in c] == [False, True]
+    assert c[1]["budget"] == 60 - 55 and c[1]["content_len"] == 25
+    d = sorted(got[21], key=lambda r: (r["seq"],))
+    assert [r["seq"] for r in d] == [0, 2, 2]   # dup row twice
+    assert [r["tot_b"] for r in d] == [105, 105, 105]
+    assert [r["content_len"] for r in d] == [105, 90, 90]
+
+
 def test_msg_fit_driver_config_fresh_process():
-    """Run the driver-gate msg_fit query in a FRESH process at
+    """Run the driver-gate msg_fit bisector pair in a FRESH process at
     local[32] / 200 shuffle partitions — the configuration class of
-    the r3 driver run whose value-hash mismatched (CORRECTNESS_r03)
-    but never reproduced locally at local[8]. The checker compares
-    the Spark result against the DuckDB oracle hash exactly the way
-    the driver does."""
+    the r3/r4 driver runs whose value-hash mismatched (CORRECTNESS_r03,
+    _r04) but never reproduced locally at local[8]. The checker
+    compares the Spark result against the DuckDB oracle hash exactly
+    the way the driver does."""
     import os
     import subprocess
     import sys
@@ -232,7 +294,7 @@ def test_msg_fit_driver_config_fresh_process():
                CHECK_SHUFFLE="200")
     out = subprocess.run(
         [sys.executable, "tools/check_correctness.py",
-         "/root/testdata/sf0.01", "--only=msg_fit"],
+         "/root/testdata/sf0.01", "--only=msg_fit,msg_fit_meta"],
         capture_output=True, text=True, env=env, cwd=repo,
         timeout=600)
     assert "FAILURES: 0" in out.stdout, out.stdout + out.stderr

@@ -264,21 +264,24 @@ def test_perspective_matrix_maps_corners():
 
 
 def test_warp_crop_axis_aligned_is_slice():
-    img = (np.arange(40, dtype=np.float64)[None, :, None]
-           + 10.0 * np.arange(30, dtype=np.float64)[:, None, None]) \
-        * np.ones((1, 1, 3))
+    img = ((np.arange(40)[None, :, None]
+            + 5 * np.arange(30)[:, None, None]
+            + 7 * np.arange(3)[None, None, :]) % 251).astype(np.uint8)
     pts = np.array([[5.0, 3.0], [15.0, 3.0], [15.0, 9.0], [5.0, 9.0]])
     out = V.warp_crop(img, pts)
     assert out.shape[:2] == (6, 10)
-    # axis-aligned homography: out[y, x] == img[3+y, 5+x]
-    assert np.allclose(out, img[3:9, 5:15], atol=1e-6)
+    # integer-phase warp on 8-bit data reproduces the slice exactly
+    # (the saturated (0,0) weight tile's off-diagonal +1 cannot carry
+    # across the >>15 for uint8 ranges — warpkernel module doc)
+    assert (out == img[3:9, 5:15]).all()
 
 
 def test_warp_crop_rotates_tall():
-    img = np.ones((40, 40, 3))
+    img = np.ones((40, 40, 3), dtype=np.uint8)
     pts = np.array([[5.0, 3.0], [9.0, 3.0], [9.0, 23.0], [5.0, 23.0]])
     out = V.warp_crop(img, pts)
     assert out.shape[:2] == (4, 20)            # rot90 of (20, 4)
+    assert (out == 1).all()
 
 
 # ---------------------------------------------------------------------------

@@ -1,0 +1,149 @@
+"""cv2.warpPerspective fixed-point kernel (extractlib.warpkernel) —
+table construction invariants, coordinate quantization, the
+saturation/correction quirks, homography closed form, and warp
+behaviour on every quad regime the ocr_crops oracle covers."""
+
+import numpy as np
+import pytest
+
+from ragflow_spark.extractlib import warpkernel as WK
+
+
+# ---------------------------------------------------------------------------
+# weight tables
+
+
+def test_linear_tab_tiles_sum_to_scale():
+    t = WK.fixed_tab_2d("linear")
+    assert t.shape == (32, 32, 2, 2)
+    assert (t.sum(axis=(2, 3)) == 32768).all()
+
+
+def test_cubic_tab_tiles_sum_to_scale():
+    t = WK.fixed_tab_2d("cubic")
+    assert t.shape == (32, 32, 4, 4)
+    assert (t.sum(axis=(2, 3)) == 32768).all()
+    # shorts: the quantizer saturates at 32767
+    assert t.max() == 32767 and t.min() > -32768
+
+
+def test_zero_phase_saturation_quirk():
+    """Phase (0,0) holds a unit weight: quantized to 32767 by short
+    saturation, corrected with +1 on the first central-2x2 element —
+    NOT a clean one-hot tile (imgwarp.cpp initInterTab2D)."""
+    lin = WK.fixed_tab_2d("linear")[0, 0]
+    assert lin.tolist() == [[32767, 0], [0, 1]]
+    cub = WK.fixed_tab_2d("cubic")[0, 0]
+    assert cub[1, 1] == 32767 and cub[2, 2] == 1
+    assert cub.sum() == 32768
+
+
+def test_cubic_weights_match_catmull_rom():
+    # exact dyadic evaluation at phase 16 (x = 0.5): classic A=-0.75
+    # coefficients (-0.09375, 0.59375, 0.59375, -0.09375)
+    w = WK.interp_weights_1d("cubic", 16)
+    assert w == [-0.09375, 0.59375, 0.59375, -0.09375]
+    w8 = WK.interp_weights_1d("cubic", 8)
+    assert w8 == [-0.10546875, 0.87890625, 0.26171875, -0.03515625]
+    assert sum(w8) == 1.0                      # exact dyadics
+    w0 = WK.interp_weights_1d("cubic", 0)
+    assert w0 == [0.0, 1.0, 0.0, 0.0]
+
+
+# ---------------------------------------------------------------------------
+# homography closed form
+
+
+def test_square_to_quad_maps_corners():
+    pts = [(4, 4), (16, 4), (19, 14), (4, 12)]     # true perspective
+    a, b, c, d, e, f, g, h = WK.square_to_quad(pts)
+    for (u, v), (x, y) in zip([(0, 0), (1, 0), (1, 1), (0, 1)], pts):
+        w = g * u + h * v + 1.0
+        assert (a * u + b * v + c) / w == pytest.approx(x, abs=1e-9)
+        assert (d * u + e * v + f) / w == pytest.approx(y, abs=1e-9)
+
+
+def test_quad_to_rect_inverse_parallelogram_is_affine():
+    pts = [(6, 5), (18, 7), (20, 19), (8, 17)]
+    m = WK.quad_to_rect_inverse(pts, 12, 12)
+    assert m[6] == 0.0 and m[7] == 0.0 and m[8] == 1.0
+
+
+# ---------------------------------------------------------------------------
+# warp
+
+
+def _page(w=64, h=48):
+    return ((np.arange(w)[None, :, None] + 17 * np.arange(3)) % 48
+            + 0 * np.arange(h)[:, None, None]).astype(np.uint8)
+
+
+def test_integer_translate_exact_both_methods():
+    img = ((np.arange(40)[None, :, None] + 3 * np.arange(30)[:, None,
+           None] + np.arange(3)) % 250).astype(np.uint8)
+    pts = [(5, 3), (15, 3), (15, 9), (5, 9)]
+    minv = WK.quad_to_rect_inverse(pts, 10, 6)
+    for m in ("linear", "cubic"):
+        out = WK.warp_perspective_u8(img, minv, 10, 6, m)
+        assert (out == img[3:9, 5:15]).all(), m
+
+
+def test_cubic_warp_tracks_float_homography():
+    """On an x-ramp the fixed-point cubic warp stays within one level
+    of the exact float interpolation for every quad regime."""
+    img = (np.arange(64, dtype=np.uint8)[None, :]
+           * np.ones((48, 1), dtype=np.uint8))
+    quads = [[(0, 0), (8, 0), (8, 30), (0, 30)],        # corner rect
+             [(6, 5), (18, 7), (20, 19), (8, 17)],      # parallelogram
+             [(4, 4), (16, 4), (19, 14), (4, 12)]]      # perspective
+    for pts in quads:
+        a, b, c, d, e, f, g, h = WK.square_to_quad(pts)
+        cw = int(max(np.hypot(pts[1][0] - pts[0][0],
+                              pts[1][1] - pts[0][1]),
+                     np.hypot(pts[2][0] - pts[3][0],
+                              pts[2][1] - pts[3][1])))
+        ch = int(max(np.hypot(pts[3][0] - pts[0][0],
+                              pts[3][1] - pts[0][1]),
+                     np.hypot(pts[2][0] - pts[1][0],
+                              pts[2][1] - pts[1][1])))
+        minv = WK.quad_to_rect_inverse(pts, cw, ch)
+        out = WK.warp_perspective_u8(img, minv, cw, ch, "cubic")
+        u = np.arange(cw)[None, :] / cw
+        v = np.arange(ch)[:, None] / ch
+        sx = (a * u + b * v + c) / (g * u + h * v + 1.0)
+        err = np.abs(out.astype(float) - np.clip(sx, 0, 63))
+        assert err.max() <= 1.0, pts
+
+
+def test_border_replicate_clamps():
+    """A quad at the page corner sends cubic taps to x=-1/y=-1; the
+    replicate border clamps them, so the (0,0) output equals the
+    corner pixel for an integer-phase warp."""
+    img = ((np.arange(30)[None, :] + 7) % 200 * np.ones(
+        (20, 1))).astype(np.uint8)
+    pts = [(0, 0), (9, 0), (9, 6), (0, 6)]
+    minv = WK.quad_to_rect_inverse(pts, 9, 6)
+    out = WK.warp_perspective_u8(img, minv, 9, 6, "cubic")
+    assert out[0, 0] == img[0, 0]
+    assert (out == img[:6, :9]).all()
+
+
+def test_warp_coords_fixed_phases():
+    """A half-pixel-scale parallelogram produces non-zero phases; the
+    fixed-point coordinate is cvRound(32 * exact source coord)."""
+    pts = [(2, 2), (9, 2), (9, 8), (2, 8)]     # 7 wide -> cw 7: exact
+    minv = WK.quad_to_rect_inverse(pts, 7, 6)
+    sx, sy, ax, ay = WK.warp_coords_fixed(minv, 7, 6)
+    assert (ax == 0).all() and (ay == 0).all()
+    assert sx[0, 0] == 2 and sy[0, 0] == 2
+    # now a 3->2 horizontal squeeze: src x = 2 + 1.5*dst
+    pts2 = [(2, 2), (5, 2), (5, 8), (2, 8)]
+    minv2 = WK.quad_to_rect_inverse(pts2, 2, 6)
+    sx2, _, ax2, _ = WK.warp_coords_fixed(minv2, 2, 6)
+    assert sx2[0, 1] == 3 and ax2[0, 1] == 16   # x=3.5 -> phase 16
+
+
+def test_warp_requires_uint8():
+    with pytest.raises(ValueError):
+        WK.warp_perspective_u8(np.zeros((4, 4)), (1, 0, 0, 0, 1, 0,
+                                                  0, 0, 1), 2, 2)
