@@ -2828,6 +2828,20 @@ def _q_ocr_crops(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ocr_crops(build_crop_quads(spark, sf_dir))
 
 
+def _q_ocr_fill_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """box_score_fast over ROTATED quads
+    (deepdoc/vision/postprocess.py:194-210): cv2.fillPoly's
+    fixed-point rasterizer (extractlib.cvfill, transcribed from
+    drawing.cpp — Bresenham boundaries + the ceil/floor scanline
+    span rule) filling 45-degree diamonds on a per-pixel dyadic
+    probability map; the oracle recomputes the exact mask count and
+    16-scaled score sum from the diamond's closed-form pixel set."""
+    from ragflow_spark.operators.visionprep import (build_fill_quads,
+                                                    ocr_fill_scores)
+
+    return ocr_fill_scores(build_fill_quads(spark, sf_dir))
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: full byte-identity extraction at sf0.001."""
     return _q_extract_html(spark, "/root/testdata/sf0.001")
@@ -2860,6 +2874,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mind_map": _q_mind_map,
         # new in round 5
         "ocr_crops": _q_ocr_crops,
+        "ocr_fill_scores": _q_ocr_fill_scores,
         # r2-stamped queries (stalest green evidence)
         "chunks_paper": _q_chunks_paper,
         "chunks_laws": _q_chunks_laws,
@@ -6277,8 +6292,38 @@ SELECT doc_id, CAST(j AS INT) AS j, CAST(probe AS INT) AS probe,
 FROM cols
 """
 
+    ocr_fill_scores_sql = """
+WITH q AS (
+    SELECT doc_id, j,
+           CAST(40 + doc_id % 40 AS BIGINT) AS w,
+           CAST(32 + doc_id % 24 AS BIGINT) AS h
+    FROM documents, (SELECT unnest([0, 1]) AS j)
+), dia AS (
+    SELECT doc_id, j,
+           2 + (doc_id + j * 5) % 5 AS r,
+           8 + (doc_id * 3 + j * 11) % (w - 16) AS cx,
+           8 + (doc_id * 5 + j * 3) % (h - 16) AS cy
+    FROM q
+), px AS (
+    -- the rasterized diamond is exactly |dx| + |dy| <= r for
+    -- unit-slope integer quads (cvfill module doc; pytest-pinned)
+    SELECT dia.*, a.dx, b.dy
+    FROM dia,
+         LATERAL (SELECT unnest(range(-r, r + 1)) AS dx) a,
+         LATERAL (SELECT unnest(range(-r, r + 1)) AS dy) b
+    WHERE abs(a.dx) + abs(b.dy) <= r
+)
+SELECT doc_id, CAST(j AS INT) AS j, CAST(r AS INT) AS r,
+       CAST(cx AS INT) AS cx, CAST(cy AS INT) AS cy,
+       COUNT(*) AS cnt,
+       SUM(((cx + dx) + 3 * (cy + dy)) % 8) AS ssum16
+FROM px
+GROUP BY doc_id, j, r, cx, cy
+"""
+
     return {
         "ocr_crops": ocr_crops_sql,
+        "ocr_fill_scores": ocr_fill_scores_sql,
         "ocr_quads": ocr_quads_sql,
         "light_gleans": light_gleans_sql,
         "mentions_ents_light": mentions_ents_light_sql,

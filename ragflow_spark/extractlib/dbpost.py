@@ -20,10 +20,13 @@ module re-implements from their published algorithms:
     otherwise.  The reference's corner shuffle (postprocess.py:170-191)
     is insensitive to the raw corner order: it sorts by x and resolves
     each x-pair by y, so ties reproduce regardless of starting corner.
-  * ``cv2.fillPoly`` + ``cv2.mean`` — an inclusive-boundary scanline
-    fill; exact for integer axis-aligned rectangles (the synthetic
-    mini-boxes), a documented pixel seam for rotated quads where
-    OpenCV's fixed-point rasterizer has its own corner rules.
+  * ``cv2.fillPoly`` + ``cv2.mean`` — the exact fixed-point
+    rasterizer (``extractlib.cvfill``, transcribed from drawing.cpp's
+    CollectPolyEdges / FillEdgeCollection / LINE_8 Bresenham): the
+    boundary pixels ARE drawn, interiors fill ``[ceil(xl), floor(xr)]``
+    per scanline, the bottom vertex row comes only from the boundary
+    walk — rotated-quad corner rules included (round 4's scanline
+    approximation seam, now owned).
   * ``pyclipper.PyclipperOffset(JT_ROUND, ET_CLOSEDPOLYGON)`` — a
     transcription of Clipper 6.4.2's round-join polygon offset
     (Johnson's published ClipperOffset::DoOffset / OffsetPoint /
@@ -245,53 +248,15 @@ def get_mini_boxes(points: np.ndarray) \
 # ---------------------------------------------------------------------------
 # polygon fill + score (cv2.fillPoly / cv2.mean twin)
 
-def fill_poly_mask(shape: tuple[int, int],
-                   pts: np.ndarray) -> np.ndarray:
-    """Inclusive-boundary polygon mask: a pixel is set when its
-    center lies inside or on the polygon (integer vertices).  Exact
-    for axis-aligned rectangles — cv2.fillPoly fills those bounds
-    inclusively — and a convex approximation otherwise (OpenCV's
-    fixed-point rasterizer is a stated pixel seam)."""
-    h, w = shape
-    mask = np.zeros((h, w), dtype=np.uint8)
-    pts = np.asarray(pts, dtype=np.float64).reshape(-1, 2)
-    n = len(pts)
-    y0 = max(0, int(math.floor(pts[:, 1].min())))
-    y1 = min(h - 1, int(math.ceil(pts[:, 1].max())))
-    for y in range(y0, y1 + 1):
-        xs: list[float] = []
-        on_edge: list[tuple[float, float]] = []
-        for i in range(n):
-            ax, ay = pts[i]
-            bx, by = pts[(i + 1) % n]
-            if ay == by:
-                if ay == y:                     # horizontal edge on row
-                    on_edge.append((min(ax, bx), max(ax, bx)))
-                continue
-            lo, hi = (ay, by) if ay < by else (by, ay)
-            if lo <= y < hi:                    # half-open: count once
-                xs.append(ax + (y - ay) * (bx - ax) / (by - ay))
-        xs.sort()
-        for k in range(0, len(xs) - 1, 2):
-            a = int(math.ceil(xs[k]))
-            b = int(math.floor(xs[k + 1]))
-            if a <= b:
-                mask[y, max(0, a):min(w - 1, b) + 1] = 1
-        for a, b in on_edge:                    # inclusive boundary
-            ia, ib = int(math.ceil(a)), int(math.floor(b))
-            if ia <= ib:
-                mask[y, max(0, ia):min(w - 1, ib) + 1] = 1
-    # vertices and the row y == hi endpoints sit on the boundary too
-    for x, y in pts:
-        xi, yi = int(round(x)), int(round(y))
-        if 0 <= yi < h and 0 <= xi < w and xi == x and yi == y:
-            mask[yi, xi] = 1
-    return mask
+def box_mask_window(pred: np.ndarray, box: np.ndarray) \
+        -> tuple[np.ndarray, np.ndarray]:
+    """box_score_fast's bbox-normalized fill (postprocess.py:194-208):
+    clip-floored/ceiled bounding window plus cv2.fillPoly's exact
+    fixed-point rasterization (extractlib.cvfill — Bresenham boundary
+    + scanline interior) of the corners after the reference's
+    ``astype("int32")`` truncation.  Returns (mask, pred window)."""
+    from ragflow_spark.extractlib.cvfill import fill_poly
 
-
-def box_score_fast(pred: np.ndarray, box: np.ndarray) -> float:
-    """Mean probability inside the filled box over its bounding
-    window (postprocess.py:193-208)."""
     h, w = pred.shape[:2]
     box = np.asarray(box, dtype=np.float64).copy()
     xmin = int(np.clip(math.floor(box[:, 0].min()), 0, w - 1))
@@ -300,11 +265,18 @@ def box_score_fast(pred: np.ndarray, box: np.ndarray) -> float:
     ymax = int(np.clip(math.ceil(box[:, 1].max()), 0, h - 1))
     box[:, 0] -= xmin
     box[:, 1] -= ymin
-    mask = fill_poly_mask((ymax - ymin + 1, xmax - xmin + 1), box)
+    mask = fill_poly((ymax - ymin + 1, xmax - xmin + 1),
+                     np.trunc(box).astype(np.int64))
+    return mask, pred[ymin:ymax + 1, xmin:xmax + 1]
+
+
+def box_score_fast(pred: np.ndarray, box: np.ndarray) -> float:
+    """Mean probability inside the filled box over its bounding
+    window (postprocess.py:194-210) — cv2.mean(window, mask)[0]."""
+    mask, window = box_mask_window(pred, box)
     sel = mask > 0
     if not sel.any():
         return 0.0
-    window = pred[ymin:ymax + 1, xmin:xmax + 1]
     return float(window[sel].mean())
 
 
@@ -524,6 +496,26 @@ def boxes_from_bitmap(pred: np.ndarray, bitmap: np.ndarray,
     return boxes, scores
 
 
+def _ring_convex(ring: np.ndarray, eps: float = 1e-9) -> bool:
+    """True when the closed ring never turns both ways (cross products
+    of consecutive edges share a sign up to ``eps``)."""
+    pts = np.asarray(ring, dtype=np.float64).reshape(-1, 2)
+    n = len(pts)
+    if n < 4:
+        return True
+    pos = neg = False
+    for i in range(n):
+        ax, ay = pts[i]
+        bx, by = pts[(i + 1) % n]
+        cx, cy = pts[(i + 2) % n]
+        cr = (bx - ax) * (cy - by) - (by - ay) * (cx - bx)
+        if cr > eps:
+            pos = True
+        elif cr < -eps:
+            neg = True
+    return not (pos and neg)
+
+
 def polygons_from_bitmap(pred: np.ndarray, bitmap: np.ndarray,
                          dest_width: int, dest_height: int,
                          box_thresh: float = DET_BOX_THRESH,
@@ -548,6 +540,16 @@ def polygons_from_bitmap(pred: np.ndarray, bitmap: np.ndarray,
             continue
         box = unclip(points, unclip_ratio).reshape(-1, 2)
         if len(box) < 1:
+            continue
+        # the reference drops a contour when pyclipper's unclip
+        # returns more than one ring (postprocess.py:101 ``if
+        # len(box) > 1: continue``); offset_round always emits a
+        # single ring, so mirror the drop by rejecting rings whose
+        # offset turned non-convex (the only single-ring shape our
+        # round-join offset can produce from a self-intersecting
+        # input) — keeps the multi-ring seam loud instead of
+        # silently emitting what the reference would discard
+        if not _ring_convex(box):
             continue
         _, sside = get_mini_boxes(box.reshape(-1, 2))
         if sside < min_size + 2:

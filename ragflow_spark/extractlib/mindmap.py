@@ -10,12 +10,26 @@ batch dicts with ``_merge``, and renders a root tree via
 ``_be_children``.  The LLM call is the seam; everything else is rules:
 
 - ``dictify`` here is a from-scratch parser for the markdown outline
-  grammar the mind-map prompt requests (headings + nested bullet
-  lists + plain lines), matching the public markdown_to_json library's
-  dict shape on that subset: headings nest by level, bullet runs
-  become lists where a deeper run rides as a nested list after its
-  parent item, plain lines become string values.  The library is not
-  vendored; behavior outside this outline subset is a documented seam.
+  grammar the mind-map prompt requests, matching the public
+  markdown_to_json library's dict shape on that grammar: headings
+  nest by level; bullet runs — unordered ``-``/``*``/``+`` AND
+  ordered ``1.``/``1)`` markers — become lists where a deeper run
+  rides as a NESTED LIST SIBLING after its parent item (the shape
+  ``_list_to_kv`` pairs off); plain lines become string values.
+  Code fences need no special casing here because the REFERENCE
+  strips every fence marker line before calling dictify
+  (mind_map_extractor.py:179 ``re.sub(r"```[^\n]*", "", response)``),
+  so fence *content* is parsed as markdown by both pipelines.
+  Library divergences kept, each pytest-pinned (test_mindmap):
+  (a) a heading holding both plain content and deeper headings —
+  markdown_to_json raises ContentError there (which the reference
+  does not catch, dropping the whole batch); this parser stays total:
+  an empty-content heading becomes the deeper headings' container,
+  one with content keeps it and the deeper heading re-anchors at the
+  enclosing container; (b) a multi-line paragraph renders as
+  a list of lines here vs the library's softbreak-joined string;
+  (c) setext headings are not recognized.  All three are outside the
+  grammar the mind-map prompt requests.
 - ``_list_to_kv`` (mind_map_extractor.py:141-153): every list value
   becomes a dict pairing each item with the FIRST element of the
   nested list that follows it — items not followed by a sublist are
@@ -47,7 +61,9 @@ import re
 from .tokens import num_tokens_from_string
 
 _HEADING_RE = re.compile(r"^(#{1,6})\s+(.*?)\s*#*\s*$")
-_BULLET_RE = re.compile(r"^(\s*)[-*+]\s+(.*)$")
+# unordered (-, *, +) and ordered (1., 1)) list markers — CommonMark's
+# list grammar as markdown_to_json's renderer flattens it
+_BULLET_RE = re.compile(r"^(\s*)(?:[-*+]|\d{1,9}[.)])\s+(.*)$")
 _FENCE_RE = re.compile(r"```[^\n]*")
 
 

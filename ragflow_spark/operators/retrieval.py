@@ -365,7 +365,12 @@ def rerank_by_model(docs: DataFrame, queries: DataFrame,
     # lazy localCheckpoint, not cache(): these pins have no unpersist
     # site (the result is lazy), and checkpointed blocks are reclaimed
     # by the ContextCleaner when the frames go out of scope instead of
-    # living in the CacheManager forever (same idiom as tag_features)
+    # living in the CacheManager forever (same idiom as tag_features).
+    # Tradeoff: localCheckpoint severs lineage into unreplicated
+    # executor blocks, so on a real cluster an executor loss fails the
+    # job where cache() would recompute — acceptable for these small
+    # pinned sides; a deployment that needs executor-loss resilience
+    # should swap in reliable checkpointing (setCheckpointDir) here
     cands = model_sims.select("qid", "doc_id", "msim") \
         .localCheckpoint(eager=False)
     cand_ids = cands.select("doc_id").distinct()

@@ -197,7 +197,11 @@ def tag_features(subjects: DataFrame, kb_terms: DataFrame,
     # of scope, whereas cache() pins the plan in the CacheManager
     # until an explicit unpersist this function has no place to issue
     # (the result is lazy, so unpersisting before the caller's action
-    # would defeat the pin)
+    # would defeat the pin).  Tradeoff: localCheckpoint severs lineage
+    # into unreplicated executor blocks — an executor loss fails the
+    # job where cache() would recompute; swap in reliable
+    # checkpointing if cluster-loss resilience matters more than the
+    # CacheManager leak
     kb_terms = kb_terms.localCheckpoint(eager=False)
     kb_tags = kb_tags.localCheckpoint(eager=False)
     clauses = subject_clauses(subjects, id_col, text_col,

@@ -424,6 +424,73 @@ def ocr_crops(quads: DataFrame) -> DataFrame:
                 "rotated boolean, val long"))
 
 
+def build_fill_quads(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Synthetic ROTATED quads for the fillPoly rasterizer: two
+    45-degree diamonds per page (integer vertices (cx±r, cy),
+    (cx, cy±r) — the min-area rect of diagonal text), interior by
+    construction, over a per-pixel dyadic probability map
+    pred(x, y) = ((x + 3y) % 8) / 16."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet") \
+        .select("doc_id")
+    docs = docs.repartition(spark.sparkContext.defaultParallelism,
+                            "doc_id")
+    d = F.col("doc_id")
+    two = docs.select(
+        "doc_id",
+        (F.lit(40) + d % 40).cast("int").alias("width"),
+        (F.lit(32) + d % 24).cast("int").alias("height"),
+        F.explode(F.array(F.lit(0), F.lit(1))).alias("j"))
+    j = F.col("j")
+    return two.select(
+        "doc_id", "j", "width", "height",
+        (2 + (d + j * 5) % 5).cast("int").alias("r"),
+        (8 + (d * 3 + j * 11) % (F.col("width") - 16)).cast("int")
+        .alias("cx"),
+        (8 + (d * 5 + j * 3) % (F.col("height") - 16)).cast("int")
+        .alias("cy"))
+
+
+def ocr_fill_scores(quads: DataFrame) -> DataFrame:
+    """box_score_fast over ROTATED quads (postprocess.py:194-210 with
+    cv2.fillPoly's fixed-point corner rules, owned in
+    extractlib.cvfill): per diamond the rasterized mask pixel count
+    and the 16-scaled probability sum — both exact integers (the
+    dyadic map keeps every float32 partial sum exact), so the oracle
+    recomputes them from the closed-form diamond pixel set
+    |x-cx| + |y-cy| <= r that the rasterizer provably produces for
+    unit-slope quads (boundary Bresenham diagonals coincide with the
+    scanline span ends; pytest pins this shape).  Map-only."""
+    from ragflow_spark.extractlib import dbpost as DB
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        cols = ["doc_id", "j", "r", "cx", "cy", "cnt", "ssum16"]
+        for pdf in it:
+            recs = []
+            for did, w, h, j, r, cx, cy in zip(
+                    pdf["doc_id"], pdf["width"], pdf["height"],
+                    pdf["j"], pdf["r"], pdf["cx"], pdf["cy"]):
+                w, h, r, cx, cy = (int(w), int(h), int(r), int(cx),
+                                   int(cy))
+                xs = np.arange(w)[None, :]
+                ys = np.arange(h)[:, None]
+                pred = (((xs + 3 * ys) % 8) / 16.0).astype(np.float32)
+                quad = np.array([[cx, cy - r], [cx + r, cy],
+                                 [cx, cy + r], [cx - r, cy]],
+                                dtype=np.float64)
+                mask, window = DB.box_mask_window(pred, quad)
+                sel = mask > 0
+                cnt = int(sel.sum())
+                ssum16 = int(round(float(window[sel].sum()) * 16))
+                recs.append((int(did), int(j), r, cx, cy, cnt,
+                             ssum16))
+            yield pd.DataFrame(recs, columns=cols)
+
+    return quads.mapInPandas(
+        batches,
+        schema=("doc_id long, j int, r int, cx int, cy int, "
+                "cnt long, ssum16 long"))
+
+
 def build_det_maps(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Synthetic det probability-map metadata: page W = 80+doc_id%80,
     H = 60+doc_id%48; three axis-aligned text regions per page in

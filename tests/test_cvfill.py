@@ -1,0 +1,91 @@
+"""cv2.fillPoly fixed-point rasterizer (extractlib.cvfill) — Bresenham
+boundary walk, scanline span rule, the diamond closed form the
+ocr_fill_scores oracle relies on, and the box_score_fast wiring."""
+
+import numpy as np
+
+from ragflow_spark.extractlib import dbpost as D
+from ragflow_spark.extractlib.cvfill import (fill_poly, line_pixels)
+
+
+def test_line_pixels_basic_shapes():
+    assert line_pixels(0, 0, 4, 0) == [(0, 0), (1, 0), (2, 0), (3, 0),
+                                       (4, 0)]
+    assert line_pixels(2, 1, 2, 4) == [(2, 1), (2, 2), (2, 3), (2, 4)]
+    # right-to-left input is swapped to run left to right
+    assert line_pixels(4, 0, 0, 0)[0] == (0, 0)
+    # exact diagonal
+    assert line_pixels(0, 0, 3, 3) == [(0, 0), (1, 1), (2, 2), (3, 3)]
+    assert line_pixels(0, 3, 3, 0) == [(0, 3), (1, 2), (2, 1), (3, 0)]
+    # shallow 2:1 with the strict err<0 tie rule
+    assert line_pixels(0, 0, 2, 1) == [(0, 0), (1, 0), (2, 1)]
+
+
+def test_fill_poly_rect_is_inclusive():
+    m = fill_poly((8, 10), [(2, 1), (7, 1), (7, 5), (2, 5)])
+    exp = np.zeros((8, 10), np.uint8)
+    exp[1:6, 2:8] = 1
+    assert (m == exp).all()
+
+
+def test_fill_poly_diamond_closed_form():
+    """Unit-slope diamonds rasterize to exactly |dx|+|dy| <= r — the
+    closed form the ocr_fill_scores oracle recomputes (edge slopes are
+    exact +-1 in fixed point and the boundary diagonals coincide with
+    the scanline span ends)."""
+    for r in range(1, 7):
+        for cx, cy in ((r + 1, r + 1), (r + 3, r + 2), (9, 8)):
+            h, w = cy + r + 3, cx + r + 3
+            m = fill_poly((h, w), [(cx, cy - r), (cx + r, cy),
+                                   (cx, cy + r), (cx - r, cy)])
+            ys, xs = np.mgrid[0:h, 0:w]
+            exp = (np.abs(xs - cx) + np.abs(ys - cy) <= r) \
+                .astype(np.uint8)
+            assert (m == exp).all(), (r, cx, cy)
+            assert m.sum() == 2 * r * r + 2 * r + 1
+
+
+def test_fill_poly_triangle_and_degenerates():
+    m = fill_poly((7, 9), [(1, 1), (7, 1), (4, 5)])
+    # the horizontal base row is boundary-drawn in full
+    assert (m[1, 1:8] == 1).all()
+    assert m[5, 4] == 1                       # apex from the boundary
+    assert m[0].sum() == 0 and m[6].sum() == 0
+    # single point / segment: boundary only
+    assert fill_poly((3, 3), [(1, 1), (1, 1), (1, 1)]).sum() == 1
+    seg = fill_poly((3, 5), [(1, 1), (3, 1)])
+    assert (seg[1, 1:4] == 1).all() and seg.sum() == 3
+
+
+def test_fill_poly_bottom_row_is_boundary_only():
+    """The scanline sweep drops an edge at its bottom vertex row; that
+    row's pixels come from the Bresenham boundary — for a rect the two
+    agree, visible on a triangle apex (single pixel, not a span)."""
+    m = fill_poly((8, 9), [(1, 1), (7, 1), (4, 6)])
+    assert m[6].sum() == 1 and m[6, 4] == 1
+
+
+def test_box_score_fast_rotated_diamond():
+    """The dyadic map keeps float32 sums exact, so the score equals
+    the closed-form diamond sum / count."""
+    w, h, cx, cy, r = 24, 20, 10, 9, 4
+    xs = np.arange(w)[None, :]
+    ys = np.arange(h)[:, None]
+    pred = (((xs + 3 * ys) % 8) / 16.0).astype(np.float32)
+    quad = np.array([[cx, cy - r], [cx + r, cy], [cx, cy + r],
+                     [cx - r, cy]], dtype=np.float64)
+    got = D.box_score_fast(pred, quad)
+    sel = (np.abs(xs - cx) + np.abs(ys - cy)) <= r
+    want = float(pred[sel].sum()) / int(sel.sum())
+    assert abs(got - want) < 1e-7
+    cnt = 2 * r * r + 2 * r + 1
+    assert int(sel.sum()) == cnt
+
+
+def test_ring_convex_guard():
+    assert D._ring_convex(np.array([[0, 0], [4, 0], [4, 3], [0, 3]]))
+    assert D._ring_convex(np.array([[0, 0], [4, 1], [5, 4], [2, 6],
+                                    [-1, 3]]))
+    # a bowtie turns both ways
+    assert not D._ring_convex(np.array([[0, 0], [4, 3], [4, 0],
+                                        [0, 3]]))

@@ -85,7 +85,8 @@ def test_get_mini_boxes_corner_shuffle():
 
 
 def test_fill_poly_rect_inclusive_and_score_exact():
-    mask = D.fill_poly_mask((10, 14), np.array(
+    from ragflow_spark.extractlib.cvfill import fill_poly
+    mask = fill_poly((10, 14), np.array(
         [[2, 3], [9, 3], [9, 7], [2, 7]]))
     exp = np.zeros((10, 14), np.uint8)
     exp[3:8, 2:10] = 1

@@ -119,6 +119,53 @@ def test_render_matches_json_dumps():
     assert len(M.render_mind_map({"id": "r", "children": []})) < 40
 
 
+def test_dictify_ordered_lists():
+    """Ordered markers (1. / 1)) parse like unordered bullets —
+    markdown_to_json flattens CommonMark's ordered lists to the same
+    list-of-items shape its renderer gives dashes."""
+    md = ("# Plan\n"
+          "1. first\n"
+          "2. second\n"
+          "# Mixed\n"
+          "- top\n"
+          "  1) sub one\n"
+          "  2) sub two\n"
+          "* other\n")
+    d = M.dictify(md)
+    assert d["Plan"] == ["first", "second"]
+    assert d["Mixed"] == ["top", ["sub one", "sub two"], "other"]
+    # the kv fold pairs the item with its sibling sublist's head
+    assert M.todict(M.dictify(md))["Mixed"] == {"top": "sub one"}
+
+
+def test_dictify_ordered_nested_under_heading_tree():
+    md = ("# Root\n"
+          "## A\n"
+          "1. x\n"
+          "   - y\n"
+          "## B\n"
+          "text line\n")
+    d = M.dictify(md)
+    assert d["Root"]["A"] == ["x", ["y"]]
+    assert d["Root"]["B"] == "text line"
+
+
+def test_dictify_documented_divergences():
+    """The three stated library divergences (module docstring): this
+    parser stays total where markdown_to_json raises ContentError, and
+    multi-line paragraphs become line lists."""
+    # (a) heading with content AND deeper headings: content kept and
+    # the deeper heading re-anchors beside it (the library raises
+    # ContentError, which the reference does not catch)
+    d = M.dictify("# T\nintro\n## S\n- a\n")
+    assert d["T"] == "intro" and d["S"] == ["a"]
+    # (a') empty-content heading becomes the container
+    d2 = M.dictify("# T\n## S\n- a\n")
+    assert d2["T"]["S"] == ["a"]
+    # (b) multi-line paragraph -> list of lines
+    assert M.dictify("# T\nl1\nl2\n")["T"] == ["l1", "l2"]
+
+
 def test_dictify_hostile_indent_clamped():
     # pathological indentation must not build unbounded nesting
     md = "# H\n" + "\n".join(
