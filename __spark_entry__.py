@@ -2842,6 +2842,21 @@ def _q_ocr_fill_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ocr_fill_scores(build_fill_quads(spark, sf_dir))
 
 
+def _q_layout_prep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The layout Recognizer's LinearResize resample
+    (deepdoc/vision/recognizer.py:283-298 with the pinned config
+    interp=2 / keep_ratio=False): cvRound output size and cv2.resize
+    INTER_CUBIC's fixed-point kernel (resize.cpp generic path —
+    float32 coefficient chain on arbitrary fractions, NO edge-phase
+    pinning for cubic, replicate-clamped taps, the (v + 2^21) >> 22
+    cast), probed at three pixels per page; the twin transcribes the
+    whole chain with one CAST(... AS REAL) per float32 op."""
+    from ragflow_spark.operators.visionprep import (build_ocr_pages,
+                                                    layout_prep)
+
+    return layout_prep(build_ocr_pages(spark, sf_dir))
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: full byte-identity extraction at sf0.001."""
     return _q_extract_html(spark, "/root/testdata/sf0.001")
@@ -2875,6 +2890,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # new in round 5
         "ocr_crops": _q_ocr_crops,
         "ocr_fill_scores": _q_ocr_fill_scores,
+        "layout_prep": _q_layout_prep,
         # r2-stamped queries (stalest green evidence)
         "chunks_paper": _q_chunks_paper,
         "chunks_laws": _q_chunks_laws,
@@ -6321,9 +6337,92 @@ FROM px
 GROUP BY doc_id, j, r, cx, cy
 """
 
+    # layout_prep twin: one CAST(... AS REAL) per float32 op in the
+    # resize.cpp cubic coefficient chain (the phases are arbitrary
+    # float32 fractions here, so every rounding point is load-bearing,
+    # unlike the warp tables' exact dyadic phases); tap sums and the
+    # >>22 cast are integer arithmetic; the stub page is linear in x
+    # and constant in y, so the vertical pass collapses to the
+    # rounded-beta sum times one horizontal value.
+    def _cubcols(p: str, dexpr: str, src: str, dst: str) -> str:
+        """SELECT-list fragment defining {p}s, {p}q0..{p}q3 via
+        DuckDB lateral column aliases."""
+        return f"""
+        CAST(({dexpr} + 0.5) * (({src}) / (({dst}) * 1.0)) - 0.5
+             AS REAL) AS {p}f0,
+        CAST(FLOOR({p}f0) AS BIGINT) AS {p}s,
+        CAST({p}f0 - {p}s AS REAL) AS {p}f,
+        CAST({p}f + 1.0 AS REAL) AS {p}t,
+        CAST(-0.75 * {p}t AS REAL) AS {p}a1,
+        CAST({p}a1 + 3.75 AS REAL) AS {p}a2,
+        CAST({p}a2 * {p}t AS REAL) AS {p}a3,
+        CAST({p}a3 - 6.0 AS REAL) AS {p}a4,
+        CAST({p}a4 * {p}t AS REAL) AS {p}a5,
+        CAST({p}a5 + 3.0 AS REAL) AS {p}c0,
+        CAST(1.25 * {p}f AS REAL) AS {p}b1,
+        CAST({p}b1 - 2.25 AS REAL) AS {p}b2,
+        CAST({p}b2 * {p}f AS REAL) AS {p}b3,
+        CAST({p}b3 * {p}f AS REAL) AS {p}b4,
+        CAST({p}b4 + 1.0 AS REAL) AS {p}c1,
+        CAST(1.0 - {p}f AS REAL) AS {p}g,
+        CAST(1.25 * {p}g - 2.25 AS REAL) AS {p}d2,
+        CAST({p}d2 * {p}g AS REAL) AS {p}d3,
+        CAST({p}d3 * {p}g AS REAL) AS {p}d4,
+        CAST({p}d4 + 1.0 AS REAL) AS {p}c2,
+        CAST(CAST(CAST(1.0 - {p}c0 AS REAL) - {p}c1 AS REAL)
+             - {p}c2 AS REAL) AS {p}c3,
+        {_q16(p, 0)} AS {p}q0, {_q16(p, 1)} AS {p}q1,
+        {_q16(p, 2)} AS {p}q2, {_q16(p, 3)} AS {p}q3"""
+
+    def _q16(p: str, k: int) -> str:
+        return ("LEAST(GREATEST(" +
+                _rhea(f"CAST({p}c{k} * 2048.0 AS DOUBLE)") +
+                ", -32768), 32767)")
+
+    _lp_pix = {k: (f"((doc_id * 29 + 17 * probe) % 48 "
+                   f"+ LEAST(GREATEST(xs - 1 + {k}, 0), w - 1))")
+               for k in range(4)}
+    layout_prep_sql = f"""
+WITH pg AS (
+    SELECT doc_id, probe,
+           CAST(64 + doc_id % 128 AS BIGINT) AS w,
+           CAST(48 + doc_id % 96 AS BIGINT) AS h
+    FROM documents, (SELECT unnest([0, 1, 2]) AS probe)
+), sz AS (
+    SELECT *,
+           {_rhea("h * (96.0 / h)")} AS oh,
+           {_rhea("w * (64.0 / w)")} AS ow
+    FROM pg
+), pc AS (
+    SELECT *,
+           CASE probe WHEN 0 THEN 0 WHEN 1 THEN ow // 2
+                      ELSE ow - 1 END AS pxd,
+           CASE probe WHEN 0 THEN 0 WHEN 1 THEN oh // 2
+                      ELSE oh - 1 END AS pyd
+    FROM sz
+), cx AS (
+    SELECT pc.*, {_cubcols("x", "pxd", "w", "ow")}
+    FROM pc
+), cy AS (
+    SELECT cx.*, {_cubcols("y", "pyd", "h", "oh")}
+    FROM cx
+), hsum AS (
+    SELECT *,
+           xq0 * {_lp_pix[0]} + xq1 * {_lp_pix[1]}
+           + xq2 * {_lp_pix[2]} + xq3 * {_lp_pix[3]} AS hv
+    FROM cy
+)
+SELECT doc_id, CAST(probe AS INT) AS probe,
+       CAST(oh AS INT) AS out_h, CAST(ow AS INT) AS out_w,
+       LEAST(GREATEST(((yq0 + yq1 + yq2 + yq3) * hv + 2097152) >> 22,
+                      0), 255) AS val
+FROM hsum
+"""
+
     return {
         "ocr_crops": ocr_crops_sql,
         "ocr_fill_scores": ocr_fill_scores_sql,
+        "layout_prep": layout_prep_sql,
         "ocr_quads": ocr_quads_sql,
         "light_gleans": light_gleans_sql,
         "mentions_ents_light": mentions_ents_light_sql,

@@ -36,12 +36,14 @@ det/rec paths, which feed cv2.resize uint8 frames);
 ``cv2.warpPerspective``'s fixed-point remap kernel (INTER_BITS
 coordinates, quantized 32x32 weight tables, both INTER_LINEAR and the
 INTER_CUBIC mode the crop path uses) is implemented in
-``extractlib.warpkernel`` and wired into ``warp_crop``.  The remaining
-pixel seam is ``cv2.resize``'s INTER_CUBIC kernel
-(``layout_preprocess`` keeps ``bilinear_resize``, the float
-half-pixel-center form, as its stand-in), plus the last-ulp matrix
-seam documented in ``warpkernel`` (closed-form homography vs cv's
-LU solve).
+``extractlib.warpkernel`` and wired into ``warp_crop``;
+``cv2.resize``'s INTER_CUBIC fixed-point kernel
+(``fixedpoint_resize_cubic_u8``) drives ``layout_preprocess``
+(LinearResize interp=2).  No pixel kernel remains a stand-in; the one
+stated seam left is the last-ulp matrix construction documented in
+``warpkernel`` (closed-form homography vs cv's LU solve).
+``bilinear_resize``, the float half-pixel-center form, stays as the
+property-test reference.
 
 Determinism adaptation (documented): ``rec_batch_order`` pins the
 width-ratio argsort tie order to the original index (numpy's default
@@ -197,6 +199,82 @@ def fixedpoint_resize_u8(img: np.ndarray, out_h: int,
     out = (((yb0[:, None, None] * (H[r0] >> 4)) >> 16)
            + ((yb1[:, None, None] * (H[r1] >> 4)) >> 16))
     out = ((out + 2) >> 2).astype(np.uint8)
+    return out[..., 0] if squeeze else out
+
+
+def _interp_cubic_f32(f: np.ndarray) -> tuple[np.ndarray, ...]:
+    """resize.cpp interpolateCubic (A=-0.75) in float32, one rounding
+    per op exactly like the C float chain — the phases here are
+    arbitrary float32 fractions (unlike the warp tables' dyadic
+    phases), so the float32 emulation is load-bearing."""
+    a = np.float32(-0.75)
+    f = f.astype(np.float32)
+    one = np.float32(1.0)
+    t = f + one
+    c0 = ((a * t - np.float32(5.0) * a) * t + np.float32(8.0) * a) \
+        * t - np.float32(4.0) * a
+    c1 = ((a + np.float32(2.0)) * f - (a + np.float32(3.0))) * f * f \
+        + one
+    u = one - f
+    c2 = ((a + np.float32(2.0)) * u - (a + np.float32(3.0))) * u * u \
+        + one
+    c3 = one - c0 - c1 - c2
+    return c0, c1, c2, c3
+
+
+def _resize_cubic_coeffs(src: int, dst: int):
+    """One axis of cv2.resize INTER_CUBIC's fixed-point setup
+    (resize.cpp invoker): ``f = (float)((d+0.5)*scale - 0.5)``,
+    ``s = cvFloor(f)``, ``f -= s`` — and UNLIKE the linear path, the
+    edge pinning ``f = 0, s = 0`` is skipped for INTER_CUBIC
+    (``interpolation != INTER_CUBIC`` guards both edge branches), so a
+    negative or past-the-end tap base survives and the gather clamps
+    instead.  Coefficients are interpolateCubic in float32, scaled by
+    2048 and quantized with saturate_cast<short> (cvRound + clamp).
+
+    Returns (s, [a0..a3]) int64 arrays of length ``dst``."""
+    scale = src / dst                            # double, as in C++
+    d = np.arange(dst, dtype=np.float64)
+    f = ((d + 0.5) * scale - 0.5).astype(np.float32)
+    s = np.floor(f).astype(np.int64)
+    f = (f - s.astype(np.float32)).astype(np.float32)
+    coeffs = []
+    for c in _interp_cubic_f32(f):
+        q = np.rint(np.float64(c * np.float32(INTER_RESIZE_COEF_SCALE))
+                    ).astype(np.int64)
+        coeffs.append(np.clip(q, -32768, 32767))
+    return s, coeffs
+
+
+def fixedpoint_resize_cubic_u8(img: np.ndarray, out_h: int,
+                               out_w: int) -> np.ndarray:
+    """cv2.resize(img, (out_w, out_h), interpolation=INTER_CUBIC) for
+    uint8 images — the generic fixed-point path of the public OpenCV
+    imgproc/src/resize.cpp (HResizeCubic / VResizeCubic with
+    ``FixedPtCast<int, uchar, 2*INTER_RESIZE_COEF_BITS>``): horizontal
+    4-tap sums of short coefficients in int32-range integers,
+    replicate-clamped taps at both borders (the cubic invoker does NOT
+    pin edge phases — see _resize_cubic_coeffs), vertical combine and
+    ``(v + 2^21) >> 22`` saturation.  This is the layout Recognizer's
+    resample (LinearResize interp=2, recognizer.py:288)."""
+    h, w = img.shape[:2]
+    squeeze = img.ndim == 2
+    im = img.astype(np.int64)
+    if squeeze:
+        im = im[..., None]
+    xs, xa = _resize_cubic_coeffs(w, out_w)
+    ys, yb = _resize_cubic_coeffs(h, out_h)
+    hh = np.zeros((h, out_w, im.shape[2]), dtype=np.int64)
+    for j in range(4):
+        cols = np.clip(xs - 1 + j, 0, w - 1)
+        hh += im[:, cols, :] * xa[j][None, :, None]
+    out = np.zeros((out_h, out_w, im.shape[2]), dtype=np.int64)
+    for k in range(4):
+        rows = np.clip(ys - 1 + k, 0, h - 1)
+        out += hh[rows] * yb[k][:, None, None]
+    out = (out + (1 << (2 * INTER_RESIZE_COEF_BITS - 1))) \
+        >> (2 * INTER_RESIZE_COEF_BITS)
+    out = np.clip(out, 0, 255).astype(np.uint8)
     return out[..., 0] if squeeze else out
 
 
@@ -527,13 +605,16 @@ def layout_preprocess(img: np.ndarray,
     ``'StandardizeImage'`` but operators.py defines ``StandardizeImag``
     (operators.py:68), so ``getattr(operators, op_type)`` raises
     AttributeError if this path executes — the chain here is the
-    evident intent (StandardizeImag with the config's mean/std;
-    cv2.INTER_CUBIC resampling = pixel seam, bilinear stand-in)."""
+    evident intent (StandardizeImag with the config's mean/std).
+    The resample is cv2.resize INTER_CUBIC's fixed-point kernel
+    (``fixedpoint_resize_cubic_u8`` — the LinearResize config pins
+    interp=2, recognizer.py:288)."""
     h, w = img.shape[:2]
     sy, sx = layout_scale(h, w, target_size)
     out_h = int(round(h * sy))
     out_w = int(round(w * sx))
-    im = bilinear_resize(img, out_h, out_w)
+    im = fixedpoint_resize_cubic_u8(np.asarray(img, dtype=np.uint8),
+                                    out_h, out_w)
     # StandardizeImag is_scale=True mean_std (operators.py:68-103)
     im = im.astype(np.float32, copy=False)
     im *= np.float32(1.0 / 255.0)

@@ -424,6 +424,44 @@ def ocr_crops(quads: DataFrame) -> DataFrame:
                 "rotated boolean, val long"))
 
 
+def layout_prep(pages: DataFrame,
+                target_size=(96, 64)) -> DataFrame:
+    """The layout Recognizer's LinearResize resample
+    (recognizer.py:283-298, operators.py:197-235 with the pinned
+    config interp=2 / keep_ratio=False): per-axis scale factors,
+    cvRound output size, and cv2.resize INTER_CUBIC's fixed-point
+    kernel (visionops.fixedpoint_resize_cubic_u8) over the stub
+    gradient pages.  Emits three resized-pixel probes per page
+    (corner / middle / far corner on channels 0/1/2) — the twin
+    recomputes each through the whole float32 coefficient chain and
+    integer tap sums.  The standardize/pad tail of layout_preprocess
+    is float tensor work pinned by pytest.  Map-only."""
+    th, tw = target_size
+
+    def gen(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        cols = ["doc_id", "probe", "out_h", "out_w", "val"]
+        for pdf in it:
+            recs = []
+            for did, w, h in zip(pdf["doc_id"], pdf["width"],
+                                 pdf["height"]):
+                did, w, h = int(did), int(w), int(h)
+                img = _stub_page(did, w, h)
+                sy, sx = V.layout_scale(h, w, (th, tw))
+                oh = int(round(h * sy))
+                ow = int(round(w * sx))
+                out = V.fixedpoint_resize_cubic_u8(img, oh, ow)
+                probes = ((0, 0), (oh // 2, ow // 2),
+                          (oh - 1, ow - 1))
+                for p, (py, px) in enumerate(probes):
+                    recs.append((did, p, oh, ow,
+                                 int(out[py, px, p])))
+            yield pd.DataFrame(recs, columns=cols)
+
+    return pages.mapInPandas(
+        gen, schema="doc_id long, probe int, out_h int, out_w int, "
+                    "val long")
+
+
 def build_fill_quads(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Synthetic ROTATED quads for the fillPoly rasterizer: two
     45-degree diamonds per page (integer vertices (cx±r, cy),

@@ -419,6 +419,43 @@ def test_layout_scale_modes():
     assert sy == sx == 800.0 / 1000
 
 
+def test_cubic_resize_identity_and_constant():
+    img = ((np.arange(30)[None, :, None]
+            + 5 * np.arange(20)[:, None, None]
+            + np.arange(3)) % 251).astype(np.uint8)
+    assert (V.fixedpoint_resize_cubic_u8(img, 20, 30) == img).all()
+    c = np.full((17, 23, 3), 137, np.uint8)
+    for oh, ow in ((34, 46), (8, 11), (50, 9)):
+        assert (V.fixedpoint_resize_cubic_u8(c, oh, ow) == 137).all()
+
+
+def test_cubic_resize_tracks_ramp():
+    """INTER_CUBIC reproduces a linear ramp within one level both
+    directions (negative lobes cancel on linear data)."""
+    img = (np.arange(100, dtype=np.uint8)[None, :]
+           * np.ones((40, 1), np.uint8))
+    out = V.fixedpoint_resize_cubic_u8(img, 40, 50)
+    xs = (np.arange(50) + 0.5) * 2 - 0.5
+    assert np.abs(out[20].astype(float)
+                  - np.clip(xs, 0, 99)).max() <= 1
+    up = V.fixedpoint_resize_cubic_u8(img[:, :25], 40, 100)
+    xs2 = (np.arange(100) + 0.5) * 0.25 - 0.5
+    assert np.abs(up[20].astype(float)
+                  - np.clip(xs2, 0, 24)).max() <= 1
+
+
+def test_cubic_resize_no_edge_pinning():
+    """The cubic invoker does NOT pin edge phases (resize.cpp guards
+    the fx=0/sx=0 branch with interpolation != INTER_CUBIC): on an
+    upscale the first destination column's tap base is -1 with a
+    fractional phase, and the clamped taps still produce the corner
+    value on constant data."""
+    s, coeffs = V._resize_cubic_coeffs(10, 40)   # scale 0.25
+    assert s[0] == -1                            # f0 = -0.375 floor
+    assert coeffs[1][0] != 2048                  # phase NOT zeroed
+    assert sum(int(c[0]) for c in coeffs) in (2047, 2048, 2049)
+
+
 def test_layout_preprocess_shape_and_pad():
     img = np.full((100, 76, 3), 255, np.uint8)
     out, info = V.layout_preprocess(img)
