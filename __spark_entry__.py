@@ -6120,9 +6120,11 @@ SELECT doc_id, fx0 AS x0, fy0 AS y0, fx1 AS x1, fy0 AS y1,
 FROM fin
 """
 
-    # ocr_crops twin: the ENTIRE owned warp chain — closed-form
-    # square-to-quad homography (exact integer corners -> pinned
-    # double expression tree), warpPerspective's per-pixel fixed-point
+    # ocr_crops twin: the ENTIRE owned warp chain — cv's matrix chain
+    # (getPerspectiveTransform's LU solve + the 3x3 cofactor invert,
+    # generated relationally by _lu_mtx_ctes below — exact integer
+    # corners make the system entries exact, every later double op
+    # transcribed 1:1), warpPerspective's per-pixel fixed-point
     # coordinates (cvRound at INTER_BITS=5), the quantized bicubic
     # weight tile at the probe's phase (float32 outer products, 2^15
     # quantization with short saturation, the central-2x2 first-min/
@@ -6171,6 +6173,115 @@ FROM fin
     _pix = {k: (f"((doc_id * 29 + 17 * probe) % 48 "
                 f"+ LEAST(GREATEST(sx - 1 + {k}, 0), w - 1))")
             for k in range(4)}
+
+    def _lu_mtx_ctes() -> str:
+        """cv's matrix chain, relationally: getPerspectiveTransform's
+        8x8 hal LU (partial pivoting as a sequential strict-> CASE
+        fold — first max in current row order, exactly the C scan —
+        then the alpha = a_ji * (-1/pivot) updates), C-loop-order back
+        substitution with reciprocal-multiply, and warpPerspective's
+        3x3 cofactor invert.  One CTE per elimination step; every
+        double op transcribes warpkernel.lu_solve / invert3x3 1:1.
+        The corners and pts_std entries are exact integers (exact in
+        the reference's float32 points), so the initial system entries
+        are exact; m22 = 1.0 factors are folded (x * 1.0 is bitwise
+        exact).  Emits CTEs lu0..lu7, bs, mtx with m0..m8."""
+        dstx = ["0", "cw", "cw", "0"]
+        dsty = ["0", "0", "ch", "ch"]
+        a: dict = {}
+        bb: dict = {}
+        for i in range(4):
+            a[(i, 0)] = f"CAST(x{i} AS DOUBLE)"
+            a[(i, 1)] = f"CAST(y{i} AS DOUBLE)"
+            a[(i, 2)] = "1.0"
+            a[(i, 3)] = a[(i, 4)] = a[(i, 5)] = "0.0"
+            a[(i + 4, 0)] = a[(i + 4, 1)] = a[(i + 4, 2)] = "0.0"
+            a[(i + 4, 3)] = f"CAST(x{i} AS DOUBLE)"
+            a[(i + 4, 4)] = f"CAST(y{i} AS DOUBLE)"
+            a[(i + 4, 5)] = "1.0"
+            for r, d in ((i, dstx[i]), (i + 4, dsty[i])):
+                if d == "0":
+                    a[(r, 6)] = a[(r, 7)] = bb[r] = "0.0"
+                else:
+                    a[(r, 6)] = f"CAST(-(x{i} * {d}) AS DOUBLE)"
+                    a[(r, 7)] = f"CAST(-(y{i} * {d}) AS DOUBLE)"
+                    bb[r] = f"CAST({d} AS DOUBLE)"
+        ctes = []
+        for i in range(8):
+            al = [f"abs({a[(i, i)]}) AS pm{i}_{i}",
+                  f"{i} AS pp{i}_{i}"]
+            for j in range(i + 1, 8):
+                v = f"abs({a[(j, i)]})"
+                al.append(f"CASE WHEN {v} > pm{i}_{j - 1} THEN {v} "
+                          f"ELSE pm{i}_{j - 1} END AS pm{i}_{j}")
+                al.append(f"CASE WHEN {v} > pm{i}_{j - 1} THEN {j} "
+                          f"ELSE pp{i}_{j - 1} END AS pp{i}_{j}")
+            pr = f"pr{i}"
+            al.append(f"pp{i}_7 AS {pr}")
+            swi = {}
+            for c in range(i, 8):
+                br = " ".join(f"WHEN {j} THEN {a[(j, c)]}"
+                              for j in range(i, 8))
+                al.append(f"CASE {pr} {br} END AS si{i}_{c}")
+                swi[c] = f"si{i}_{c}"
+            br = " ".join(f"WHEN {j} THEN {bb[j]}"
+                          for j in range(i, 8))
+            al.append(f"CASE {pr} {br} END AS sb{i}")
+            swr, swrb = {}, {}
+            for r in range(i + 1, 8):
+                for c in range(i, 8):
+                    al.append(f"CASE WHEN {pr} = {r} "
+                              f"THEN {a[(i, c)]} ELSE {a[(r, c)]} "
+                              f"END AS sr{i}_{r}_{c}")
+                    swr[(r, c)] = f"sr{i}_{r}_{c}"
+                al.append(f"CASE WHEN {pr} = {r} THEN {bb[i]} "
+                          f"ELSE {bb[r]} END AS srb{i}_{r}")
+                swrb[r] = f"srb{i}_{r}"
+            for c in range(i, 8):          # row i freezes post-swap
+                a[(i, c)] = swi[c]
+            bb[i] = f"sb{i}"
+            al.append(f"(-1.0 / {swi[i]}) AS dd{i}")
+            for r in range(i + 1, 8):
+                al.append(f"({swr[(r, i)]} * dd{i}) AS al{i}_{r}")
+                a[(r, i)] = swr[(r, i)]    # stale below-diag, unread
+                for c in range(i + 1, 8):
+                    al.append(f"({swr[(r, c)]} + al{i}_{r} "
+                              f"* {swi[c]}) AS ea{i}_{r}_{c}")
+                    a[(r, c)] = f"ea{i}_{r}_{c}"
+                al.append(f"({swrb[r]} + al{i}_{r} * sb{i}) "
+                          f"AS eb{i}_{r}")
+                bb[r] = f"eb{i}_{r}"
+            src = "geo" if i == 0 else f"lu{i - 1}"
+            ctes.append(f"lu{i} AS (\n    SELECT *,\n        "
+                        + ",\n        ".join(al)
+                        + f"\n    FROM {src}\n)")
+        xn = {7: "xx7"}
+        xals = [f"({bb[7]} * (1.0 / {a[(7, 7)]})) AS xx7"]
+        for r in range(6, -1, -1):
+            s = bb[r]
+            for k in range(r + 1, 8):
+                s = f"({s} - {a[(r, k)]} * {xn[k]})"
+            xals.append(f"({s} * (1.0 / {a[(r, r)]})) AS xx{r}")
+            xn[r] = f"xx{r}"
+        ctes.append("bs AS (\n    SELECT *,\n        "
+                    + ",\n        ".join(xals) + "\n    FROM lu7\n)")
+        ctes.append("""mtx AS (
+    SELECT *,
+        (xx0 * (xx4 - xx5 * xx7) - xx1 * (xx3 - xx5 * xx6)
+         + xx2 * (xx3 * xx7 - xx4 * xx6)) AS det,
+        (1.0 / det) AS idet,
+        ((xx4 - xx5 * xx7) * idet) AS m0,
+        ((xx2 * xx7 - xx1) * idet) AS m1,
+        ((xx1 * xx5 - xx2 * xx4) * idet) AS m2,
+        ((xx5 * xx6 - xx3) * idet) AS m3,
+        ((xx0 - xx2 * xx6) * idet) AS m4,
+        ((xx2 * xx3 - xx0 * xx5) * idet) AS m5,
+        ((xx3 * xx7 - xx4 * xx6) * idet) AS m6,
+        ((xx1 * xx6 - xx0 * xx7) * idet) AS m7,
+        ((xx0 * xx4 - xx1 * xx3) * idet) AS m8
+    FROM bs
+)""")
+        return ",\n".join(ctes)
 
     ocr_crops_sql = f"""
 WITH qd AS (
@@ -6224,28 +6335,7 @@ WITH qd AS (
                    + (hh + ey) * (hh + ey) AS DOUBLE))) AS BIGINT)
         END AS ch
     FROM cor2
-), hom AS (
-    -- Heckbert square-to-quad closed form over exact integer corners
-    SELECT *,
-        (((x0 - x1 + x2 - x3) * (y3 - y2)
-          - (y0 - y1 + y2 - y3) * (x3 - x2))
-         / ((x1 - x2) * (y3 - y2) - (y1 - y2) * (x3 - x2))) AS gg,
-        (((x1 - x2) * (y0 - y1 + y2 - y3)
-          - (y1 - y2) * (x0 - x1 + x2 - x3))
-         / ((x1 - x2) * (y3 - y2) - (y1 - y2) * (x3 - x2))) AS hg
-    FROM geo
-), mtx AS (
-    SELECT *,
-        (x1 - x0 + gg * x1) / cw AS m0,
-        (x3 - x0 + hg * x3) / ch AS m1,
-        CAST(x0 AS DOUBLE) AS m2,
-        (y1 - y0 + gg * y1) / cw AS m3,
-        (y3 - y0 + hg * y3) / ch AS m4,
-        CAST(y0 AS DOUBLE) AS m5,
-        gg / cw AS m6,
-        hg / ch AS m7
-    FROM hom
-), pc AS (
+), {_lu_mtx_ctes()}, pc AS (
     SELECT *,
         CASE probe WHEN 0 THEN 0 WHEN 1 THEN cw // 2
                    ELSE cw - 1 END AS pxd,
@@ -6253,7 +6343,7 @@ WITH qd AS (
                    ELSE ch - 1 END AS pyd
     FROM mtx
 ), wdiv AS (
-    SELECT *, m6 * pxd + m7 * pyd + 1.0 AS w0 FROM pc
+    SELECT *, m6 * pxd + m7 * pyd + m8 AS w0 FROM pc
 ), fp AS (
     SELECT *,
         {_rhea("LEAST(GREATEST((m0 * pxd + m1 * pyd + m2) * "

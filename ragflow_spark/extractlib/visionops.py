@@ -39,11 +39,11 @@ INTER_CUBIC mode the crop path uses) is implemented in
 ``extractlib.warpkernel`` and wired into ``warp_crop``;
 ``cv2.resize``'s INTER_CUBIC fixed-point kernel
 (``fixedpoint_resize_cubic_u8``) drives ``layout_preprocess``
-(LinearResize interp=2).  No pixel kernel remains a stand-in; the one
-stated seam left is the last-ulp matrix construction documented in
-``warpkernel`` (closed-form homography vs cv's LU solve).
-``bilinear_resize``, the float half-pixel-center form, stays as the
-property-test reference.
+(LinearResize interp=2).  No pixel kernel remains a stand-in, and the
+matrix chain is cv's own (getPerspectiveTransform's LU solve + the
+3x3 cofactor invert, transcribed in ``warpkernel`` — the former
+last-ulp seam, closed).  ``bilinear_resize``, the float
+half-pixel-center form, stays as the property-test reference.
 
 Determinism adaptation (documented): ``rec_batch_order`` pins the
 width-ratio argsort tie order to the original index (numpy's default
@@ -435,14 +435,15 @@ def warp_crop(img: np.ndarray, points: np.ndarray,
     borderMode=cv2.BORDER_REPLICATE, flags=cv2.INTER_CUBIC)`` as the
     fixed-point remap kernel of ``extractlib.warpkernel`` (INTER_BITS=5
     coordinates, 32x32 quantized weight tables, FixedPtCast output),
-    then the exact rot90 branch.  The inverse map comes from the
-    closed-form square-to-quad projective mapping instead of cv's
-    LU-solve-and-invert — the stated last-ulp matrix seam; the kernel
-    itself is exact integer arithmetic (warpkernel module doc)."""
+    then the exact rot90 branch.  The inverse map is cv's own chain —
+    getPerspectiveTransform's LU solve and warpPerspective's 3x3
+    cofactor invert, transcribed in ``warpkernel`` — so the whole
+    crop, matrix included, is the reference's computation (the former
+    last-ulp matrix seam, closed)."""
     from ragflow_spark.extractlib import warpkernel as WK
 
     crop_w, crop_h, rotated = crop_geometry(points)
-    minv = WK.quad_to_rect_inverse(
+    minv = WK.quad_to_rect_inverse_cv(
         np.asarray(points, dtype=np.float64), crop_w, crop_h)
     out = WK.warp_perspective_u8(np.ascontiguousarray(img), minv,
                                  crop_w, crop_h, method)

@@ -39,16 +39,21 @@ The kernel, exactly as OpenCV executes it for 8U + BORDER_REPLICATE:
 * accumulate ``sum(tap * weight)`` in integers and cast with
   ``FixedPtCast``: ``(sum + 2^14) >> 15`` saturated to uint8.
 
-Matrix seam (documented): OpenCV builds M with an LU solve
-(``getPerspectiveTransform``) and inverts it in doubles; this module
-constructs the INVERSE map directly from the closed-form square-to-quad
-projective mapping (Heckbert, "Fundamentals of Texture Mapping and
-Image Warping", 1989 — public), composed with the rect->unit-square
-scale.  The two double chains can differ in the last ulp, which could
-flip a fixed-point phase exactly on a half-subpixel boundary; the
-kernel downstream of (m0..m8) is exact integer arithmetic.  The DuckDB
-twins transcribe THIS module's expression tree, so the oracle checks
-the owned computation end to end.
+Matrix chain (seam closed): OpenCV builds M with an 8x8 LU solve
+(``getPerspectiveTransform`` -> hal LU with partial pivoting) and
+inverts it with the 3x3 cofactor branch of ``cv::invert``; this module
+transcribes that exact double chain (``lu_solve`` /
+``get_perspective_transform`` / ``invert3x3`` /
+``quad_to_rect_inverse_cv``) and ``warp_crop`` uses it.  The
+closed-form square-to-quad mapping (Heckbert, "Fundamentals of Texture
+Mapping and Image Warping", 1989 — public) is kept as
+``quad_to_rect_inverse`` for the property-test cross-check: the two
+algebraically-equal chains disagree by an ulp often enough that ~0.5%
+of det-style quads flip a fixed-point phase on a half-subpixel
+boundary, which is why the cv op order is the one owned.  The DuckDB
+twins transcribe THIS module's expression tree (the LU relationally —
+pivot CASE folds, per-step CTEs, ordered back-substitution), so the
+oracle checks the owned computation end to end.
 """
 
 from __future__ import annotations
@@ -163,6 +168,117 @@ def quad_to_rect_inverse(points, cw: int, ch: int) -> tuple[float, ...]:
     return (a / cw, b / ch, c,
             d / cw, e / ch, f,
             g / cw, h / ch, 1.0)
+
+
+# ---------------------------------------------------------------------------
+# cv's own matrix chain: getPerspectiveTransform's 8x8 LU solve + the
+# 3x3 cofactor invert inside warpPerspective, transcribed op for op.
+# This IS the production chain (`warp_crop` uses
+# ``quad_to_rect_inverse_cv``; the ocr_crops DuckDB twin transcribes
+# the same LU — pivoting as sequential CASE folds, one CTE per
+# elimination step, ordered back-substitution) — closing the former
+# "last ulp" matrix seam: measured against the closed-form
+# square-to-quad chain, ~0.5% of det-style quads flip at least one
+# INTER_BITS fixed-point coordinate between the two double chains
+# (tests/test_warpkernel.py pins both the agreement rate and a
+# concrete flipping quad), so reference parity requires cv's exact
+# op order, not just any algebraically-equal homography.
+
+
+def lu_solve(a: np.ndarray, b: np.ndarray) -> np.ndarray | None:
+    """hal LU64f (core/src/matrix_decomp.cpp ``LUImpl``): Gaussian
+    elimination with partial pivoting by max |pivot|, the
+    ``alpha = A[j][i] * (-1/A[i][i])`` update, and back substitution
+    via ``s * (1/A[i][i])`` — reciprocal-multiply, NOT division, which
+    is the ulp-relevant transcription detail.  Returns the solution or
+    None when a pivot falls below eps (singular)."""
+    a = np.array(a, dtype=np.float64)
+    b = np.array(b, dtype=np.float64)
+    m = a.shape[0]
+    eps = np.finfo(np.float64).eps * 10.0    # hal eps for LU64f
+    for i in range(m):
+        k = i + int(np.argmax(np.abs(a[i:, i])))
+        if abs(a[k, i]) < eps:
+            return None
+        if k != i:
+            a[[i, k], i:] = a[[k, i], i:]
+            b[[i, k]] = b[[k, i]]
+        d = -1.0 / a[i, i]
+        for j in range(i + 1, m):
+            alpha = a[j, i] * d
+            a[j, i + 1:] += alpha * a[i, i + 1:]
+            b[j] += alpha * b[i]
+    for i in range(m - 1, -1, -1):
+        s = b[i]
+        for k in range(i + 1, m):
+            s -= a[i, k] * b[k]
+        b[i] = s * (1.0 / a[i, i])
+    return b
+
+
+def get_perspective_transform(src, dst) -> np.ndarray:
+    """cv2.getPerspectiveTransform (imgproc/src/imgwarp.cpp): both
+    point sets pass through Point2f (float32) exactly as the
+    reference's float32 ``points`` / ``pts_std`` arrays do, the 8x8
+    double system is assembled in cv's element order, and solved with
+    hal LU.  Returns the 3x3 forward map M (M[2][2] = 1)."""
+    src = np.asarray(src, dtype=np.float32).astype(np.float64)
+    dst = np.asarray(dst, dtype=np.float32).astype(np.float64)
+    a = np.zeros((8, 8), dtype=np.float64)
+    b = np.zeros(8, dtype=np.float64)
+    for i in range(4):
+        a[i, 0] = a[i + 4, 3] = src[i, 0]
+        a[i, 1] = a[i + 4, 4] = src[i, 1]
+        a[i, 2] = a[i + 4, 5] = 1.0
+        a[i, 6] = -src[i, 0] * dst[i, 0]
+        a[i, 7] = -src[i, 1] * dst[i, 0]
+        a[i + 4, 6] = -src[i, 0] * dst[i, 1]
+        a[i + 4, 7] = -src[i, 1] * dst[i, 1]
+        b[i] = dst[i, 0]
+        b[i + 4] = dst[i, 1]
+    x = lu_solve(a, b)
+    if x is None:
+        raise ValueError("degenerate quad")
+    return np.append(x, 1.0).reshape(3, 3)
+
+
+def invert3x3(m: np.ndarray) -> np.ndarray:
+    """cv::invert's DECOMP_LU n==3 branch (core/src/lapack.cpp): the
+    explicit cofactor formulas with ``d = 1/det`` computed once and
+    each adjugate entry multiplied by it — nine independent
+    ``(ab - cd) * d`` products in double."""
+    m = np.asarray(m, dtype=np.float64)
+    det = (m[0, 0] * (m[1, 1] * m[2, 2] - m[1, 2] * m[2, 1])
+           - m[0, 1] * (m[1, 0] * m[2, 2] - m[1, 2] * m[2, 0])
+           + m[0, 2] * (m[1, 0] * m[2, 1] - m[1, 1] * m[2, 0]))
+    if det == 0.0:
+        raise ValueError("singular matrix")
+    d = 1.0 / det
+    t = np.empty((3, 3), dtype=np.float64)
+    t[0, 0] = (m[1, 1] * m[2, 2] - m[1, 2] * m[2, 1]) * d
+    t[0, 1] = (m[0, 2] * m[2, 1] - m[0, 1] * m[2, 2]) * d
+    t[0, 2] = (m[0, 1] * m[1, 2] - m[0, 2] * m[1, 1]) * d
+    t[1, 0] = (m[1, 2] * m[2, 0] - m[1, 0] * m[2, 2]) * d
+    t[1, 1] = (m[0, 0] * m[2, 2] - m[0, 2] * m[2, 0]) * d
+    t[1, 2] = (m[0, 2] * m[1, 0] - m[0, 0] * m[1, 2]) * d
+    t[2, 0] = (m[1, 0] * m[2, 1] - m[1, 1] * m[2, 0]) * d
+    t[2, 1] = (m[0, 1] * m[2, 0] - m[0, 0] * m[2, 1]) * d
+    t[2, 2] = (m[0, 0] * m[1, 1] - m[0, 1] * m[1, 0]) * d
+    return t
+
+
+def quad_to_rect_inverse_cv(points, cw: int, ch: int) -> tuple[float, ...]:
+    """The inverse map exactly as the reference's call chain builds
+    it: ``M = cv2.getPerspectiveTransform(points, pts_std)`` with
+    ``pts_std = [[0,0],[cw,0],[cw,ch],[0,ch]]`` (ocr.py
+    get_rotate_crop_image), then warpPerspective's ``invert(matM)``.
+    The production chain of ``warp_crop`` and the ocr_crops twin;
+    ``quad_to_rect_inverse`` (closed form) remains as the
+    property-test cross-check."""
+    pts_std = np.array([[0.0, 0.0], [cw, 0.0], [cw, ch], [0.0, ch]],
+                       dtype=np.float32)
+    m = get_perspective_transform(points, pts_std)
+    return tuple(invert3x3(m).ravel())
 
 
 def warp_coords_fixed(minv, cw: int, ch: int):

@@ -386,7 +386,8 @@ def _crop_quad(d: int, j: int) -> np.ndarray:
 def ocr_crops(quads: DataFrame) -> DataFrame:
     """get_rotate_crop_image (ocr.py:561-594) as the OWNED fixed-point
     warp: crop frame geometry (target size from opposing edge norms,
-    the rot90 ratio), the closed-form inverse homography, and
+    the rot90 ratio), cv's own matrix chain (getPerspectiveTransform's
+    8x8 LU solve + warpPerspective's 3x3 cofactor invert), and
     cv2.warpPerspective's INTER_CUBIC remap kernel
     (extractlib.warpkernel) over the stub gradient pages.  Emits one
     row per (page, quad, probe): probe p samples the UNROTATED warp at
@@ -408,7 +409,7 @@ def ocr_crops(quads: DataFrame) -> DataFrame:
                 img = _stub_page(did, w, h)
                 pts = _crop_quad(did, j)
                 cw, ch, rot = V.crop_geometry(pts)
-                minv = WK.quad_to_rect_inverse(pts, cw, ch)
+                minv = WK.quad_to_rect_inverse_cv(pts, cw, ch)
                 out = WK.warp_perspective_u8(img, minv, cw, ch,
                                              "cubic")
                 probes = ((0, 0), (ch // 2, cw // 2),

@@ -147,3 +147,90 @@ def test_warp_requires_uint8():
     with pytest.raises(ValueError):
         WK.warp_perspective_u8(np.zeros((4, 4)), (1, 0, 0, 0, 1, 0,
                                                   0, 0, 1), 2, 2)
+
+
+# ---------------------------------------------------------------------------
+# cv's own matrix chain (LU solve + 3x3 cofactor invert) and its
+# relation to the closed-form square-to-quad map
+
+
+def test_lu_solve_exact_systems():
+    """Partial-pivoting LU agrees with numpy's solver to float
+    roundoff and solves a permuted identity exactly."""
+    rng = np.random.RandomState(3)
+    for _ in range(50):
+        a = rng.uniform(-10, 10, (8, 8))
+        b = rng.uniform(-10, 10, 8)
+        x = WK.lu_solve(a, b)
+        assert np.allclose(x, np.linalg.solve(a, b), rtol=1e-9)
+    p = np.eye(5)[[3, 0, 4, 1, 2]]
+    assert (WK.lu_solve(p, np.arange(5.0))
+            == np.array([1.0, 3.0, 4.0, 0.0, 2.0])).all()
+    assert WK.lu_solve(np.zeros((3, 3)), np.ones(3)) is None
+
+
+def test_get_perspective_transform_maps_corners():
+    """M maps each src corner onto its pts_std corner (the defining
+    constraint of getPerspectiveTransform)."""
+    pts = np.array([[10, 10], [110, 12], [112, 52], [8, 50]],
+                   np.float32)
+    std = np.array([[0, 0], [100, 0], [100, 40], [0, 40]], np.float64)
+    m = WK.get_perspective_transform(pts, std)
+    for p, q in zip(pts, std):
+        v = m @ np.array([p[0], p[1], 1.0])
+        assert np.allclose(v[:2] / v[2], q, atol=1e-9)
+    inv = WK.invert3x3(m)
+    assert np.allclose(m @ inv, np.eye(3), atol=1e-12)
+
+
+def test_cv_chain_vs_closed_form_parity_rate():
+    """The two algebraically-equal double chains (cv LU+invert vs
+    Heckbert closed form) produce identical INTER_BITS fixed-point
+    grids on >99% of det-style quads — but NOT on all of them, which
+    is why warp_crop owns cv's exact op order."""
+    rng = np.random.RandomState(7)
+    total = flips = 0
+    while total < 400:
+        cx, cy = rng.uniform(20, 800, 2)
+        w, h = rng.uniform(8, 300), rng.uniform(6, 80)
+        ang = rng.uniform(-0.6, 0.6)
+        ca, sa = np.cos(ang), np.sin(ang)
+        base = np.array([[-w / 2, -h / 2], [w / 2, -h / 2],
+                         [w / 2, h / 2], [-w / 2, h / 2]])
+        rot = base @ np.array([[ca, sa], [-sa, ca]])
+        pts = np.round(rot + [cx, cy]
+                       + rng.uniform(-3, 3, (4, 2))).astype(np.float32)
+        cw = int(max(np.linalg.norm(pts[0] - pts[1]),
+                     np.linalg.norm(pts[2] - pts[3])))
+        ch = int(max(np.linalg.norm(pts[0] - pts[3]),
+                     np.linalg.norm(pts[1] - pts[2])))
+        if cw < 2 or ch < 2:
+            continue
+        try:
+            m2 = WK.quad_to_rect_inverse_cv(pts, cw, ch)
+        except ValueError:              # degenerate after rounding
+            continue
+        total += 1
+        m1 = WK.quad_to_rect_inverse(pts.astype(np.float64), cw, ch)
+        g1 = WK.warp_coords_fixed(m1, cw, ch)
+        g2 = WK.warp_coords_fixed(m2, cw, ch)
+        if any((x != y).any() for x, y in zip(g1, g2)):
+            flips += 1
+    assert flips < total * 0.05         # near-total agreement...
+    assert flips >= 1                   # ...but the ulp seam is real
+
+
+def test_cv_chain_flipping_quad_pinned():
+    """A concrete integer-corner quad where the last-ulp difference
+    between the chains flips fixed-point coordinates — the quad found
+    by the round-5 probe, pinned so the seam stays demonstrable."""
+    pts = np.array([[672, 193], [705, 181], [705, 193], [680, 203]],
+                   np.float32)
+    cw, ch = 35, 12
+    g1 = WK.warp_coords_fixed(
+        WK.quad_to_rect_inverse(pts.astype(np.float64), cw, ch),
+        cw, ch)
+    g2 = WK.warp_coords_fixed(
+        WK.quad_to_rect_inverse_cv(pts, cw, ch), cw, ch)
+    ndiff = sum(int((x != y).sum()) for x, y in zip(g1, g2))
+    assert ndiff > 0
