@@ -233,6 +233,10 @@ def main() -> None:
     # calipers + Clipper offset per page, map-only Arrow stage)
     run("ocr_quads", lambda: _entry._q_ocr_quads(spark, sf_dir)
         .write.format("noop").mode("overwrite").save())
+    # round 5: the full fixed-point crop warp (cv LU+invert matrix
+    # chain + INTER_CUBIC remap per quad, map-only Arrow stage)
+    run("ocr_crops", lambda: _entry._q_ocr_crops(spark, sf_dir)
+        .write.format("noop").mode("overwrite").save())
 
     total = round(sum(timings.values()), 3)
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]

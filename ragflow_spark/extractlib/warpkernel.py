@@ -191,11 +191,15 @@ def lu_solve(a: np.ndarray, b: np.ndarray) -> np.ndarray | None:
     ``alpha = A[j][i] * (-1/A[i][i])`` update, and back substitution
     via ``s * (1/A[i][i])`` — reciprocal-multiply, NOT division, which
     is the ulp-relevant transcription detail.  Returns the solution or
-    None when a pivot falls below eps (singular)."""
+    None when a pivot falls below eps (singular).  The eps multiplier
+    is the one constant here not pinned against the C source (hal
+    passes a small multiple of DBL_EPSILON); it only gates the
+    singularity bail-out, so every non-degenerate quad solves
+    identically under either choice."""
     a = np.array(a, dtype=np.float64)
     b = np.array(b, dtype=np.float64)
     m = a.shape[0]
-    eps = np.finfo(np.float64).eps * 10.0    # hal eps for LU64f
+    eps = np.finfo(np.float64).eps * 10.0
     for i in range(m):
         k = i + int(np.argmax(np.abs(a[i:, i])))
         if abs(a[k, i]) < eps:
