@@ -6455,7 +6455,8 @@ GROUP BY doc_id, j, r, cx, cy
         CAST({p}b3 * {p}f AS REAL) AS {p}b4,
         CAST({p}b4 + 1.0 AS REAL) AS {p}c1,
         CAST(1.0 - {p}f AS REAL) AS {p}g,
-        CAST(1.25 * {p}g - 2.25 AS REAL) AS {p}d2,
+        CAST(1.25 * {p}g AS REAL) AS {p}d1,
+        CAST({p}d1 - 2.25 AS REAL) AS {p}d2,
         CAST({p}d2 * {p}g AS REAL) AS {p}d3,
         CAST({p}d3 * {p}g AS REAL) AS {p}d4,
         CAST({p}d4 + 1.0 AS REAL) AS {p}c2,

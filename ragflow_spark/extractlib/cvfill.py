@@ -25,14 +25,18 @@ What fillPoly actually does for LINE_8 / shift=0 (drawing.cpp):
   bottom row of an edge is NOT filled by the sweep — only by the
   boundary Bresenham), and re-sorts the list with the same bubble
   pass the C code uses;
-* rows run from max(y_min, 0) to min(y_max, height) EXCLUSIVE.
+* rows run from the true y_min (possibly negative — edges whose top
+  vertex is above the image still activate and advance their x) to
+  min(y_max, height) EXCLUSIVE; rows outside the image skip the
+  write only.
 
 Divergence kept deliberately small and documented: cv clips each
 boundary line with ``clipLine`` before rasterizing (which can move an
 endpoint along the line with integer rounding); this module instead
-drops out-of-bounds pixels at write time.  The two differ only for
-polygons crossing the mask border — box_score_fast's boxes are
-bbox-normalized, so its masks never do.
+drops out-of-bounds pixels at write time.  The two differ only in the
+BOUNDARY pixels of edges crossing the mask border (interior spans
+match) — relevant because box_score_fast's bbox shift clips at 0, so
+a minAreaRect corner with a negative coordinate stays negative.
 """
 
 from __future__ import annotations
@@ -139,7 +143,11 @@ def fill_edge_collection(edges: list, mask: np.ndarray) -> None:
     e = edges[i]
     y_stop = min(y_max, h)
 
-    for y in range(max(y_min, 0), y_stop):
+    # the sweep starts at the TRUE y_min, even when negative: edges
+    # whose top vertex is above the image must still enter the active
+    # list and advance their x per row (cv2 fills polygons with
+    # negative vertices correctly — only the write is clipped)
+    for y in range(y_min, y_stop):
         draw = False
         prelast = tmp
         last = tmp.next
@@ -171,7 +179,7 @@ def fill_edge_collection(edges: list, mask: np.ndarray) -> None:
                 else:
                     x1 = (keep_prelast.x + XY_ONE - 1) >> XY_SHIFT
                     x2 = prelast.x >> XY_SHIFT
-                if x1 < w and x2 >= 0:
+                if x1 < w and x2 >= 0 and y >= 0:
                     x1 = max(x1, 0)
                     x2 = min(x2, w - 1)
                     mask[y, x1:x2 + 1] = 1

@@ -33,9 +33,13 @@ module re-implements from their published algorithms:
     DoRound): the arc-tolerance step formula, the per-vertex arc
     sweep, and the half-away-from-zero coordinate rounding.  The
     final union pass Clipper runs over its own output is a no-op for
-    the single convex ring the quad path feeds it and is skipped
-    (concave poly-mode inputs that self-intersect after offset are a
-    stated seam).
+    the single convex ring the quad path feeds it and is skipped.
+    Poly-mode inputs whose offset ring self-intersects (deeply
+    concave pockets pinching at the delta) would need that union —
+    ``polygons_from_bitmap`` detects the case exactly (integer
+    segment-intersection test) and raises, a stated loud seam;
+    simple concave rings are kept like the reference keeps its
+    single-ring results.
 
 Scores stay bit-exact when the probability map holds dyadic values
 (the synthetic maps use k/128), because every partial sum is then a
@@ -496,24 +500,42 @@ def boxes_from_bitmap(pred: np.ndarray, bitmap: np.ndarray,
     return boxes, scores
 
 
-def _ring_convex(ring: np.ndarray, eps: float = 1e-9) -> bool:
-    """True when the closed ring never turns both ways (cross products
-    of consecutive edges share a sign up to ``eps``)."""
-    pts = np.asarray(ring, dtype=np.float64).reshape(-1, 2)
+def _ring_self_intersects(ring: np.ndarray) -> bool:
+    """True when any two non-adjacent edges of the closed ring
+    properly cross or overlap (exact integer orientation tests on the
+    integer coordinates offset_round emits).  Convexity is the wrong
+    proxy here: a simple concave ring never self-intersects (and the
+    reference KEEPS it), while a pentagram-style self-intersecting
+    ring turns the same way at every vertex."""
+    pts = [(int(p[0]), int(p[1]))
+           for p in np.asarray(ring).reshape(-1, 2)]
     n = len(pts)
-    if n < 4:
-        return True
-    pos = neg = False
+
+    def orient(a, b, c):
+        v = ((b[0] - a[0]) * (c[1] - a[1])
+             - (b[1] - a[1]) * (c[0] - a[0]))
+        return (v > 0) - (v < 0)
+
+    def on_seg(a, b, c):
+        return (min(a[0], b[0]) <= c[0] <= max(a[0], b[0])
+                and min(a[1], b[1]) <= c[1] <= max(a[1], b[1]))
+
     for i in range(n):
-        ax, ay = pts[i]
-        bx, by = pts[(i + 1) % n]
-        cx, cy = pts[(i + 2) % n]
-        cr = (bx - ax) * (cy - by) - (by - ay) * (cx - bx)
-        if cr > eps:
-            pos = True
-        elif cr < -eps:
-            neg = True
-    return not (pos and neg)
+        a, b = pts[i], pts[(i + 1) % n]
+        for j in range(i + 1, n):
+            if j == i or (j + 1) % n == i or (i + 1) % n == j:
+                continue                       # shared-endpoint pairs
+            c, d = pts[j], pts[(j + 1) % n]
+            o1, o2 = orient(a, b, c), orient(a, b, d)
+            o3, o4 = orient(c, d, a), orient(c, d, b)
+            if o1 != o2 and o3 != o4:
+                return True
+            if (o1 == 0 and on_seg(a, b, c)) \
+                    or (o2 == 0 and on_seg(a, b, d)) \
+                    or (o3 == 0 and on_seg(c, d, a)) \
+                    or (o4 == 0 and on_seg(c, d, b)):
+                return True
+    return False
 
 
 def polygons_from_bitmap(pred: np.ndarray, bitmap: np.ndarray,
@@ -543,14 +565,19 @@ def polygons_from_bitmap(pred: np.ndarray, bitmap: np.ndarray,
             continue
         # the reference drops a contour when pyclipper's unclip
         # returns more than one ring (postprocess.py:101 ``if
-        # len(box) > 1: continue``); offset_round always emits a
-        # single ring, so mirror the drop by rejecting rings whose
-        # offset turned non-convex (the only single-ring shape our
-        # round-join offset can produce from a self-intersecting
-        # input) — keeps the multi-ring seam loud instead of
-        # silently emitting what the reference would discard
-        if not _ring_convex(box):
-            continue
+        # len(box) > 1: continue``).  offset_round transcribes the
+        # raw round-join offset but NOT Clipper's closing union, so
+        # when the offset ring self-intersects (deeply concave input
+        # whose pockets pinch at this delta) the reference's cleaned
+        # ring(s) cannot be reproduced here — raise rather than emit
+        # a ring the reference would have repaired or discarded.
+        # Simple (including concave) offset rings are kept, exactly
+        # like the reference's single-ring case.
+        if _ring_self_intersects(box):
+            raise NotImplementedError(
+                "offset ring self-intersects: pyclipper's union step "
+                "is not transcribed (stated seam; the quad path is "
+                "unaffected)")
         _, sside = get_mini_boxes(box.reshape(-1, 2))
         if sside < min_size + 2:
             continue

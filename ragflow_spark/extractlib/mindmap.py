@@ -62,8 +62,10 @@ from .tokens import num_tokens_from_string
 
 _HEADING_RE = re.compile(r"^(#{1,6})\s+(.*?)\s*#*\s*$")
 # unordered (-, *, +) and ordered (1., 1)) list markers — CommonMark's
-# list grammar as markdown_to_json's renderer flattens it
-_BULLET_RE = re.compile(r"^(\s*)(?:[-*+]|\d{1,9}[.)])\s+(.*)$")
+# list grammar as markdown_to_json's renderer flattens it; the marker
+# and post-marker whitespace are captured because nesting depth is
+# decided by the item's CONTENT column (see dictify)
+_BULLET_RE = re.compile(r"^(\s*)([-*+]|\d{1,9}[.)])(\s+)(.*)$")
 _FENCE_RE = re.compile(r"```[^\n]*")
 
 
@@ -117,20 +119,44 @@ def dictify(md: str) -> dict:
             continue
         b = _BULLET_RE.match(line)
         if b and open_leaf is not None:
-            # clamp: a hostile response with pathologically indented
-            # bullets must not build a 10^4-deep nesting that later
-            # blows the recursive todict/be_children walks
-            depth = min(len(b.group(1)) // 2, 64)
-            item = b.group(2)
+            # CommonMark-style nesting by CONTENT COLUMN (what
+            # markdown_to_json's commonmark parser does): an item's
+            # content column is marker start + marker width + the
+            # spaces after it (>4 spaces count as 1, the CommonMark
+            # rule), and a later marker nests iff it starts at or past
+            # the previous item's content column — so '- ' children
+            # need 2 columns but '1. ' children need 3.  The >=
+            # content_col + 4 indented-code-block rule is out of the
+            # outline grammar and not modelled (such lines nest one
+            # level instead).  Clamp: a hostile response with
+            # pathologically indented bullets must not build a
+            # 10^4-deep nesting that later blows the recursive
+            # todict/be_children walks.
+            ind = len(b.group(1))
+            wsp = len(b.group(3))
+            ccol = ind + len(b.group(2)) + (wsp if wsp <= 4 else 1)
+            item = b.group(4)
             if bullets is None:
                 bullets = []
                 bullet_stack = [bullets]
-            while len(bullet_stack) > depth + 1:
-                bullet_stack.pop()
-            while len(bullet_stack) < depth + 1:
-                sub: list = []
-                bullet_stack[-1].append(sub)
-                bullet_stack.append(sub)
+                mcols, ccols = [ind], [ccol]
+            else:
+                while len(bullet_stack) > 1 and ind < mcols[-1]:
+                    bullet_stack.pop()
+                    mcols.pop()
+                    ccols.pop()
+                if ind >= ccols[-1] and len(bullet_stack) <= 64:
+                    cur = bullet_stack[-1]
+                    if cur and isinstance(cur[-1], list):
+                        sub = cur[-1]       # re-enter after a dedent
+                    else:
+                        sub = []
+                        cur.append(sub)
+                    bullet_stack.append(sub)
+                    mcols.append(ind)
+                    ccols.append(ccol)
+                else:
+                    ccols[-1] = ccol
             bullet_stack[-1].append(item)
             continue
         if line.strip() and open_leaf is not None and bullets is None:

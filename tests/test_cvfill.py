@@ -82,10 +82,40 @@ def test_box_score_fast_rotated_diamond():
     assert int(sel.sum()) == cnt
 
 
-def test_ring_convex_guard():
-    assert D._ring_convex(np.array([[0, 0], [4, 0], [4, 3], [0, 3]]))
-    assert D._ring_convex(np.array([[0, 0], [4, 1], [5, 4], [2, 6],
-                                    [-1, 3]]))
-    # a bowtie turns both ways
-    assert not D._ring_convex(np.array([[0, 0], [4, 3], [4, 0],
-                                        [0, 3]]))
+def test_ring_self_intersection_guard():
+    # simple rings — convex AND concave — are not flagged (the
+    # reference keeps a single-ring unclip result, concave included)
+    assert not D._ring_self_intersects(
+        np.array([[0, 0], [4, 0], [4, 3], [0, 3]]))
+    crescent = np.array([[0, 0], [10, 0], [10, 8], [0, 8],
+                         [0, 6], [7, 6], [7, 2], [0, 2]])
+    assert not D._ring_self_intersects(crescent)
+    # a bowtie properly crosses
+    assert D._ring_self_intersects(np.array([[0, 0], [4, 3], [4, 0],
+                                             [0, 3]]))
+    # a pentagram turns the SAME way at every vertex (the case the
+    # old convexity proxy missed) but self-intersects
+    import math
+    star = np.array([[round(50 + 40 * math.cos(math.radians(90 + i
+                     * 144))), round(50 + 40 * math.sin(math.radians(
+                         90 + i * 144)))] for i in range(5)])
+    assert D._ring_self_intersects(star)
+
+
+def test_fill_poly_negative_vertices_interior():
+    """Edges whose top vertex lies above the image still activate in
+    the scanline sweep (cv2 behavior): a diamond with its apex at
+    y=-3 fills its in-image interior, not just boundary pixels —
+    for a unit-slope diamond that interior is |dx|+|dy| <= r
+    intersected with the image."""
+    r, cx, cy = 6, 6, 3
+    m = fill_poly((8, 12), [(cx, cy - r), (cx + r, cy),
+                            (cx, cy + r), (cx - r, cy)])
+    exp = np.zeros((8, 12), np.uint8)
+    for y in range(8):
+        for x in range(12):
+            if abs(x - cx) + abs(y - cy) <= r:
+                exp[y, x] = 1
+    assert (m == exp).all()
+    # fully-above polygon stays a no-op
+    assert fill_poly((8, 12), [(2, -9), (6, -5), (2, -1)]).sum() == 0

@@ -199,3 +199,21 @@ def test_mind_map_rows_skips_unparseable_doc(spark):
     ids = {r["doc_id"] for r in rows}
     assert ids and all(d % 5 != 0 for d in ids)
     assert any(d % 5 == 1 for d in ids)
+
+
+def test_dictify_content_column_nesting():
+    """Nesting depth follows CommonMark content columns, not a fixed
+    2-space grid: '- ' children need 2 columns but '1. ' children
+    need 3 (a 2-space 'child' under an ordered item is a SIBLING in
+    markdown_to_json, not a nested list)."""
+    assert M.dictify("# H\n1. parent\n  - child\n")["H"] == \
+        ["parent", "child"]
+    assert M.dictify("# H\n1. parent\n   - child\n")["H"] == \
+        ["parent", ["child"]]
+    # a partially-dedented marker stays at the inner level; a full
+    # dedent below the sublist's marker column pops out
+    assert M.dictify("# H\n- a\n  - b\n   - c\n- d\n")["H"] == \
+        ["a", ["b", "c"], "d"]
+    # re-entering an existing sublist after a dedent appends to it
+    assert M.dictify("# H\n- a\n  - b\n- c\n  - d\n")["H"] == \
+        ["a", ["b"], "c", ["d"]]
