@@ -2501,6 +2501,11 @@ def _q_doc_tags(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ragflow_spark.operators.tagging import kb_from_docs, tag_features
 
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    # the local testdata parquet is ONE file -> one split; fan the
+    # Python tokenize stages out like the other build_* helpers do
+    # (at scale the scan itself provides the splits)
+    docs = docs.repartition(spark.sparkContext.defaultParallelism,
+                            "doc_id")
     kb_terms, kb_tags = kb_from_docs(docs)
     return tag_features(docs, kb_terms, kb_tags, smooth=50)
 

@@ -63,6 +63,14 @@ def main() -> None:
     n_pages = pages.count()
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet").cache()
     docs.count()
+    # the testdata parquet is ONE file -> one input split, which
+    # serializes heavy per-doc Python stages; a fanned twin feeds the
+    # queries where that stage dominates (doc_tags' tokenizer,
+    # fingerprints' rolling hash — A/B'd: the join-heavy queries
+    # prefer the single-split input under AQE, so they keep `docs`).
+    # At scale the scan itself provides the splits.
+    docs_fan = docs.repartition(int(cpus), "doc_id").cache()
+    docs_fan.count()
 
     # Warm up one python worker per core before timing: daemon fork +
     # module import costs are per-worker (so they grow with the level and
@@ -169,7 +177,7 @@ def main() -> None:
         .write.format("noop").mode("overwrite").save())
     run("ann_topk", lambda: ann_topk(emb)
         .write.format("noop").mode("overwrite").save())
-    run("fingerprints", lambda: fingerprints(docs)
+    run("fingerprints", lambda: fingerprints(docs_fan)
         .write.format("noop").mode("overwrite").save())
 
     # retrieval stack (round 2): keyword search over the full corpus +
@@ -204,7 +212,7 @@ def main() -> None:
     kb_tags = kb_tags.cache()
     kb_terms.count()
     kb_tags.count()
-    run("doc_tags", lambda: tag_features(docs, kb_terms, kb_tags,
+    run("doc_tags", lambda: tag_features(docs_fan, kb_terms, kb_tags,
                                          smooth=50)
         .write.format("noop").mode("overwrite").save())
     from ragflow_spark.operators.dedup import dup_clusters, \
