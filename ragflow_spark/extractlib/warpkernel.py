@@ -225,7 +225,13 @@ def get_perspective_transform(src, dst) -> np.ndarray:
     point sets pass through Point2f (float32) exactly as the
     reference's float32 ``points`` / ``pts_std`` arrays do, the 8x8
     double system is assembled in cv's element order, and solved with
-    hal LU.  Returns the 3x3 forward map M (M[2][2] = 1)."""
+    hal LU.  Returns the 3x3 forward map M (M[2][2] = 1).
+
+    Divergence on DEGENERATE quads only (unreachable from the det
+    quad path, whose min-size gate guarantees positive area): cv
+    ignores solve()'s failure flag and returns whatever partial
+    elimination left in M; this raises instead — loud beats
+    emulating garbage."""
     src = np.asarray(src, dtype=np.float32).astype(np.float64)
     dst = np.asarray(dst, dtype=np.float32).astype(np.float64)
     a = np.zeros((8, 8), dtype=np.float64)
