@@ -21,7 +21,12 @@ Divergences (SURVEY.md §2.7, all resource-bound, machinery intact):
   identical prefix semantics at whole-character boundaries (the only
   boundaries the algorithms query);
 - traditional->simplified folding (HanziConv) and WordNet
-  lemmatization are corpus-bound; identity / Porter-only here.
+  lemmatization are corpus-bound; identity / Porter-only here;
+- the reference's English branch runs nltk ``word_tokenize`` per
+  alnum run; after the ``\\W+`` fold each run is a single token, so
+  whitespace split is equivalent EXCEPT the Treebank contraction
+  table ("cannot"->"can not", "gonna"->"gon na", and the handful of
+  similar hard-coded splits), which this path does not replicate.
 """
 
 from __future__ import annotations
