@@ -2896,6 +2896,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ocr_crops": _q_ocr_crops,
         "ocr_fill_scores": _q_ocr_fill_scores,
         "layout_prep": _q_layout_prep,
+        # stamped in r4 but code changed in round 5 after that stamp
+        # (dbpost.py review fixes feed ocr_quads' scoring; doc_tags
+        # gained the fan-out repartition) — keep inside the driver's
+        # 50-query stamp window so r5 evidence covers current code
+        "ocr_quads": _q_ocr_quads,
+        "doc_tags": _q_doc_tags,
         # r2-stamped queries (stalest green evidence)
         "chunks_paper": _q_chunks_paper,
         "chunks_laws": _q_chunks_laws,
@@ -2974,9 +2980,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "retrieval_page": _q_retrieval_page,
         "retrieval_aggs": _q_retrieval_aggs,
         "query_tags": _q_query_tags,
-        "doc_tags": _q_doc_tags,
         "rank_features": _q_rank_features,
-        "ocr_quads": _q_ocr_quads,
         "light_gleans": _q_light_gleans,
         "mentions_ents_light": _q_mentions_ents_light,
         "extract_html": _q_extract_html,
