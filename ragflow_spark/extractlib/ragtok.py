@@ -20,14 +20,21 @@ _CJK = ("一", "鿿")
 
 
 def str_q2b(s: str) -> str:
-    """Full-width -> half-width (rag_tokenizer.py:101-114)."""
+    """Full-width -> half-width (rag_tokenizer.py:101-114).
+
+    The reference keeps the shifted char whenever ``ord - 0xFEE0``
+    lands in [0x20, 0x7E] — that window starts at U+FF00 (an
+    unassigned code point), not U+FF01, so the arithmetic is
+    replicated rather than the nominal FF01-FF5E block."""
     out = []
     for ch in s:
         code = ord(ch)
         if code == 0x3000:
             code = 0x20
-        elif 0xFF01 <= code <= 0xFF5E:
-            code -= 0xFEE0
+        else:
+            shifted = code - 0xFEE0
+            if 0x20 <= shifted <= 0x7E:
+                code = shifted
         out.append(chr(code))
     return "".join(out)
 

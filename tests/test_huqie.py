@@ -83,3 +83,17 @@ def test_dfs_prune_bound():
     out: list = []
     tk.dfs("数据" * 30, 0, [], out)
     assert len(out) <= 2048
+
+
+def test_q2b_window_is_arithmetic_not_block():
+    # the reference keeps any char whose ord - 0xFEE0 lands in
+    # [0x20, 0x7E]; that window starts at U+FF00 (unassigned), one
+    # below the nominal FF01 block start
+    from ragflow_spark.extractlib.ragtok import str_q2b
+
+    assert str_q2b("＀") == " "
+    assert str_q2b("！") == "!"
+    assert str_q2b("～") == "~"
+    assert str_q2b("｟") == "｟"  # one past the window: kept
+    assert str_q2b("　") == " "
+    assert str_q2b("ＡＢ中１") == "AB中1"
