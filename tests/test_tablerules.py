@@ -105,3 +105,69 @@ def test_empty_and_caption_only():
     only_cap = [{"text": "表 1:", "x0": 0, "x1": 1, "top": 0, "bottom": 1,
                  "page_number": 1, "layout_type": "caption"}]
     assert construct_table(only_cap) == []
+
+
+def test_singleton_column_relocates_left():
+    # tsr:203-263: a column with exactly ONE filled cell (needs >=4
+    # rows) whose same-row left neighbor is empty relocates into the
+    # nearer side — here left (right is the table edge)
+    boxes = [_cell("h1", 0, 0, H=True, R=0, C=0),
+             _cell("h2", 0, 1, H=True, R=0, C=1),
+             _cell("a", 1, 0, R=1, C=0), _cell("b", 1, 1, R=1, C=1),
+             _cell("c", 2, 0, R=2, C=0), _cell("x", 2, 2, R=2, C=2),
+             _cell("d", 3, 0, R=3, C=0), _cell("e", 3, 1, R=3, C=1)]
+    out = construct_table(boxes, is_english=True)
+    assert out == ["h1：a; h2：b", "h1：c; h2：x", "h1：d; h2：e"]
+
+
+def test_singleton_row_relocates_up():
+    # tsr:266-313 transpose: a row with exactly ONE filled cell (needs
+    # >=4 cols) whose up neighbor cell is empty relocates upward
+    boxes = [_cell(f"h{j + 1}", 0, j, H=True, R=0, C=j)
+             for j in range(4)]
+    boxes += [_cell("a", 1, 0, R=1, C=0), _cell("b", 1, 1, R=1, C=1),
+              _cell("c", 1, 2, R=1, C=2)]
+    boxes += [_cell("solo", 2, 3, R=2, C=3)]
+    out = construct_table(boxes, is_english=True)
+    assert out == ["h1：a; h2：b; h3：c; h4：solo"]
+
+
+def test_singleton_column_extends_textless_target():
+    # target cell occupied by a text-less box: the singleton EXTENDS
+    # the cell (tsr's extend branch) instead of replacing it
+    boxes = [_cell("h1", 0, 0, H=True, R=0, C=0),
+             _cell("h2", 0, 1, H=True, R=0, C=1),
+             _cell("a", 1, 0, R=1, C=0), _cell("b", 1, 1, R=1, C=1),
+             _cell("c", 2, 0, R=2, C=0), _cell("", 2, 1, R=2, C=1),
+             _cell("x", 2, 2, R=2, C=2),
+             _cell("d", 3, 0, R=3, C=0), _cell("e", 3, 1, R=3, C=1)]
+    out = construct_table(boxes, is_english=True)
+    assert out == ["h1：a; h2：b", "h1：c; h2：x", "h1：d; h2：e"]
+
+
+def _span_grid():
+    # an "SP" box is a TSR spanning-cell component: H_* give the
+    # model's span hull; here it hulls columns 0-1 of the header row
+    sp = _cell("wide", 0, 0, H=True, R=0, C=0)
+    sp.update({"SP": 1, "H_left": 72.0, "H_right": 232.0,
+               "H_top": float(sp["top"]), "H_bott": float(sp["bottom"])})
+    return [sp, _cell("h3", 0, 2, H=True, R=0, C=2),
+            _cell("a", 1, 0, R=1, C=0), _cell("b", 1, 1, R=1, C=1),
+            _cell("c", 1, 2, R=1, C=2),
+            _cell("d", 2, 0, R=2, C=0), _cell("e", 2, 1, R=2, C=1),
+            _cell("f", 2, 2, R=2, C=2)]
+
+
+def test_span_header_html_colspan():
+    # tsr:504-583 __cal_spans: the SP hull pulls column 1 into the
+    # header's colspan; html emits colspan=2 and drops the eaten cell
+    html = construct_table(_span_grid(), is_english=True, html=True)
+    assert "<th colspan=2 >wide</th><th  >h3</th>" in html
+    assert html.count("<th") == 2
+
+
+def test_span_header_desc_shares_header():
+    # desc mode (html=False) writes the span arr into every covered
+    # cell, so both columns inherit the "wide" header
+    out = construct_table(_span_grid(), is_english=True)
+    assert out == ["wide：a; wide：b; h3：c", "wide：d; wide：e; h3：f"]
