@@ -357,8 +357,10 @@ class Document:
             content_length = _text_length(el)
             link_density = self._link_density(el)
             to_remove = False
-            if el.tag == "div" and counts["img"] >= 1:
-                continue
+            # NOTE: readability-lxml carries a COMMENTED-OUT
+            # `if el.tag == 'div' and counts["img"] >= 1: continue`
+            # here — it is not active in 0.8.1, so divs with images
+            # stay subject to the conditional-clean rules below
             if counts["p"] and counts["img"] > 1 + counts["p"] * 1.3:
                 to_remove = True  # too many images
             elif counts["li"] > counts["p"] and el.tag not in ("ol", "ul"):

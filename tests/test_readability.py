@@ -91,3 +91,72 @@ def test_sibling_paragraph_pulled_in():
 def test_short_page_retry_returns_body():
     out = extract_html(_page("<p>tiny.</p>"))
     assert out == "T\ntiny."
+
+
+ART3 = f"<p>{LONG_P}</p><p>{LONG_P}</p><p>{LONG_P}</p>"
+
+
+def _content(body: str) -> str:
+    from ragflow_spark.extractlib.htmlparse import parse_html_text
+    _t, c = parse_html_text(_page(f'<div id="main">{body}</div>').decode())
+    return c
+
+
+def test_sanitize_drops_image_heavy_div():
+    # the library's `div and img >= 1: continue` is COMMENTED OUT in
+    # 0.8.1 — a div gallery (img > 1 + 1.3*p) must be cleaned
+    c = _content(f'{ART3}<div class="x"><p>cap</p><img src="a">'
+                 '<img src="b"><img src="c"><img src="d"></div>')
+    assert "cap" not in c
+
+
+def test_sanitize_drops_image_heavy_section():
+    c = _content(f'{ART3}<section class="x"><p>cap</p><img src="a">'
+                 '<img src="b"><img src="c"><img src="d"></section>')
+    assert "cap" not in c
+
+
+def test_sanitize_drops_input_heavy_block():
+    c = _content(f'{ART3}<div class="x">Sign up for the newsletter '
+                 'here today<input type="text"><input type="submit">'
+                 '</div>')
+    assert "newsletter" not in c
+
+
+def test_sanitize_hidden_inputs_do_not_count():
+    c = _content(f'{ART3}<div class="x">Sign up for the newsletter '
+                 'here today, worth keeping for length reasons'
+                 '<input type="hidden"><input type="hidden"></div>')
+    assert "newsletter" in c
+
+
+def test_sanitize_drops_positive_class_link_farm():
+    links = f'<a href="/x">{"link text here " * 20}</a> trailing'
+    c = _content(f'{ART3}<div class="article">{links}</div>')
+    assert "link text here" not in c
+
+
+def test_sanitize_video_iframe_becomes_text_others_drop():
+    c = _content(f'<div><p>{LONG_P}</p>'
+                 '<iframe src="https://www.youtube.com/embed/x"></iframe>'
+                 '<iframe src="https://ads.example.com/f"></iframe></div>'
+                 + ART3)
+    assert "VIDEO" in c
+
+
+def test_sanitize_drops_embed_block():
+    c = _content(f'{ART3}<section class="x">short promo'
+                 '<embed src="f.swf"></section>')
+    assert "short promo" not in c
+
+
+def test_sanitize_neighbor_allowance_keeps_flanked_block():
+    big = "Z" * 600 + ". " + "Y" * 600 + "."
+    c = _content(f'<p>{big}</p><div class="x">short junk text</div>'
+                 f'<p>{big}</p>{ART3}')
+    assert "short junk text" in c
+
+
+def test_sanitize_drops_negative_class_header():
+    c = _content(f'<h2 class="footer">Site header junk</h2>{ART3}')
+    assert "Site header junk" not in c
