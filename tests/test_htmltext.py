@@ -43,3 +43,41 @@ def test_comment_dropped_at_parse():
     root = parse_html("<p>a<!-- hidden -->b</p>")
     assert "hidden" not in extract_text("<p>a<!-- hidden -->b</p>")
     assert root is not None
+
+
+def test_drop_tag_splices_text_and_tail_like_lxml():
+    # lxml drop_tag: the tag goes away, its text/children/tail splice
+    # into the parent at the same position
+    from ragflow_spark.extractlib.dom import parse_html, tostring
+
+    root = parse_html("<div>a<span>b<i>c</i>d</span>e</div>")
+    div = next(root.iter("div"))
+    span = next(root.iter("span"))
+    span.drop_tag()
+    assert tostring(div) == "<div>ab<i>c</i>de</div>"
+
+    # childless drop_tag with a tail, first-child position: both text
+    # and tail fold into parent.text
+    root = parse_html("<div><span>x</span>y<p>z</p></div>")
+    div = next(root.iter("div"))
+    next(root.iter("span")).drop_tag()
+    assert tostring(div) == "<div>xy<p>z</p></div>"
+
+
+def test_node_small_api_helpers():
+    from ragflow_spark.extractlib.dom import Node, parse_html
+
+    root = parse_html("<div><p>a</p><p>b</p></div>")
+    div = next(root.iter("div"))
+    p0, p1 = div.children
+    assert div.index(p1) == 1
+    div.remove(p0)
+    assert p0.parent is None and div.children == [p1]
+    n = Node("em")
+    n.set("k", "v")
+    assert n.get("k") == "v" and n.get("z", "d") == "d"
+    # insert() re-parents a node that already has a parent
+    div.insert(0, p0)
+    other = Node("div")
+    other.insert(0, p0)
+    assert p0.parent is other and div.children == [p1]

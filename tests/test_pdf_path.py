@@ -189,3 +189,41 @@ def test_two_column_hostile_inputs():
 
     for blob in (b"", b"%PDF-", bytes(range(256))):
         pdf_to_sections_two_col(blob)
+
+
+def test_stream_data_indirect_length_and_fallbacks():
+    # /Length as an indirect reference resolves through the object map
+    from ragflow_spark.extractlib.pdfplain import _stream_data
+
+    body = b"<< /Length 7 0 R >>stream\nABCDEFGHIJ\nendstream"
+    assert _stream_data({7: b"4"}, body) == b"ABCD"
+    # direct length
+    body = b"<< /Length 3 >>stream\nXYZQQQ endstream"
+    assert _stream_data({}, body) == b"XYZ"
+    # no parseable length: lazy slice up to the LAST endstream
+    body = b"<< >>stream\nPAYLOAD\nendstream"
+    assert _stream_data({}, body) == b"PAYLOAD\n"
+    body = b"<< >>stream\nPAYLOAD\nendstream junk endstream"
+    assert _stream_data({}, body) == b"PAYLOAD\nendstream junk "
+    # no stream keyword at all
+    assert _stream_data({}, b"<< /Length 3 >>") == b""
+    # undecodable Flate degrades to b''
+    body = b"<< /Length 4 /Filter /FlateDecode >>stream\nnotz\nendstream"
+    assert _stream_data({}, body) == b""
+
+
+def test_tounicode_bfrange_array_and_base_forms():
+    from ragflow_spark.extractlib.pdfplain import _parse_tounicode
+
+    data = (b"/CIDInit begincmap\n"
+            b"1 begincodespacerange <00> <FF> endcodespacerange\n"
+            b"2 beginbfchar <01> <0041> <02> <0042> endbfchar\n"
+            b"1 beginbfrange <10> <12> [<0058> <0059> <005A>] endbfrange\n"
+            b"1 beginbfrange <20> <22> <0061> endbfrange\n"
+            b"endcmap")
+    cmap, _n = _parse_tounicode(data)
+    assert cmap[0x01] == "A" and cmap[0x02] == "B"
+    # array form maps positionally
+    assert (cmap[0x10], cmap[0x11], cmap[0x12]) == ("X", "Y", "Z")
+    # base form increments from the destination
+    assert (cmap[0x20], cmap[0x21], cmap[0x22]) == ("a", "b", "c")
