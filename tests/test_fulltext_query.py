@@ -83,3 +83,48 @@ def test_sub_special_char_escapes():
 def test_query_fields_boost_list():
     assert QUERY_FIELDS[0] == "title_tks^10"
     assert "important_kwd^30" in QUERY_FIELDS
+
+
+def test_dealer_resource_dict_branches():
+    # term_weight.py:168-221 — branches that need non-empty ne/df
+    # tables (the production rag/res resources, injected here)
+    from ragflow_spark.extractlib.huqie import HuqieTokenizer
+    from ragflow_spark.extractlib.termweight import TermWeightDealer
+
+    tok = HuqieTokenizer("数据 8000 n\n分析 6000 vn\n数码 1000 3\n")
+    d = TermWeightDealer(
+        ne={"acme": "corp", "paris": "loca", "bob": "firstnm",
+            "spam": "toxic", "的": "func"},
+        df={"acme": 7, "数据": 11},
+        tokenizer=tok)
+    # ner multiplier map (term_weight.py:175-177)
+    assert d._ner_mult("acme") == 3
+    assert d._ner_mult("paris") == 3
+    assert d._ner_mult("bob") == 1
+    assert d._ner_mult("spam") == 2
+    assert d._ner_mult("unknown") == 1
+    # df dict hit adds 3 (term_weight.py:212-213)
+    assert d._df("acme") == 10
+    assert d._df("数据") == 14
+    # numeric pos-tag maps to 2 (term_weight.py:187-188)
+    assert d._postag_mult("数码") == 2
+    # freq/df recursion: an unknown >=4-char term whose fine-grained
+    # split yields >1 multi-char part takes min(part)/6 with the 10/3
+    # floors (term_weight.py:200-207, 216-221); a slash token splits
+    # on the mostly-english fine-grained path
+    assert d._freq("ab/cd") == 50.0          # min(300, 300) / 6
+    assert d._df("ab/cd") == 50.0
+    # a dict-less 4-char CJK term whose split stays whole floors at 10/3
+    assert d._freq("烜晫彟龯") == 10
+    assert d._df("烜晫彟龯") == 3
+
+
+def test_token_merge_leading_pair_branch():
+    # term_weight.py:122-127: a 1-char lead groups with a multi-char
+    # non-latin successor ("多 工位")
+    from ragflow_spark.extractlib.termweight import TermWeightDealer
+
+    d = TermWeightDealer()
+    assert d.token_merge(["多", "工位", "数据"]) == ["多 工位", "数据"]
+    # latin successor does NOT group
+    assert d.token_merge(["a", "data", "x"]) == ["a", "data", "x"]
