@@ -97,3 +97,53 @@ def test_q2b_window_is_arithmetic_not_block():
     assert str_q2b("｟") == "｟"  # one past the window: kept
     assert str_q2b("　") == " "
     assert str_q2b("ＡＢ中１") == "AB中1"
+
+
+def test_load_dict_skips_malformed_lines():
+    tk = HuqieTokenizer("word\nab 100\nok 1000 n\n")
+    assert tk.freq("ok") > 0
+    assert tk.freq("ab") == 0 and tk.freq("word") == 0
+
+
+def test_bidirectional_disagreement_resolved_by_dfs():
+    # forward [甲乙][丙] vs backward [甲][乙丙]: the reconciliation
+    # re-segments the disputed span by DFS score; the two candidates
+    # tie on score so list order (exploration order) wins — the
+    # backward-style split (rag_tokenizer.py:314-357)
+    tk = HuqieTokenizer(
+        "甲乙 9000 n\n乙丙 8000 n\n甲 500 n\n丙 400 n\n丁 300 n\n")
+    assert tk.tokenize("甲乙丙") == "甲 乙丙"
+    # with a trailing agreed token the disagreement resolves mid-loop
+    # (the equal-prefix dfs branch) and the tail rides the same-scan
+    assert tk.tokenize("甲乙丙丁") == "甲 乙丙 丁"
+
+
+def test_fine_grained_all_singles_second_best_keeps_whole():
+    # second-best segmentation of a 3-char word is all singles: the
+    # len(stk) == len(tk) guard keeps the whole token
+    tk = HuqieTokenizer("伽倻琴 2000 n\n伽 100 n\n倻 100 n\n琴 100 n\n")
+    assert tk.fine_grained_tokenize("伽倻琴 数据") == "伽倻琴 数据"
+
+
+def test_fine_grained_english_short_part_rejects_split():
+    # an [a-z]-pure token whose second-best split contains a <3-char
+    # part stays whole (rag_tokenizer.py:389-393)
+    tk = HuqieTokenizer("data 5000 n\ndat 1000 n\n中 100 n\n")
+    assert tk.fine_grained_tokenize("data 中 中 中") == "data 中 中 中"
+
+
+def test_dfs_prefix_prune_skips_extendable_single():
+    # 1-char prefix extends in the trie but the 2-char prefix does
+    # not: the DFS starts at s+2, so the dictionary word "x" is never
+    # tried at this position and only the fallback path remains
+    tk = HuqieTokenizer("xy 100 n\nx 200 n\n")
+    out: list = []
+    tk.dfs("xz", 0, [], out)
+    assert [[t for t, _ in seg] for seg in out] == [["x", "z"]]
+
+
+def test_dfs_saturates_at_2048_segmentations():
+    tk = HuqieTokenizer("aa 100 n\na 100 n\n")
+    out: list = []
+    tk.dfs("a" * 24, 0, [], out)
+    assert len(out) == 2048
