@@ -227,13 +227,14 @@ class Document:
         return {"content_score": score, "elem": elem}
 
     def _link_density(self, elem: Node) -> float:
+        # the library sums findall(".//a") — descendants only, so an
+        # <a> elem contributes nested links but never itself (our
+        # iter() includes self, hence the guard)
         link_length = 0
         for a in elem.iter("a"):
             if a is elem:
                 continue
             link_length += _text_length(a)
-        if elem.tag == "a":
-            link_length += _text_length(elem)
         total = _text_length(elem) or 1
         return float(link_length) / total
 

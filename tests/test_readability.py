@@ -160,3 +160,83 @@ def test_sanitize_neighbor_allowance_keeps_flanked_block():
 def test_sanitize_drops_negative_class_header():
     c = _content(f'<h2 class="footer">Site header junk</h2>{ART3}')
     assert "Site header junk" not in c
+
+
+def test_div_with_blocks_lifts_stray_text_and_drops_br():
+    # _transform_misused_divs second pass: direct div text becomes a
+    # synthetic <p>, child tails too, <br>s drop
+    c = _content(f'<div>stray lead text here<p>{LONG_P}</p><br>'
+                 f'tail words here</div>{ART3}')
+    assert "stray lead text here" in c
+    assert "tail words here" in c
+
+
+def test_blockquote_parent_scores_positive():
+    c = _content(f'<blockquote><p>{LONG_P}</p></blockquote>{ART3}')
+    assert c.count("This paragraph") == 4
+
+
+def test_short_period_sibling_paragraph_pulled_in():
+    # sibling good-p test: <=80 chars, zero link density, sentence dot
+    c = _content(f'<div id="art">{ART3}</div>'
+                 '<p>Short closing remark. </p>')
+    assert "Short closing remark" in c
+
+
+def test_sanitize_negative_class_survivor_header_dropped():
+    # "promo" is negative but NOT an unlikely candidate, so the header
+    # reaches sanitize and dies there (class_weight < 0)
+    c = _content(f'<h2 class="promo">Buy the promo thing</h2>{ART3}')
+    assert "Buy the promo thing" not in c
+
+
+def test_sanitize_drops_forms_outright():
+    c = _content(f'{ART3}<form>inside a form text</form>')
+    assert "inside a form text" not in c
+
+
+def test_sanitize_drops_negative_weight_div_before_rules():
+    # weight + content_score < 0 drops without reaching the rule chain;
+    # the promo div needs a block child so div->p doesn't convert it
+    c = _content(f'{ART3}<div class="promo"><p>{LONG_P}</p></div>')
+    assert c.count("This paragraph") == 3
+
+
+def test_sanitize_comma_rich_block_is_exempt():
+    commas = "a, b, c, d, e, f, g, h, i, j, k short"
+    c = _content(f'{ART3}<div class="x">{commas}'
+                 '<input type="t"><input type="s"></div>')
+    assert "a, b, c" in c
+
+
+def test_sanitize_li_rule_fires_past_the_minus_100():
+    # counts["li"] -= 100, so the more-li-than-p rule needs >100 <li>s
+    lis = "".join(f"<li>item {i} text</li>" for i in range(105))
+    c = _content(f'{ART3}<div class="x"><ul>{lis}</ul></div>')
+    assert "item 3 text" not in c
+
+
+def test_sanitize_short_with_many_images_no_p():
+    c = _content(f'{ART3}<section class="x">tiny cap<img src="a">'
+                 '<img src="b"><img src="c"></section>')
+    assert "tiny cap" not in c
+
+
+def test_sanitize_low_weight_moderate_links_dropped():
+    linky = (f'{LONG_P} <a href="/x">a moderately long anchor text '
+             'run that pushes density past the line</a>')
+    c = _content(f'{ART3}<div class="x">{linky}</div>')
+    assert "moderately long anchor" not in c
+
+
+def test_sanitize_single_embed_under_75_chars_dropped():
+    c = _content(f'{ART3}<section class="x">forty characters of text '
+                 'sit right here<embed src="f.swf"></section>')
+    assert "forty characters" not in c
+
+
+def test_sanitize_neighbor_allowance_whitelists_descendants():
+    big = "Z" * 600 + ". " + "Y" * 600 + "."
+    c = _content(f'<p>{big}</p><div class="x">short junk'
+                 f'<div>nested bit</div></div><p>{big}</p>{ART3}')
+    assert "short junk" in c and "nested bit" in c
