@@ -220,3 +220,41 @@ def test_table_rules_to_chunk_rows_integration():
     chunks = tokenize_table_rows([rows], eng=True)
     assert len(chunks) == 2  # 15 rows batched by 10
     assert "name：item0" in chunks[0]
+
+
+def test_merge_small_edge_branches():
+    from ragflow_spark.extractlib.merge import (hierarchical_merge,
+                                                is_chinese, not_title,
+                                                title_frequency)
+
+    assert is_chinese("") is False
+    # 第N条 headings are never "not titles"
+    assert not_title("第三条 条款内容") is False
+    # long unspaced text is
+    assert not_title("x" * 32) is True
+    # bull < 0 short-circuits title_frequency
+    most, levels = title_frequency(-1, [("t", "title")])
+    assert (most, levels) == (1, [1])
+    # a depth window with no member sections yields no chunks
+    assert hierarchical_merge(3, [("Chapter I", "title"),
+                                  ("Chapter II", "title")], 1) == []
+
+
+def test_remove_contents_table_english_prefix_scan():
+    from ragflow_spark.extractlib.merge import remove_contents_table
+
+    secs = ["contents", "", "chapter one", "1 chapter one",
+            "2 other", "chapter one", "body text"]
+    remove_contents_table(secs, eng=True)
+    assert secs == ["chapter one", "body text"]
+
+
+def test_naive_merge_appends_tag_on_overflow_chunk():
+    from ragflow_spark.extractlib.merge import naive_merge
+
+    long_sec = "word " * 200                    # > 128 tokens
+    tag = "@@1\t0.0\t0.0\t0.0\t0.0##"
+    out = naive_merge([(long_sec, ""), ("next section starts here "
+                                        "with enough tokens", tag)], 128)
+    assert len(out) == 2
+    assert out[1].endswith(tag)
