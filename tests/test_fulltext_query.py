@@ -128,3 +128,44 @@ def test_token_merge_leading_pair_branch():
     assert d.token_merge(["多", "工位", "数据"]) == ["多 工位", "数据"]
     # latin successor does NOT group
     assert d.token_merge(["a", "data", "x"]) == ["a", "data", "x"]
+
+
+def test_question_chinese_synonym_expansion_and_boost_group():
+    from ragflow_spark.extractlib.fulltext_query import question
+    from ragflow_spark.extractlib.synonyms import SynonymDealer
+
+    sd = SynonymDealer(dictionary={"数据": "资料"})
+    # the synonym wrapper needs a hit on the SPLIT term itself, so the
+    # query must contain 数据 as its own term
+    query, extra, kws = question("数据 分析", syn=sd)
+    # the synonym joins the keywords and the term group gets the
+    # (tms)^5 OR (syns)^0.7 wrapper (query.py:186-194)
+    assert "资料" in kws
+    assert ")^5 OR (" in query
+    assert extra == {"minimum_should_match": 0.6}
+
+
+def test_question_keyword_cap_breaks_at_32():
+    from ragflow_spark.extractlib.fulltext_query import question
+
+    terms = ["数据", "分析", "研究", "文档", "提取", "模型", "语言",
+             "处理", "规模", "管道", "生命", "起源"] * 4
+    _q, _e, kws = question(" ".join(terms))
+    assert len(kws) >= 32   # cap breaks the sub-term loop, keywords
+    # already appended per split term keep accumulating
+
+
+def test_question_all_punctuation_returns_none():
+    from ragflow_spark.extractlib.fulltext_query import question
+
+    query, extra, kws = question("？？！")
+    assert query is None and extra is None and kws == []
+
+
+def test_paragraph_quotes_multiword_terms():
+    from ragflow_spark.extractlib.fulltext_query import paragraph
+
+    q, mm = paragraph(["big data", "数据"], keywords=["seed"])
+    assert '"seed"' in q
+    assert '"big data"' in q
+    assert mm == 0.3  # min(3, (1 seed + 2 boosted) / 10)
