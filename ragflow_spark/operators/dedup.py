@@ -235,8 +235,8 @@ def ngram_jaccard_pairs(docs: DataFrame, n_gram: int = 2,
 
 
 def simhash_col() -> Column:
-    """30-bit simhash of a `words` array column (poly word hashes)."""
-    wh = _WORD_HASH.format(w="w")
+    """30-bit simhash over a ``whs`` word-hash array column (build it
+    with ``transform(words, w -> _WORD_HASH)``)."""
     return F.expr(
         "aggregate(sequence(0, 29), cast(0 as bigint), (acc, i) -> acc + "
         "CASE WHEN aggregate(whs, 0, (a, v) -> a + "
