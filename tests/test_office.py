@@ -385,3 +385,129 @@ def test_attach_images_first_pic_only_and_clean():
         ("　x　", "Normal", [(10, 1), (99, 99)]),
     ])
     assert lines == [("x", (10, 1))]
+
+
+def _pptx_with_slide_xml(slide_body: str) -> bytes:
+    """Assemble a one-slide pptx around raw spTree content."""
+    import re as _re
+
+    from ragflow_spark.extractlib.officegen import build_pptx
+
+    blob = build_pptx([[{"kind": "text", "top": 0, "left": 0,
+                         "paras": [("placeholder", False, 0)]}]])
+    import io
+    import zipfile
+    zin = zipfile.ZipFile(io.BytesIO(blob))
+    out = io.BytesIO()
+    with zipfile.ZipFile(out, "w") as zout:
+        for name in zin.namelist():
+            data = zin.read(name)
+            if name == "ppt/slides/slide1.xml":
+                data = _re.sub(
+                    rb"<p:spTree>.*</p:spTree>",
+                    b"<p:spTree>" + slide_body.encode() + b"</p:spTree>",
+                    data, flags=_re.S)
+            zout.writestr(name, data)
+    return out.getvalue()
+
+
+def test_pptx_group_shape_recurses_in_position_order():
+    # ppt_parser.py __extract shape_type 6: group members sort by
+    # (top // 10, left) and join with newlines
+    from ragflow_spark.extractlib.pptxparse import parse_pptx
+
+    def sp(top, left, text):
+        return (f'<p:sp><p:spPr><a:xfrm><a:off x="{left}" y="{top}"/>'
+                f'</a:xfrm></p:spPr><p:txBody><a:p><a:r><a:t>{text}'
+                f'</a:t></a:r></a:p></p:txBody></p:sp>')
+
+    body = ('<p:grpSp><p:grpSpPr><a:xfrm><a:off x="0" y="0"/></a:xfrm>'
+            '</p:grpSpPr>' + sp(500, 900, "second") + sp(400, 100, "first")
+            + '</p:grpSp>')
+    slides = parse_pptx(_pptx_with_slide_xml(body))
+    assert slides == ["first\nsecond"]
+
+
+def test_pptx_autonum_bullet_prefix_and_empty_slide():
+    from ragflow_spark.extractlib.pptxparse import parse_pptx
+
+    body = ('<p:sp><p:spPr><a:xfrm><a:off x="0" y="0"/></a:xfrm></p:spPr>'
+            '<p:txBody><a:p><a:pPr lvl="1"><a:buAutoNum type="arabic"/>'
+            '</a:pPr><a:r><a:t>numbered item</a:t></a:r></a:p>'
+            '</p:txBody></p:sp>')
+    slides = parse_pptx(_pptx_with_slide_xml(body))
+    assert slides == ["  .numbered item"]
+    # a slide whose spTree is empty still emits its "" placeholder
+    assert parse_pptx(_pptx_with_slide_xml("")) == [""]
+
+
+def test_pptx_malformed_inputs_degrade_to_empty():
+    from ragflow_spark.extractlib.pptxparse import parse_pptx
+
+    assert parse_pptx(b"not a zip") == []
+    assert parse_pptx(b"") == []
+
+
+def test_xlsx_cell_value_type_branches():
+    from xml.etree import ElementTree
+
+    from ragflow_spark.extractlib.xlsxparse import _cell_value
+
+    S = "http://schemas.openxmlformats.org/spreadsheetml/2006/main"
+
+    def cell(xml):
+        return ElementTree.fromstring(xml.replace("xmlns!", f'xmlns="{S}"'))
+
+    shared = ["zero", "one"]
+    # inlineStr with and without <is>
+    assert _cell_value(cell('<c xmlns! t="inlineStr"><is><t>a</t>'
+                            '<t>b</t></is></c>'), shared) == "ab"
+    assert _cell_value(cell('<c xmlns! t="inlineStr"/>'), shared) is None
+    # shared string: valid, out-of-range, non-numeric
+    assert _cell_value(cell('<c xmlns! t="s"><v>1</v></c>'),
+                       shared) == "one"
+    assert _cell_value(cell('<c xmlns! t="s"><v>9</v></c>'),
+                       shared) is None
+    assert _cell_value(cell('<c xmlns! t="s"><v>x</v></c>'),
+                       shared) is None
+    # formula-string, boolean, int, float, and unparseable numerics
+    assert _cell_value(cell('<c xmlns! t="str"><v>=SUM</v></c>'),
+                       shared) == "=SUM"
+    assert _cell_value(cell('<c xmlns! t="b"><v>1</v></c>'),
+                       shared) is True
+    assert _cell_value(cell('<c xmlns! t="b"><v>0</v></c>'),
+                       shared) is False
+    assert _cell_value(cell('<c xmlns!><v>-3</v></c>'), shared) == -3
+    assert _cell_value(cell('<c xmlns!><v>2.5</v></c>'), shared) == 2.5
+    assert _cell_value(cell('<c xmlns!><v>1e</v></c>'), shared) == "1e"
+    assert _cell_value(cell('<c xmlns!/>'), shared) is None
+
+
+def test_xlsx_cells_without_refs_advance_sequentially():
+    import io
+    import zipfile
+
+    from ragflow_spark.extractlib.officegen import build_xlsx
+    from ragflow_spark.extractlib.xlsxparse import load_sheets
+
+    blob = build_xlsx([("s1", [["a", "b"]])])
+    zin = zipfile.ZipFile(io.BytesIO(blob))
+    out = io.BytesIO()
+    S = "http://schemas.openxmlformats.org/spreadsheetml/2006/main"
+    sheet = (f'<?xml version="1.0"?><worksheet xmlns="{S}"><sheetData>'
+             '<row><c t="str"><v>p</v></c><c t="str"><v>q</v></c></row>'
+             '</sheetData></worksheet>')
+    with zipfile.ZipFile(out, "w") as zout:
+        for name in zin.namelist():
+            data = zin.read(name)
+            if name.endswith("sheet1.xml"):
+                data = sheet.encode()
+            zout.writestr(name, data)
+    sheets = load_sheets(out.getvalue())
+    assert sheets[0][1] == [["p", "q"]]
+
+
+def test_csv_float_coercion():
+    from ragflow_spark.extractlib.xlsxparse import _load_csv
+
+    assert _load_csv(b"a,1,2.5\n") == [("Data", [["a", 1, 2.5]])]
