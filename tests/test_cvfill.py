@@ -119,3 +119,20 @@ def test_fill_poly_negative_vertices_interior():
     assert (m == exp).all()
     # fully-above polygon stays a no-op
     assert fill_poly((8, 12), [(2, -9), (6, -5), (2, -1)]).sum() == 0
+
+
+def test_bowtie_fires_active_edge_exchange():
+    # a self-intersecting quad makes the scanline's active edges cross
+    # mid-sweep, firing the bubble re-sort exchange (drawing.cpp's
+    # CollectPolyEdges consumers handle it; both lobes fill, the
+    # crossing pinch stays hollow)
+    import numpy as np
+
+    from ragflow_spark.extractlib.cvfill import fill_poly
+
+    m = fill_poly((12, 12), [(1, 1), (10, 10), (10, 1), (1, 10)])
+    assert int(m.sum()) == 60
+    # symmetric hourglass: mirror-symmetric in both axes of the box
+    win = m[1:11, 1:11]
+    assert (win == win[::-1, :]).all() and (win == win[:, ::-1]).all()
+    assert win[4, 4] == 1 and win[0, 4] == 0

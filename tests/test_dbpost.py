@@ -241,3 +241,39 @@ def test_trace_borders_prefilter_equivalence_random():
         assert len(got) == len(want)
         for g, w_ in zip(got, want):
             assert np.array_equal(g, w_)
+
+
+def test_min_area_rect_degenerate_hulls():
+    # cv minAreaRect on 1 point: the point 4x, size (0, 0); on 2
+    # points: [a, b, b, a] with size (|ab|, 0)
+    import numpy as np
+
+    from ragflow_spark.extractlib.dbpost import min_area_rect
+
+    pts, size = min_area_rect(np.array([[3.0, 4.0]]))
+    assert (pts == [[3, 4]] * 4).all() and size == (0.0, 0.0)
+    pts, size = min_area_rect(np.array([[0.0, 0.0], [3.0, 4.0]]))
+    assert (pts == [[0, 0], [3, 4], [3, 4], [0, 0]]).all()
+    assert size == (5.0, 0.0)
+
+
+def test_box_score_zero_on_empty_pred():
+    import numpy as np
+
+    from ragflow_spark.extractlib.dbpost import box_score_fast
+
+    pred = np.zeros((10, 10), dtype=np.float32)
+    box = np.array([[2, 2], [5, 2], [5, 5], [2, 5]], dtype=np.float64)
+    assert box_score_fast(pred, box) == 0.0
+
+
+def test_ring_self_intersection_detector():
+    import numpy as np
+
+    from ragflow_spark.extractlib.dbpost import _ring_self_intersects
+
+    penta = np.array([[0, 0], [4, 4], [4, 0], [0, 4], [2, -2]],
+                     dtype=np.int64)
+    square = np.array([[0, 0], [4, 0], [4, 4], [0, 4]], dtype=np.int64)
+    assert _ring_self_intersects(penta)
+    assert not _ring_self_intersects(square)
