@@ -227,3 +227,51 @@ def test_tounicode_bfrange_array_and_base_forms():
     assert (cmap[0x10], cmap[0x11], cmap[0x12]) == ("X", "Y", "Z")
     # base form increments from the destination
     assert (cmap[0x20], cmap[0x21], cmap[0x22]) == ("a", "b", "c")
+
+
+def test_naive_vertical_merge_pops_page_number_and_blank_lines():
+    from ragflow_spark.extractlib.pdfrules import naive_vertical_merge
+
+    assert naive_vertical_merge([], []) == []
+    # tops are cumulative page positions (the parser offsets them), so
+    # a bare page-number line before a page break is adjacent to the
+    # next page's first line and gets dropped; blank lines drop too
+    boxes = [
+        {"text": "3", "page_number": 1, "x0": 0, "x1": 10,
+         "top": 780, "bottom": 790, "layout_no": 0,
+         "layout_type": "text"},
+        {"text": "   ", "page_number": 2, "x0": 0, "x1": 100,
+         "top": 820, "bottom": 830, "layout_no": 0,
+         "layout_type": "text"},
+        {"text": "body continues here", "page_number": 2, "x0": 0,
+         "x1": 100, "top": 832, "bottom": 844, "layout_no": 0,
+         "layout_type": "text"},
+    ]
+    out = naive_vertical_merge(boxes, [12.0, 12.0])
+    assert [b["text"] for b in out] == ["body continues here"]
+
+
+def test_merge_with_same_bullet_skips_blank_boxes():
+    boxes = [
+        {"text": "  ", "x0": 0, "x1": 10, "top": 0, "bottom": 10},
+        {"text": "• a", "x0": 0, "x1": 10, "top": 12, "bottom": 22},
+        {"text": " ", "x0": 0, "x1": 10, "top": 24, "bottom": 34},
+        {"text": "• b", "x0": 0, "x1": 10, "top": 36, "bottom": 46},
+    ]
+    out = merge_with_same_bullet(boxes)
+    assert [b["text"] for b in out] == ["• a\n• b"]
+
+
+def test_ocr_char_merge_empty():
+    from ragflow_spark.extractlib.pdfrules import ocr_char_merge
+
+    assert ocr_char_merge([]) == []
+
+
+def test_detect_two_column_rejects_single_column():
+    from ragflow_spark.extractlib.pdfrules import detect_two_column
+
+    boxes = [{"text": "wide single column line", "x0": 72, "x1": 540,
+              "top": 100 + 20 * i, "bottom": 112 + 20 * i,
+              "page_number": 1} for i in range(6)]
+    assert detect_two_column(boxes) is False
