@@ -379,3 +379,38 @@ def test_enrich_only_suffixed_keys_survive():
         assert k == "id" or __import__("re").search(
             r"_(fea|tks|nst|dt|int|flt|ltks|kwd|id)$", k), k
     assert cv["id"] == "42"
+
+
+def test_parse_work_start_time_epoch_and_datestring():
+    # step_two: a 9+-digit work_start_time is epoch-ms (tm2dt + exact
+    # year fraction); a YYYY-prefixed string uses get_ymd + year diff
+    out = parse({"work_start_time": 1420070400000,
+                 "tob_resume_id": "r1"}, today=TODAY)
+    assert out["work_start_dt"] == "2015-01-01 00:00:00"
+    assert abs(out["work_exp_flt"] - 10.422) < 0.01
+    out = parse({"work_start_time": "2018-05-01",
+                 "tob_resume_id": "r2"}, today=TODAY)
+    assert out["work_start_dt"] == "2018-05-01 00:00:00"
+    assert out["work_exp_flt"] == 7
+    # month-count fallback when no start time exists
+    out = parse({"work_experience": 30, "tob_resume_id": "r3"},
+                today=TODAY)
+    assert out["work_exp_flt"] == 2.5
+
+
+def test_parse_kwd_normalization_and_fea_cleanup():
+    out = parse({"tob_resume_id": "r4",
+                 "city_kwd": ["北京市", "中国", "0", "上海", "北京"]},
+                today=TODAY)
+    # 市 suffix stripped, 中国/0 dropped, deduped sorted
+    assert out["city_kwd"] == ["上海", "北京"]
+    out = parse({"tob_resume_id": "r5", "quality_fea": -2}, today=TODAY)
+    assert "quality_fea" not in out
+
+
+def test_turn_tm2dt_forms():
+    from ragflow_spark.extractlib.resume_enrich import turn_tm2dt
+
+    assert turn_tm2dt("") == ""
+    assert turn_tm2dt("1420070400") == "2015-01-01 00:00:00"
+    assert turn_tm2dt("2019-01") == "2019-01"
