@@ -303,3 +303,33 @@ def test_office_batches_doc_ppt_rows():
         ("u2", 0, "slide", "Slide A\nbody"),
         ("u2", 1, "slide", "Slide B\nmore"),
     ]
+
+
+def test_doc_corruption_arms_raise_specific_docerrors():
+    # targeted [MS-DOC] guard arms: FIB truncation mid-read, missing
+    # table stream, Clx pointer past the table, Pcdt marker absent
+    good = build_doc(["line one", "line two"])
+    streams = read_cfb(good)
+    word = streams["WordDocument"]
+    tname = "1Table" if "1Table" in streams else "0Table"
+    table = streams[tname]
+
+    def err(blob):
+        with pytest.raises(DocError) as e:
+            parse_doc(blob)
+        return str(e.value)
+
+    assert err(build_cfb([("WordDocument", word[:40]),
+                          (tname, table)])) == "FIB truncated"
+    assert err(build_cfb([("WordDocument", word[:100]),
+                          (tname, table)])) == "FIB truncated"
+    assert err(build_cfb([("WordDocument", word)])) == "no table stream"
+    w2 = bytearray(word)
+    struct.pack_into("<I", w2, 0x01A2, len(table) + 100)
+    assert err(build_cfb([("WordDocument", bytes(w2)),
+                          (tname, table)])) == "Clx out of range"
+    t2 = bytearray(table)
+    fc = struct.unpack_from("<I", word, 0x01A2)[0]
+    t2[fc] = 0x05
+    assert err(build_cfb([("WordDocument", word),
+                          (tname, bytes(t2))])) == "no Pcdt in Clx"

@@ -275,3 +275,17 @@ def test_detect_two_column_rejects_single_column():
               "top": 100 + 20 * i, "bottom": 112 + 20 * i,
               "page_number": 1} for i in range(6)]
     assert detect_two_column(boxes) is False
+
+
+def test_chunk_laws_pdf_hierarchical_chains():
+    # laws PDF branch: rule-chain sections through bullets_category +
+    # hierarchical_merge — each Article chunk carries its Chapter chain
+    from ragflow_spark.extractlib.templates import chunk_laws_pdf
+
+    secs = [("Chapter I", "preamble words about scope and purpose here"),
+            ("Article 1", "the first article body text sits here"),
+            ("Article 2", "the second article body text and more")]
+    out = chunk_laws_pdf(build_pdf("Law 1", secs))
+    assert out[0] == "Law 1"
+    assert out[2].startswith("Chapter I\nArticle 1\n")
+    assert out[3].startswith("Chapter I\nArticle 2\n")
