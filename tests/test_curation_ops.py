@@ -160,3 +160,15 @@ def test_train_centroids_deterministic_and_normalized(spark):
     c2 = train_centroids(emb, n_centroids=4)
     assert np.array_equal(c1, c2)
     assert np.allclose(np.linalg.norm(c1, axis=1), 1.0)
+
+
+def test_tableparse_none_and_failure_cells():
+    # table.py: None cells pass through; a failed type conversion
+    # becomes None; all-None rows emit no doc
+    from ragflow_spark.extractlib.tableparse import (column_data_type,
+                                                     table_row_docs)
+
+    vals, ty = column_data_type(["1", None, "oops2x"])
+    assert ty == "int" and vals == [1, None, None]
+    docs = table_row_docs(["h1", "h2"], [["a", None], [None, None]])
+    assert docs == [("h1:a", {"h1_tks": "a"})]

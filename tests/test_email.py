@@ -57,3 +57,12 @@ def test_semicolon_delimiter_quirk():
     chunks = chunk_email(_eml())
     assert 'multipart/alternative boundary="BB"' in chunks[0]
     assert "alternative; boundary" not in chunks[0]
+
+
+def test_email_undecodable_degrades_quietly():
+    from ragflow_spark.extractlib.email_parse import email_sections
+
+    # non-RFC822 bytes still produce a headerless section list (the
+    # stdlib parser treats the blob as a body), never a raise
+    out = email_sections(b"\xff\xfe\x00broken")
+    assert isinstance(out, list)
