@@ -2870,11 +2870,14 @@ def entry(spark: SparkSession) -> DataFrame:
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Ordering is deliberate: the driver's correctness gate works the
     # dict front-to-back under a budget (r2-r4 each stamped exactly
-    # the first 50), so the round-5 evidence targets come first: the
-    # msg_fit bisector pair, then every query whose code changed in
-    # round 4 after its last driver stamp, then new round-5 queries,
-    # then the rest in oldest-stamp-first order so a truncated run
-    # refreshes the stalest evidence.
+    # the first 50), so the window is filled by priority: (1) the
+    # msg_fit bisector pair, (2) every query whose behavior-relevant
+    # code changed AFTER its last driver stamp (round-5 edits first,
+    # then the round-3/4 stale-on-changed-code tail), (3) new round-5
+    # queries, (4) the stalest remaining stamps.  Queries outside the
+    # window all carry green stamps on code that has not changed
+    # since (comment-only edits excepted), re-verified locally via
+    # tools/check_correctness.py on the final tree.
     return {
         # round-5 front: the msg_fit bisector pair (driver-red in
         # r3/r4, green locally; the meta twin localizes which column
@@ -2902,18 +2905,36 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # 50-query stamp window so r5 evidence covers current code
         "ocr_quads": _q_ocr_quads,
         "doc_tags": _q_doc_tags,
-        # r2-stamped queries (stalest green evidence)
+        # remaining round-5-changed code whose last stamp predates the
+        # change: the visionops trio (fixed-point INTER_CUBIC landed
+        # after their r3 stamps), the readability extraction path (the
+        # sanitize image-div fix landed after their r4 stamps — this
+        # is the north-rule flagship, so current-code stamps matter
+        # most here), the simhash pair (simhash_col's input contract
+        # changed after r4), and the tokenizer pair (str_q2b's fold
+        # window was widened after their r2/r3 stamps)
+        "ocr_boxes": _q_ocr_boxes,
+        "ocr_ctc": _q_ocr_ctc,
+        "vision_nms": _q_vision_nms,
+        "extract_html": _q_extract_html,
+        "chunks_naive": _q_chunks_naive,
+        "chunk_one": _q_chunk_one,
+        "chunks_book": _q_chunks_book,
+        "pages_hosts": _q_pages_hosts,
+        "simhash_sigs": _q_simhash_sigs,
+        "simhash_pairs": _q_simhash_pairs,
+        "tokenize_docs": _q_tokenize_docs,
+        "tokenize_huqie": _q_tokenize_huqie,
+        # stale-on-changed-code from earlier rounds: the docx family's
+        # r2 stamps predate the round-3 docxparse changes, the PDF-path
+        # chunkers' r2 stamps predate the round-3/4 pdfrules changes,
+        # and extract_entities' r2 stamp predates the extraction.py
+        # revisions
         "chunks_paper": _q_chunks_paper,
         "chunks_laws": _q_chunks_laws,
         "chunk_spans": _q_chunk_spans,
-        "chunks_qa": _q_chunks_qa,
-        "extract_entities": _q_extract_entities,
-        "chunks_email": _q_chunks_email,
-        "chunks_table": _q_chunks_table,
-        "chunks_tag": _q_chunks_tag,
         "chunks_manual": _q_chunks_manual,
-        "tokenize_docs": _q_tokenize_docs,
-        "tokenize_huqie": _q_tokenize_huqie,
+        "extract_entities": _q_extract_entities,
         "chunks_docx": _q_chunks_docx,
         "chunks_docx_img": _q_chunks_docx_img,
         "chunks_laws_docx": _q_chunks_laws_docx,
@@ -2922,8 +2943,21 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "chunks_book_docx": _q_chunks_book_docx,
         "docx_tables_html": _q_docx_tables_html,
         "docx_table_titles": _q_docx_table_titles,
+        # stalest remaining evidence (r2 stamps on unchanged code,
+        # then r3-stamped queries adjacent to round-4/5-edited modules
+        # as cheap insurance) — fills the 50-entry window
+        "chunks_qa": _q_chunks_qa,
+        "chunks_email": _q_chunks_email,
+        "chunks_table": _q_chunks_table,
+        "chunks_tag": _q_chunks_tag,
         "chunks_xlsx": _q_chunks_xlsx,
-        # r3-stamped queries
+        "kb_prompts": _q_kb_prompts,
+        "mentions_ents": _q_mentions_ents,
+        "mentions_rels": _q_mentions_rels,
+        "kg_chunk_ents": _q_kg_chunk_ents,
+        "kg_chunk_rels": _q_kg_chunk_rels,
+        # ---- end of the driver's 50-query stamp window ----
+        # r3-stamped queries (code unchanged since their stamp)
         "chunks_txt": _q_chunks_txt,
         "chunks_json": _q_chunks_json,
         "parse_md": _q_parse_md,
@@ -2947,25 +2981,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ents_resolved": _q_ents_resolved,
         "rels_resolved": _q_rels_resolved,
         "resolution_parse": _q_resolution_parse,
-        "mentions_ents": _q_mentions_ents,
-        "mentions_rels": _q_mentions_rels,
-        "kg_chunk_ents": _q_kg_chunk_ents,
-        "kg_chunk_rels": _q_kg_chunk_rels,
         "eval_metrics": _q_eval_metrics,
         "task_plan": _q_task_plan,
         "task_reuse": _q_task_reuse,
         "chunk_embed": _q_chunk_embed,
-        "kb_prompts": _q_kb_prompts,
         "community_csv": _q_community_csv,
         "community_reports": _q_community_reports,
         "subgraph_stats": _q_subgraph_stats,
         "sql_refine": _q_sql_refine,
         "sql_answers": _q_sql_answers,
         "doc_progress": _q_doc_progress,
-        "ocr_boxes": _q_ocr_boxes,
-        "ocr_ctc": _q_ocr_ctc,
-        "vision_nms": _q_vision_nms,
-        # r4-stamped queries (freshest evidence, stamped 2026-08-18)
+        # r4-stamped queries (freshest evidence, stamped 2026-08-18,
+        # code unchanged since — the retrieval/tagging edits after r4
+        # were comment-only)
         "media_features": _q_media_features,
         "frame_sample": _q_frame_sample,
         "audio_features": _q_audio_features,
@@ -2983,11 +3011,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rank_features": _q_rank_features,
         "light_gleans": _q_light_gleans,
         "mentions_ents_light": _q_mentions_ents_light,
-        "extract_html": _q_extract_html,
-        "chunks_naive": _q_chunks_naive,
-        "chunk_one": _q_chunk_one,
-        "chunks_book": _q_chunks_book,
-        "pages_hosts": _q_pages_hosts,
         "dedup_exact": _q_dedup_exact,
         "doc_tokens": _q_doc_tokens,
         "doc_stats": _q_doc_stats,
@@ -2996,8 +3019,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dup_clusters": _q_dup_clusters,
         "entity_candidates": _q_entity_candidates,
         "dedup_ngram": _q_dedup_ngram,
-        "simhash_sigs": _q_simhash_sigs,
-        "simhash_pairs": _q_simhash_pairs,
         "ann_topk": _q_ann_topk,
         "ann_topk_ivf": _q_ann_topk_ivf,
         "embed_neardup": _q_embed_neardup,
