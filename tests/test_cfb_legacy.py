@@ -143,6 +143,74 @@ def test_cfb_difat_sector_chain_handwritten():
     assert read_cfb(blob) == {"D": data}
 
 
+NOSTREAM = 0xFFFFFFFF
+
+
+def _patch_directory(blob: bytes, edits) -> bytes:
+    """Apply {name: {field: value}} edits to a one-sector v3 directory.
+
+    Fields: objtype, left, right, child, name (rename).  Entry order is
+    whatever build_cfb wrote; entries are located by current name.
+    """
+    buf = bytearray(blob)
+    dir_start = struct.unpack_from("<I", buf, 48)[0]
+    base = 512 * (1 + dir_start)
+    idx_of = {}
+    for i in range(4):  # root + up to 3 test streams, one sector
+        off = base + 128 * i
+        nlen = struct.unpack_from("<H", buf, off + 64)[0]
+        if nlen >= 2:
+            idx_of[buf[off:off + nlen - 2].decode("utf-16-le")] = i
+    for name, fields in edits.items():
+        off = base + 128 * idx_of[name]
+        for field, val in fields.items():
+            if field == "objtype":
+                buf[off + 66] = val
+            elif field == "name":
+                enc = val.encode("utf-16-le")
+                buf[off:off + 64] = enc.ljust(64, b"\x00")
+                struct.pack_into("<H", buf, off + 64, len(enc) + 2)
+            else:
+                pos = {"left": 68, "right": 72, "child": 76}[field]
+                struct.pack_into(
+                    "<I", buf, off + pos,
+                    val if isinstance(val, int) else idx_of[val])
+    return bytes(buf)
+
+
+def test_cfb_nested_storage_flattened():
+    """A storage entry's subtree is walked and its streams surface at
+    the top level (cfb.py _walk objtype==1 arm) — the shape real .doc
+    ObjectPool / Macros storages produce."""
+    a, c = b"alpha" * 30, b"gamma" * 40
+    blob = build_cfb([("A", a), ("Sub", b"hidden"), ("C", c)])
+    blob = _patch_directory(blob, {
+        "Root Entry": {"child": "A"},
+        "A": {"left": NOSTREAM, "right": "Sub"},
+        "Sub": {"objtype": 1, "left": NOSTREAM, "right": NOSTREAM,
+                "child": "C"},
+        "C": {"left": NOSTREAM, "right": NOSTREAM},
+    })
+    assert read_cfb(blob) == {"A": a, "C": c}
+
+
+def test_cfb_duplicate_stream_name_first_walked_wins():
+    """Flattening can collide names across storages; the first-walked
+    entry wins (documented in the CfbReader docstring)."""
+    a, c = b"alpha" * 30, b"gamma" * 40
+    blob = build_cfb([("A", a), ("Sub", b"hidden"), ("C", c)])
+    blob = _patch_directory(blob, {
+        "Root Entry": {"child": "A"},
+        "A": {"left": NOSTREAM, "right": "Sub"},
+        "Sub": {"objtype": 1, "left": NOSTREAM, "right": NOSTREAM,
+                "child": "C"},
+        "C": {"left": NOSTREAM, "right": NOSTREAM, "name": "A"},
+    })
+    # root-level "A" is popped before the storage subtree is expanded,
+    # so the nested "A" is skipped
+    assert read_cfb(blob) == {"A": a}
+
+
 def test_cfb_hostile_inputs_raise_cfberror():
     good = build_cfb([("S", b"x" * 100)])
     for blob in (b"", b"\xd0\xcf\x11\xe0", bytes(256),

@@ -71,3 +71,64 @@ def test_concat_downward_space_insertion_rule():
     ]
     out = concat_downward(boxes, MH, MW)
     assert out[0]["text"] == "ends with digit 7 8 starts with digit"
+
+
+def test_concat_between_pages_flag_splits_near_cross_page_pair():
+    # near cross-page continuation: joined by default, split when
+    # concat_between_pages=False (the break arm before the R gate)
+    boxes = [
+        _line("runs onto the next", 700),
+        _line("page continuation", 712, page=2),
+    ]
+    joined = concat_downward(boxes, MH, MW)
+    assert len(joined) == 1 and "page continuation" in joined[0]["text"]
+    split = concat_downward(boxes, MH, MW, concat_between_pages=False)
+    assert len(split) == 2
+
+
+def test_concat_region_mismatch_gate():
+    # different R (column region) blocks the join unless the up line
+    # ends with a full-width comma
+    up = _line("left column text", 0)
+    down = _line("right column text", 14)
+    up["R"], down["R"] = 1, 2
+    assert len(concat_downward([dict(up), dict(down)], MH, MW)) == 2
+    up_comma = dict(up, text="left column text，")
+    out = concat_downward([up_comma, dict(down)], MH, MW)
+    assert len(out) == 1 and "right column text" in out[0]["text"]
+
+
+def test_concat_page_number_and_blank_candidate_skips():
+    # a "12/345"-style page marker never chains, and a whitespace-only
+    # candidate is skipped rather than joined
+    marker = _line("12/345", 0)
+    body = _line("body text", 14)
+    assert len(concat_downward([marker, dict(body)], MH, MW)) == 2
+    blank = _line("   ", 14)
+    out = concat_downward([dict(body, top=0, bottom=10), blank], MH, MW)
+    assert len(out) == 2
+
+
+def test_concat_far_candidate_joins_via_rule_decision():
+    # the 6th candidate (i - dp >= 5) bypasses the layoutno fast path
+    # and must pass rule_concat_decision to chain
+    up = _line("a sentence that wraps", 0)
+    decoys = [_line(f"decoy {i}", 2 + i, layoutno="text-9")
+              for i in range(5)]
+    far = _line("onto a later line", 12)
+    out = concat_downward([up] + decoys + [far], MH, MW)
+    joined = [b["text"] for b in out
+              if "a sentence that wraps" in b["text"]]
+    assert joined and "onto a later line" in joined[0]
+
+
+def test_concat_merge_backfills_layout_type():
+    # a custom decide exercises the far-accept arm directly; the block
+    # merge backfills layout_type from the first typed chunk
+    up = _line("untyped first line", 0)
+    del up["layout_type"], up["layoutno"]
+    down = _line("typed second line", 14)
+    out = concat_downward([up, down], MH, MW, decide=lambda fea: True)
+    assert len(out) == 1
+    assert out[0]["text"] == "untyped first line typed second line"
+    assert out[0]["layout_type"] == "text"

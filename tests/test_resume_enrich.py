@@ -414,3 +414,33 @@ def test_turn_tm2dt_forms():
     assert turn_tm2dt("") == ""
     assert turn_tm2dt("1420070400") == "2015-01-01 00:00:00"
     assert turn_tm2dt("2019-01") == "2019-01"
+
+
+def test_step_one_malformed_inputs_fold_to_defaults():
+    # non-JSON content, non-dict top level, and non-dict contact/basic
+    # all degrade to empty fields rather than raising
+    for content in ("not json at all", "[1, 2, 3]", '"just a string"'):
+        row = step_one_refactor(content, "rid", "2024-01-01")
+        assert row["tob_resume_id"] == "rid"
+        assert row["education_obj"] == "{}"
+        assert row["name"] == ""
+    row = step_one_refactor(
+        json.dumps({"contact": "oops", "basic": 7}), "rid", "t")
+    assert row["phone"] == "" and row["nation"] == ""
+
+
+def test_step_one_non_dict_obj_key_stringifies_whole_obj():
+    # step_one.py:104-115 verbatim: a truthy non-dict obj key makes the
+    # else arm stringify the WHOLE parsed object with "None" scrubbed
+    obj = {"education": ["x"], "work": None}
+    row = step_one_refactor(json.dumps(obj), "rid", "t")
+    assert row["education_obj"] == str(obj).replace("None", "")
+    # falsy obj keys (None/missing) take the json-dumps-{} arm instead
+    assert row["work_obj"] == "{}"
+
+
+def test_step_one_none_contact_values_become_empty():
+    obj = {"contact": {"phone": None, "name": None},
+           "basic": {"nation": None}}
+    row = step_one_refactor(json.dumps(obj), "rid", "t")
+    assert row["phone"] == "" and row["name"] == "" and row["nation"] == ""
