@@ -147,3 +147,16 @@ def test_dfs_saturates_at_2048_segmentations():
     out: list = []
     tk.dfs("a" * 24, 0, [], out)
     assert len(out) == 2048
+
+
+def test_ragtok_lite_surface():
+    # the dictionary-independent fallback surface (ragtok.py): per-char
+    # CJK, unstemmed lowercase English runs, q2b folding first
+    from ragflow_spark.extractlib.ragtok import (fine_grained_tokenize,
+                                                 tokenize_lite)
+    assert tokenize_lite("Hello 世界 x2") == "hello 世 界 x2"
+    assert tokenize_lite("ＡＢＣ１２３") == "abc123"  # full-width folds
+    assert tokenize_lite("") == ""
+    # >8-char alnum tokens split into 4-char groups; others pass through
+    assert fine_grained_tokenize("abcdefghij 世界 short") == \
+        "abcd efgh ij 世界 short"
