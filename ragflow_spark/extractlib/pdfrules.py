@@ -333,8 +333,15 @@ def filter_forpages(boxes: list[dict]) -> list[dict]:
         boxes.pop(i)
         if i >= len(boxes) or not prefix:
             break
+        # the raw prefix is the pattern (pdf_parser.py:609): '.' in a
+        # TOC entry like "1.2" wildcards; an invalid-regex prefix
+        # crashes the reference — degrade to removing nothing
+        try:
+            prefix_re = re.compile(prefix)
+        except re.error:
+            break
         for j in range(i, min(i + 128, len(boxes))):
-            if not re.match(re.escape(prefix), boxes[j]["text"]):
+            if not prefix_re.match(boxes[j]["text"]):
                 continue
             for _ in range(i, j):
                 boxes.pop(i)
