@@ -140,8 +140,6 @@ def stem(word: str) -> str:
     for suf in _STEP4:
         if w.endswith(suf):
             stem_ = w[:len(w) - len(suf)]
-            if suf == "ion" and not stem_.endswith(("s", "t")):
-                break
             if _measure(stem_) > 1:
                 w = stem_
             break

@@ -165,8 +165,6 @@ class Document:
     # ------------------------------------------------------------------
     def _remove_unlikely_candidates(self, root: Node) -> None:
         for elem in list(root.iter()):
-            if elem.parent is None and elem.tag != "#root":
-                continue  # already dropped with an ancestor
             s = "%s %s" % (elem.get("class", ""), elem.get("id", ""))
             if len(s) < 2:
                 continue

@@ -401,3 +401,21 @@ def test_doc_corruption_arms_raise_specific_docerrors():
     t2[fc] = 0x05
     assert err(build_cfb([("WordDocument", word),
                           (tname, bytes(t2))])) == "no Pcdt in Clx"
+
+
+def test_ppt_cfb_error_wrapped_as_ppt_error():
+    from ragflow_spark.extractlib.pptparse import PptError, parse_ppt
+    with pytest.raises(PptError):
+        parse_ppt(b"\xd0\xcf\x11\xe0\xa1\xb1\x1a\xe1" + bytes(504))
+
+
+def test_ppt_hostile_container_nesting_capped():
+    # 70 nested containers (ver_inst 0xF) must degrade as PptError,
+    # never an escaping RecursionError
+    from ragflow_spark.extractlib.pptparse import PptError, parse_ppt
+    inner = b""
+    for _ in range(70):
+        inner = struct.pack("<HHI", 0x000F, 0, len(inner)) + inner
+    blob = build_cfb([("PowerPoint Document", inner)])
+    with pytest.raises(PptError, match="nesting too deep"):
+        parse_ppt(blob)

@@ -66,3 +66,17 @@ def test_email_undecodable_degrades_quietly():
     # stdlib parser treats the blob as a body), never a raise
     out = email_sections(b"\xff\xfe\x00broken")
     assert isinstance(out, list)
+
+
+def test_email_unknown_charset_part_skipped():
+    # a declared-but-nonexistent charset raises LookupError inside the
+    # part walk; the reference's try/except drops just that part
+    eml = (b"From: a@b.c\r\n"
+           b"Content-Type: multipart/mixed; boundary=B\r\n\r\n"
+           b"--B\r\nContent-Type: text/plain; charset=x-no-such-cs\r\n"
+           b"\r\nlost body\r\n"
+           b"--B\r\nContent-Type: text/plain; charset=utf-8\r\n"
+           b"\r\nkept body\r\n--B--\r\n")
+    secs = email_sections(eml)
+    joined = " ".join(s[0] for s in secs)
+    assert "kept body" in joined and "lost body" not in joined

@@ -169,3 +169,19 @@ def test_paragraph_quotes_multiword_terms():
     assert '"seed"' in q
     assert '"big data"' in q
     assert mm == 0.3  # min(3, (1 seed + 2 boosted) / 10)
+
+
+def test_need_fine_grained_rejects_short_and_ascii_tech_tokens():
+    from ragflow_spark.extractlib.fulltext_query import _need_fine_grained
+    assert not _need_fine_grained("ab")            # too short
+    assert not _need_fine_grained("c++")           # ascii tech token
+    assert not _need_fine_grained("x86_64-v3")
+    assert _need_fine_grained("自然语言")
+
+
+def test_chinese_term_fine_grained_or_expansion():
+    # a dict word that fine-grains adds the OR "sub tokens" and the
+    # proximity-boosted phrase to its group
+    q, _mm, kw = question("自然语言 的 处理")
+    assert '自然语言 OR "自然 语言" OR ("自然 语言"~2)^0.5' in q
+    assert "自然语言" in kw and "自然" in kw and "语言" in kw

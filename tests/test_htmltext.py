@@ -81,3 +81,28 @@ def test_node_small_api_helpers():
     other = Node("div")
     other.insert(0, p0)
     assert p0.parent is other and div.children == [p1]
+
+
+def test_layout_guessing_disabled_joins_with_spaces():
+    from ragflow_spark.extractlib.htmltext import extract_text_from_node
+    t = parse_html("<p>a</p><p>b</p>")
+    assert extract_text_from_node(t, guess_layout=False) == "a b"
+
+
+def test_punct_space_guessing_disabled_always_spaces():
+    # html-text inserts the space unconditionally in this mode, even
+    # after a newline or before binding punctuation (pipeline-
+    # unreachable: the extraction chain always passes the defaults)
+    from ragflow_spark.extractlib.htmltext import extract_text_from_node
+    t = parse_html("<span>word</span><span>, next</span>")
+    assert extract_text_from_node(t, guess_punct_space=False) == \
+        "word , next"
+    t2 = parse_html("<p>a</p><p>b</p>")
+    assert extract_text_from_node(t2, guess_punct_space=False) == \
+        "a\n\n b"
+
+
+def test_skipped_tag_tail_text_kept():
+    assert extract_text(
+        "<p>keep<script>var x=1;</script> tail kept</p>"
+    ) == "keep tail kept"

@@ -160,3 +160,59 @@ def test_ragtok_lite_surface():
     # >8-char alnum tokens split into 4-char groups; others pass through
     assert fine_grained_tokenize("abcdefghij 世界 short") == \
         "abcd efgh ij 世界 short"
+
+
+def test_porter_replace_helper_contract():
+    # internal helper: None signals "suffix absent", callers rely on it
+    from ragflow_spark.extractlib.porter import _replace
+    assert _replace("national", "xyz", "r", 0) is None
+    # below the measure floor the word comes back unchanged
+    assert _replace("ate", "ate", "", 1) == "ate"
+
+
+def test_porter_ion_rule_requires_st_stem():
+    # step-4 'ion' strips only after s/t with measure > 1 — NLTK
+    # first-match-stops semantics (motion keeps, adoption strips)
+    from ragflow_spark.extractlib.porter import stem
+    assert stem("motion") == "motion"
+    assert stem("rebellion") == "rebellion"
+    assert stem("adoption") == "adopt"
+    assert stem("decision") == "decis"
+
+
+def test_split_by_lang_switch_inside_chunk():
+    # ascii alnum runs are pre-split by SPLIT_CHAR, so a mixed chunk
+    # needs a non-ascii non-CJK script adjacent to CJK
+    tk = HuqieTokenizer("")
+    assert tk._split_by_lang("кот中文") == [("кот", False),
+                                           ("中文", True)]
+
+
+def test_reconcile_mismatch_advances_both_cursors():
+    # forward [我,甲乙,丙,丁戊,己] vs backward [我,甲,乙丙,丁,戊己]:
+    # the joins re-align at 甲乙丙 with differing next tokens, firing
+    # the dual-advance arm before the dfs re-segmentation
+    tk = HuqieTokenizer(
+        "甲乙 100 n\n乙丙 100 n\n丁戊 100 n\n戊己 100 n\n")
+    assert tk.tokenize("我甲乙丙丁戊己") == "我 甲乙 丙 丁戊 己"
+
+
+def test_reconcile_same_run_extension():
+    tk = HuqieTokenizer(
+        "阿布 100 n\n次德 100 n\n布次德 600 n\n因果 100 n\n")
+    assert tk.tokenize("阿布次德因果因果") == "阿布 次德 因果 因果"
+
+
+def test_fine_grained_long_cjk_token_passes_through():
+    tk = HuqieTokenizer("")
+    long_cjk = "一二三四五六七八九十上下"      # > 10 chars: dfs skipped
+    assert tk.fine_grained_tokenize(long_cjk) == long_cjk
+
+
+def test_fine_grained_english_token_in_cjk_context_splits():
+    # mostly-CJK input routes the english token through the dfs path;
+    # all sub-parts >= 3 chars, so the split is kept and joined
+    tk = HuqieTokenizer(
+        "data 5000 n\nbase 5000 n\ndatabase 9000 n\n中文 100 n\n")
+    assert tk.fine_grained_tokenize("中文一 database") == \
+        "中文一 data base"

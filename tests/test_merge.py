@@ -258,3 +258,38 @@ def test_naive_merge_appends_tag_on_overflow_chunk():
                                         "with enough tokens", tag)], 128)
     assert len(out) == 2
     assert out[1].endswith(tag)
+
+
+def test_remove_contents_table_edge_positions():
+    # TOC header as the last section
+    secs = ["intro text", "目录"]
+    remove_contents_table(secs)
+    assert secs == ["intro text"]
+    # single entry after the header, then end
+    secs = ["目录", "A.1"]
+    remove_contents_table(secs)
+    assert secs == []
+    # blank-run-to-end pops past the list end — the reference
+    # (rag/nlp/__init__.py:352-357) raises the same IndexError
+    import pytest
+    with pytest.raises(IndexError):
+        remove_contents_table(["目录", " "])
+
+
+def test_hierarchical_merge_chapter_only_levels():
+    # only second-pattern ("Chapter") sections: the second-to-last
+    # reversed level skips the chain walk entirely (reference quirk)
+    out = hierarchical_merge(3, [("Chapter I", ""), ("Chapter II", "")],
+                             5)
+    assert out == [["Chapter I", "Chapter II"]]
+
+
+def test_hierarchical_merge_floor_search_upper_half():
+    # the Article chains across three Section indices, driving the
+    # binary search into its lo=mid arm; output pinned as the
+    # reference's chain/pop behavior produces it
+    out = hierarchical_merge(3, [("Section 1", ""), ("Section 2", ""),
+                                 ("Article 1", ""), ("Section 3", "")],
+                             5)
+    assert out == [[], ["Section 2", "Article 1"],
+                   ["Section 1", "Section 3"]]

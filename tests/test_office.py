@@ -511,3 +511,12 @@ def test_csv_float_coercion():
     from ragflow_spark.extractlib.xlsxparse import _load_csv
 
     assert _load_csv(b"a,1,2.5\n") == [("Data", [["a", 1, 2.5]])]
+
+
+def test_sniff_unknown_zip_returns_none():
+    import io
+    import zipfile
+    buf = io.BytesIO()
+    with zipfile.ZipFile(buf, "w") as z:
+        z.writestr("meta.xml", "")
+    assert sniff_office(buf.getvalue()) is None

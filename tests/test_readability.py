@@ -177,10 +177,28 @@ def test_blockquote_parent_scores_positive():
 
 
 def test_short_period_sibling_paragraph_pulled_in():
-    # sibling good-p test: <=80 chars, zero link density, sentence dot
-    c = _content(f'<div id="art">{ART3}</div>'
-                 '<p>Short closing remark. </p>')
-    assert "Short closing remark" in c
+    # sibling good-p rule: <=80 chars, zero link density, sentence dot.
+    # The wrapper id must be class-weight neutral — an id like "main"
+    # gets +25 and the WRAPPER becomes the best candidate, swallowing
+    # the sibling and making the rule untestable
+    body = (f'<div id="zone"><div id="art">{ART3}</div>'
+            '<p>Short closing remark. </p></div>')
+    out = extract_html(_page(body))
+    assert "Short closing remark" in out
+
+
+def test_short_sibling_without_period_dropped():
+    body = (f'<div id="zone"><div id="art">{ART3}</div>'
+            '<p>short remark no dot</p></div>')
+    out = extract_html(_page(body))
+    assert "short remark no dot" not in out
+
+
+def test_short_sibling_with_link_dropped():
+    body = (f'<div id="zone"><div id="art">{ART3}</div>'
+            '<p>See <a href="/x">link</a>. </p></div>')
+    out = extract_html(_page(body))
+    assert "link" not in out
 
 
 def test_sanitize_negative_class_survivor_header_dropped():
@@ -240,3 +258,46 @@ def test_sanitize_neighbor_allowance_whitelists_descendants():
     c = _content(f'<p>{big}</p><div class="x">short junk'
                  f'<div>nested bit</div></div><p>{big}</p>{ART3}')
     assert "short junk" in c and "nested bit" in c
+
+
+def test_score_node_list_and_header_penalties():
+    from ragflow_spark.extractlib.dom import find_first
+    from ragflow_spark.extractlib.readability import Document
+    # a p inside <li>: the li is scored as its parent, -3 tag penalty
+    doc = Document(_page(f"<ul><li><p>{LONG_P}</p></li></ul>").decode())
+    root = doc._take_root()
+    li = find_first(root, "li")
+    assert doc._score_node(li)["content_score"] == -3
+    # a p inside <th>: -5
+    doc2 = Document(_page(
+        f"<table><tr><th><p>{LONG_P}</p></th></tr></table>").decode())
+    th = find_first(doc2._take_root(), "th")
+    assert doc2._score_node(th)["content_score"] == -5
+
+
+def test_link_density_of_anchor_counts_descendants_only():
+    # lxml findall('.//a') is descendants-only: an <a> candidate's own
+    # text is not link text, only nested anchors count
+    from ragflow_spark.extractlib.dom import find_first
+    from ragflow_spark.extractlib.readability import Document
+    doc = Document(_page(
+        '<a href="/x">own text <a href="/y">inner</a> tail</a>'
+    ).decode())
+    a = find_first(doc._take_root(), "a")
+    ld = doc._link_density(a)
+    assert 0 < ld < 1
+    total = len("own text inner tail")
+    assert abs(ld - len("inner") / total) < 1e-9
+
+
+def test_sanitize_drops_textless_image_div():
+    # a sub-div with one img and no text: survives the img>1 arm and
+    # dies on the empty-content arm
+    body = (f'<div id="art"><p>{LONG_P}</p><p>{LONG_P}</p>'
+            '<div><img src="x.png"></div></div>')
+    node = __import__(
+        "ragflow_spark.extractlib.readability",
+        fromlist=["Document"]).Document(
+            _page(body).decode()).summary_node()
+    tags = [n.tag for n in node.iter()]
+    assert "img" not in tags

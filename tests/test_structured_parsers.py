@@ -91,3 +91,9 @@ def test_txt_backtick_multichar_delimiter():
 def test_txt_sections_binary_roundtrip():
     out = txt_sections("héllo\nworld".encode("utf-8"))
     assert out and "héllo" in out[0][0]
+
+
+def test_parser_txt_rejects_non_string():
+    import pytest
+    with pytest.raises(TypeError, match="txt type should be str"):
+        parser_txt(b"bytes not str")
