@@ -171,3 +171,132 @@ def test_span_header_desc_shares_header():
     # cell, so both columns inherit the "wide" header
     out = construct_table(_span_grid(), is_english=True)
     assert out == ["wide：a; wide：b; h3：c", "wide：d; wide：e; h3：f"]
+
+
+def _cellx(text, r, c, *, H=None, h=14, R=None, C=None, x=None, y=None,
+           **kw):
+    x0 = x if x is not None else 72 + c * 100
+    top = y if y is not None else 100 + r * 20
+    box = {"text": text, "x0": x0, "x1": x0 + 60, "top": top,
+           "bottom": top + h, "page_number": 1, "layout_type": "table"}
+    if H:
+        box["H"] = 1
+    if R is not None:
+        box["R"] = R
+    if C is not None:
+        box["C"] = C
+    box.update(kw)
+    return box
+
+
+def test_singleton_column_relocates_right():
+    # singleton X sits nearer column 2 (explicit x), both neighbors in
+    # its row are empty -> the right-distance measurement wins
+    boxes = [_cellx("h1", 0, 0, H=True, R=0, C=0),
+             _cellx("h3", 0, 2, H=True, R=0, C=2),
+             _cellx("a", 1, 0, R=1, C=0), _cellx("c", 1, 2, R=1, C=2),
+             _cellx("d", 2, 0, R=2, C=0),
+             _cellx("X", 2, 1, R=2, C=1, x=72 + 195),
+             _cellx("g", 3, 0, R=3, C=0), _cellx("i", 3, 2, R=3, C=2)]
+    out = construct_table(boxes, is_english=True)
+    assert out == ["h1：a; h3：c", "h1：d; h3：X", "h1：g; h3：i"]
+
+
+def test_singleton_column_flanked_by_text_stays():
+    boxes = [_cellx("h1", 0, 0, H=True, R=0, C=0),
+             _cellx("h3", 0, 2, H=True, R=0, C=2),
+             _cellx("a", 1, 0, R=1, C=0), _cellx("X", 1, 1, R=1, C=1),
+             _cellx("c", 1, 2, R=1, C=2),
+             _cellx("d", 2, 0, R=2, C=0), _cellx("f", 2, 2, R=2, C=2),
+             _cellx("g", 3, 0, R=3, C=0), _cellx("i", 3, 2, R=3, C=2)]
+    out = construct_table(boxes, is_english=True)
+    assert out == ["h1：a; X; h3：c", "h1：d; h3：f", "h1：g; h3：i"]
+
+
+def test_singleton_row_flanked_by_text_stays():
+    boxes = [_cellx(f"h{j}", 0, j, H=True, R=0, C=j) for j in range(4)]
+    boxes += [_cellx(t, 1, j, R=1, C=j)
+              for j, t in enumerate(["a", "b", "c", "d"])]
+    boxes += [_cellx("solo", 2, 1, R=2, C=1)]
+    boxes += [_cellx(t, 3, j, R=3, C=j)
+              for j, t in enumerate(["e", "f", "g", "h"])]
+    out = construct_table(boxes, is_english=True)
+    assert out == ["h0：a; h1：b; h2：c; h3：d", "h1：solo",
+                   "h0：e; h1：f; h2：g; h3：h"]
+
+
+def test_singleton_row_relocates_down():
+    boxes = [_cellx(f"h{j}", 0, j, H=True, R=0, C=j) for j in range(4)]
+    boxes += [_cellx(t, 1, j, R=1, C=j)
+              for j, t in enumerate(["a", "b", "c", "d"]) if j != 1]
+    boxes += [_cellx("solo", 2, 1, R=2, C=1, y=100 + 2 * 20 + 12)]
+    boxes += [_cellx(t, 3, j, R=3, C=j)
+              for j, t in enumerate(["e", "f", "g", "h"]) if j != 1]
+    out = construct_table(boxes, is_english=True)
+    assert out == ["h0：a; h2：c; h3：d",
+                   "h0：e; h1：solo; h2：g; h3：h"]
+
+
+def test_singleton_row_extends_textless_up_target():
+    boxes = [_cellx(f"h{j}", 0, j, H=True, R=0, C=j) for j in range(4)]
+    boxes += [_cellx(t, 1, j, R=1, C=j)
+              for j, t in enumerate(["a", "", "c", "d"])]
+    boxes += [_cellx("solo", 2, 1, R=2, C=1)]
+    out = construct_table(boxes, is_english=True)
+    assert out == ["h0：a; h1：solo; h2：c; h3：d"]
+
+
+def test_vertical_rowspan_renders_and_prunes_columns_left_of_hull():
+    span = _cellx("span", 1, 1, R=1, C=1, SP=1,
+                  H_left=72 + 100 - 5, H_right=72 + 100 + 65,
+                  H_top=100 + 20 - 5, H_bott=100 + 2 * 20 + 14 + 5)
+    boxes = [_cellx("h0", 0, 0, H=True, R=0, C=0),
+             _cellx("h1", 0, 1, H=True, R=0, C=1),
+             _cellx("v1", 1, 0, R=1, C=0), span,
+             _cellx("v2", 2, 0, R=2, C=0)]
+    html = construct_table(boxes, html=True)
+    assert "<td  rowspan=2 >span</td>" in html
+    assert "colspan" not in html
+    assert html.count("<tr>") == 3
+
+
+def test_html_empty_cells_and_repeated_header_collapse():
+    boxes = [_cellx("h0", 0, 0, H=True, R=0, C=0),
+             _cellx("x", 1, 0, R=1, C=0), _cellx("y", 1, 1, R=1, C=1),
+             _cellx("z", 2, 1, R=2, C=1)]
+    html = construct_table(boxes, html=True)
+    assert "<th></th>" in html and "<td></td>" in html
+    # an identical second header row collapses (the hdset text quirk)
+    boxes2 = [_cellx("ha", 0, 0, H=True, R=0, C=0),
+              _cellx("hb", 0, 1, H=True, R=0, C=1),
+              _cellx("ha", 1, 0, H=True, R=1, C=0),
+              _cellx("hb", 1, 1, H=True, R=1, C=1),
+              _cellx("x", 2, 0, R=2, C=0), _cellx("y", 2, 1, R=2, C=1)]
+    html2 = construct_table(boxes2, html=True)
+    assert html2.count("ha") == 1
+
+
+def test_desc_multi_header_concat_and_backfill():
+    # second header row longer than the first appends " for <prev>"
+    boxes = [_cellx("Sales", 0, 0, H=True, R=0, C=0),
+             _cellx("Year", 0, 1, H=True, R=0, C=1),
+             _cellx("NorthRegionTotal", 1, 0, H=True, R=1, C=0),
+             _cellx("10", 2, 0, R=2, C=0),
+             _cellx("2024", 2, 1, R=2, C=1),
+             _cellx("20", 3, 0, R=3, C=0)]
+    out = construct_table(boxes, is_english=True)
+    assert out == ["NorthRegionTotal for Sales：10; Year：2024",
+                   "NorthRegionTotal for Sales：20"]
+
+
+def test_desc_header_edge_arms():
+    # shorter second header prepends "<prev> for"; a fully empty header
+    # row is deleted; textless value cells are skipped
+    boxes = [_cellx("Top", 0, 0, H=True, R=0, C=0),
+             _cellx("Up", 1, 0, H=True, R=1, C=0),
+             _cellx("Right", 1, 1, H=True, R=1, C=1),
+             _cellx("", 2, 0, H=True, R=2, C=0),
+             _cellx("", 2, 1, H=True, R=2, C=1),
+             _cellx("1", 3, 0, R=3, C=0), _cellx("", 3, 1, R=3, C=1)]
+    out = construct_table(boxes, is_english=True)
+    assert out == ["Top for Up：1"]
