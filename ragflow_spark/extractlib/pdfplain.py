@@ -76,11 +76,6 @@ _UNESC = {b"\\(": b"(", b"\\)": b")", b"\\\\": b"\\",
           b"\\n": b"\n", b"\\r": b"\r", b"\\t": b"\t"}
 
 
-def _unescape(raw: bytes) -> str:
-    out = re.sub(rb"\\[()\\nrt]", lambda m: _UNESC[m.group(0)], raw)
-    return out.decode("latin-1")
-
-
 def _unescape_bytes(raw: bytes) -> bytes:
     return re.sub(rb"\\[()\\nrt]", lambda m: _UNESC[m.group(0)], raw)
 

@@ -419,3 +419,54 @@ def test_ppt_hostile_container_nesting_capped():
     blob = build_cfb([("PowerPoint Document", inner)])
     with pytest.raises(PptError, match="nesting too deep"):
         parse_ppt(blob)
+
+
+def test_doc_piece_table_guard_arms():
+    # remaining [MS-DOC] guards: 1-byte FIB, truncated Prc run,
+    # non-multiple PlcPcd, non-increasing CPs, both piece-out-of-range
+    # arms, and the ccpText clip that stops at subdocument pieces
+    good = build_doc(["alpha", "beta", "gamma", "delta"], piece_group=1)
+    streams = read_cfb(good)
+    word = streams["WordDocument"]
+    tname = "1Table" if "1Table" in streams else "0Table"
+    FC = 0x01A2
+
+    def with_clx(clx):
+        w2 = bytearray(word)
+        struct.pack_into("<I", w2, FC, 0)
+        struct.pack_into("<I", w2, FC + 4, len(clx))
+        return build_cfb([("WordDocument", bytes(w2)), (tname, clx)])
+
+    def err(blob):
+        with pytest.raises(DocError) as e:
+            parse_doc(blob)
+        return str(e.value)
+
+    assert err(build_cfb([("WordDocument", word[:1]),
+                          (tname, streams[tname])])) == "FIB truncated"
+    assert err(with_clx(b"\x01\x05")) == "truncated Prc"
+    assert err(with_clx(b"\x02" + struct.pack("<I", 5) + b"\x00" * 5)) \
+        == "malformed PlcPcd"
+    assert err(with_clx(b"\x02" + struct.pack("<I", 16)
+                        + struct.pack("<II", 0, 0) + b"\x00" * 8)) \
+        == "non-increasing piece CPs"
+    pcd = b"\x00\x00" + struct.pack("<I", 0x40000000 | 0x3FFFFFF0) \
+        + b"\x00\x00"
+    assert err(with_clx(b"\x02" + struct.pack("<I", 16)
+                        + struct.pack("<II", 0, 5) + pcd)) \
+        == "compressed piece out of range"
+    pcd_u = b"\x00\x00" + struct.pack("<I", 0x3FFFFFF0) + b"\x00\x00"
+    assert err(with_clx(b"\x02" + struct.pack("<I", 16)
+                        + struct.pack("<II", 0, 5) + pcd_u)) \
+        == "unicode piece out of range"
+    # ccpText clip: pieces past the main range are subdocuments
+    w3 = bytearray(word)
+    struct.pack_into("<I", w3, 76, 3)
+    blob3 = build_cfb([("WordDocument", bytes(w3)),
+                       (tname, streams[tname])])
+    assert parse_doc(blob3) == "alp"
+
+
+def test_doc_writer_keeps_unterminated_tail():
+    from ragflow_spark.extractlib.docparse import _split_pieces
+    assert _split_pieces("a\rb", group=1) == ["a\r", "b"]

@@ -106,3 +106,28 @@ def test_skipped_tag_tail_text_kept():
     assert extract_text(
         "<p>keep<script>var x=1;</script> tail kept</p>"
     ) == "keep tail kept"
+
+
+def test_dom_edge_arms():
+    from ragflow_spark.extractlib.dom import (Node, find_first,
+                                              get_body)
+    # parentless drop_tree / drop_tag are no-ops
+    Node("p").drop_tree()
+    Node("p").drop_tag()
+    # drop_tag with a previous sibling: text and tail splice onto the
+    # sibling's tail, lxml-style
+    t = parse_html("<div><b>x</b><span>mid</span>after</div>")
+    find_first(t, "span").drop_tag()
+    assert find_first(t, "b").tail == "midafter"
+    # implied close: a second <p> pops the open one
+    t2 = parse_html("<p>a<p>b")
+    ps = [n for n in t2.iter() if n.tag == "p"]
+    assert len(ps) == 2 and ps[0].parent is not ps[1].parent or \
+        ps[0] is not ps[1]
+    # </br> end tag for a void element is ignored; PIs are dropped
+    assert "a" in extract_text("<div>a</br>b</div>")
+    assert extract_text("<div><?pi data?>x</div>") == "x"
+    # get_body returns <body> when present, the root otherwise
+    assert get_body(parse_html("<html><body><p>x</p></body></html>")
+                    ).tag == "body"
+    assert get_body(parse_html("<p>x</p>")).tag == "#root"

@@ -520,3 +520,152 @@ def test_sniff_unknown_zip_returns_none():
     with zipfile.ZipFile(buf, "w") as z:
         z.writestr("meta.xml", "")
     assert sniff_office(buf.getvalue()) is None
+
+
+def _zip_of(names):
+    import io
+    import zipfile
+    b = io.BytesIO()
+    with zipfile.ZipFile(b, "w") as z:
+        for n, c in names:
+            z.writestr(n, c)
+    return b.getvalue()
+
+
+_XLNS = "http://schemas.openxmlformats.org/spreadsheetml/2006/main"
+_RNS = "http://schemas.openxmlformats.org/officeDocument/2006/relationships"
+_PRNS = "http://schemas.openxmlformats.org/package/2006/relationships"
+_WNS = "http://schemas.openxmlformats.org/wordprocessingml/2006/main"
+
+
+def test_xlsx_degrade_arms():
+    from ragflow_spark.extractlib.xlsxparse import (load_sheets,
+                                                    xlsx_html,
+                                                    xlsx_rows)
+    # invalid cell ref falls back to the running index; an absolute
+    # rel Target has its leading slash stripped; a rel pointing at a
+    # missing part is skipped
+    xl = _zip_of([
+        ("xl/workbook.xml",
+         f'<workbook xmlns="{_XLNS}" xmlns:r="{_RNS}"><sheets>'
+         '<sheet name="S1" sheetId="1" r:id="rid1"/>'
+         '<sheet name="S2" sheetId="2" r:id="rid2"/></sheets>'
+         '</workbook>'),
+        ("xl/_rels/workbook.xml.rels",
+         f'<Relationships xmlns="{_PRNS}">'
+         '<Relationship Id="rid1" Target="/xl/worksheets/sheet1.xml"/>'
+         '<Relationship Id="rid2" Target="worksheets/none.xml"/>'
+         '</Relationships>'),
+        ("xl/worksheets/sheet1.xml",
+         f'<worksheet xmlns="{_XLNS}"><sheetData>'
+         '<row><c r="@@"><v>7</v></c></row></sheetData></worksheet>'),
+    ])
+    assert load_sheets(xl) == [("S1", [[7]])]
+    # a sheet with zero rows contributes nothing to either renderer
+    empty = _zip_of([
+        ("xl/workbook.xml",
+         f'<workbook xmlns="{_XLNS}" xmlns:r="{_RNS}"><sheets>'
+         '<sheet name="Empty" sheetId="1" r:id="rid1"/></sheets>'
+         '</workbook>'),
+        ("xl/_rels/workbook.xml.rels",
+         f'<Relationships xmlns="{_PRNS}">'
+         '<Relationship Id="rid1" Target="worksheets/sheet1.xml"/>'
+         '</Relationships>'),
+        ("xl/worksheets/sheet1.xml",
+         f'<worksheet xmlns="{_XLNS}"><sheetData/></worksheet>'),
+    ])
+    assert xlsx_rows(empty) == [] and xlsx_html(empty) == []
+
+
+def test_docx_bodyless_and_missing_styles_degrade():
+    from ragflow_spark.extractlib.docxparse import (parse_docx,
+                                                    table_title_context,
+                                                    tables_html)
+    doc = _zip_of([("word/document.xml",
+                    f'<w:document xmlns:w="{_WNS}"></w:document>')])
+    assert parse_docx(doc) == ([], [])
+    assert tables_html(doc) == []
+    assert table_title_context(doc, "d") == []
+
+
+def test_docx_block_type_nr_via_dict_tag():
+    import ragflow_spark.extractlib.huqie as H
+    from ragflow_spark.extractlib.docxparse import _block_type
+    old = H._DEFAULT
+    H._DEFAULT = H.HuqieTokenizer("张三 100 nr\n")
+    try:
+        assert _block_type("张三") == "Nr"
+    finally:
+        H._DEFAULT = old
+
+
+def test_docx_table_repeated_header_rows_dedup():
+    from ragflow_spark.extractlib.docxparse import compose_table_content
+    out = compose_table_content([["Name", "Qty"], ["Name", "Qty"],
+                                 ["12", "13"], ["14", "15"]])
+    assert out == ["Name: 12;Qty: 13\nName: 14;Qty: 15"]
+
+
+_ANS = "http://schemas.openxmlformats.org/drawingml/2006/main"
+_PNS = "http://schemas.openxmlformats.org/presentationml/2006/main"
+
+
+def test_pptx_shape_degrade_arms():
+    from xml.etree import ElementTree
+    from ragflow_spark.extractlib.pptxparse import (_bulleted_text,
+                                                    _extract_shape,
+                                                    _shape_pos)
+    el = ElementTree.fromstring
+    # non-numeric offset -> (0, 0)
+    assert _shape_pos(el(
+        f'<x xmlns:a="{_ANS}"><a:off x="abc" y="1"/></x>')) == (0, 0)
+    # buBlip (picture bullet) triggers the bullet prefix like buChar
+    assert _bulleted_text(el(
+        f'<a:p xmlns:a="{_ANS}"><a:pPr lvl="1"><a:buBlip/></a:pPr>'
+        '<a:r><a:t>pic bullet</a:t></a:r></a:p>')) == "  .pic bullet"
+    # graphicFrame without a table / single-row table / sp without
+    # txBody / unknown shape kind
+    assert _extract_shape(el(
+        f'<p:graphicFrame xmlns:p="{_PNS}"/>')) is None
+    one_row = (f'<p:graphicFrame xmlns:p="{_PNS}" xmlns:a="{_ANS}">'
+               '<a:tbl><a:tr><a:tc><a:p><a:r><a:t>only</a:t></a:r>'
+               '</a:p></a:tc></a:tr></a:tbl></p:graphicFrame>')
+    assert _extract_shape(el(one_row)) == ""
+    assert _extract_shape(el(f'<p:sp xmlns:p="{_PNS}"/>')) is None
+    assert _extract_shape(el(f'<p:pic xmlns:p="{_PNS}"/>')) is None
+
+
+def test_pptx_slide_resolution_arms():
+    from ragflow_spark.extractlib.pptxparse import parse_pptx
+    _R = "http://schemas.openxmlformats.org/officeDocument/2006/" \
+        "relationships"
+    pres = (f'<p:presentation xmlns:p="{_PNS}" xmlns:r="{_R}">'
+            '<p:sldIdLst><p:sldId id="256" r:id="rid1"/>'
+            '<p:sldId id="257" r:id="rid2"/>'
+            '<p:sldId id="258" r:id="rid3"/></p:sldIdLst>'
+            '</p:presentation>')
+    rels = (f'<Relationships xmlns="{_PRNS}">'
+            '<Relationship Id="rid1" Target="/ppt/slides/slide1.xml"/>'
+            '<Relationship Id="rid2" Target="slides/missing.xml"/>'
+            '<Relationship Id="rid3" Target="slides/slide3.xml"/>'
+            '</Relationships>')
+    blob = _zip_of([
+        ("ppt/presentation.xml", pres),
+        ("ppt/_rels/presentation.xml.rels", rels),
+        # slide1: absolute Target, no spTree -> "" entry
+        ("ppt/slides/slide1.xml", f'<p:sld xmlns:p="{_PNS}"></p:sld>'),
+        # rid2 target missing from the zip -> skipped entirely
+        ("ppt/slides/slide3.xml",
+         f'<p:sld xmlns:p="{_PNS}"><p:cSld><p:spTree></p:spTree>'
+         '</p:cSld></p:sld>'),
+    ])
+    assert parse_pptx(blob) == ["", ""]
+    bad_rels = _zip_of([("ppt/presentation.xml", pres),
+                        ("ppt/_rels/presentation.xml.rels", "<not-xml")])
+    assert parse_pptx(bad_rels) == []
+
+
+def test_chunk_table_txt_end_to_end():
+    from ragflow_spark.extractlib.tableparse import chunk_table_txt
+    out = chunk_table_txt("name\tage\nbob\t3\nsue\t4\n".encode())
+    assert len(out) == 2 and "bob" in out[0] and "sue" in out[1]

@@ -289,3 +289,46 @@ def test_chunk_laws_pdf_hierarchical_chains():
     assert out[0] == "Law 1"
     assert out[2].startswith("Chapter I\nArticle 1\n")
     assert out[3].startswith("Chapter I\nArticle 2\n")
+
+
+def test_content_stream_array_tm_and_tj_forms():
+    # hand-written PDF: /Contents array of two streams, an indirect
+    # /Length whose target is not an integer (degrades to the lazy
+    # endstream slice), a Tm position set, an odd-length hex show
+    # (zero-padded), and a TJ array mixing literal and hex parts —
+    # all with no /Font anywhere (latin-1 path)
+    pdf = b"""%PDF-1.4
+1 0 obj << /Type /Catalog /Pages 2 0 R >> endobj
+2 0 obj << /Type /Pages /Kids [3 0 R] /Count 1 /MediaBox [0 0 612 792] >> endobj
+3 0 obj << /Type /Page /Parent 2 0 R /Contents [4 0 R 5 0 R] >> endobj
+4 0 obj << /Length 9 0 R >> stream
+BT 1 0 0 1 100 700 Tm (Hello \\(World\\)) Tj ET
+endstream endobj
+5 0 obj << /Length 64 >> stream
+BT 1 0 0 1 100 650 Tm <414> Tj [(ab) <4142> (cd) <434>] TJ ET
+endstream endobj
+9 0 obj (notanint) endobj
+"""
+    boxes = parse_pdf_boxes(pdf)
+    assert [b["text"] for b in boxes] == \
+        ["Hello (World)", "A@", "abABcdC@"]
+    assert boxes[0]["x0"] == 100.0
+    assert boxes[0]["top"] < boxes[1]["top"]    # y=700 above y=650
+
+
+def test_tounicode_odd_hex_destination_degrades():
+    # a bfchar destination with odd hex digits cannot fromhex; the
+    # CMap entry becomes '' and the mapped text vanishes
+    pdf = b"""%PDF-1.4
+2 0 obj << /Type /Pages /Kids [3 0 R] /Count 1 >> endobj
+3 0 obj << /Type /Page /Parent 2 0 R /Contents 4 0 R /Font << /F1 7 0 R >> >> endobj
+4 0 obj << /Length 44 >> stream
+BT /F1 12 Tf 1 0 0 1 100 700 Tm <41> Tj ET
+endstream endobj
+7 0 obj << /ToUnicode 8 0 R >> endobj
+8 0 obj << /Length 90 >> stream
+begincodespacerange <00> endcodespacerange
+beginbfchar <41> <004> endbfchar
+endstream endobj
+"""
+    assert parse_pdf_boxes(pdf) == []

@@ -444,3 +444,43 @@ def test_step_one_none_contact_values_become_empty():
            "basic": {"nation": None}}
     row = step_one_refactor(json.dumps(obj), "rid", "t")
     assert row["phone"] == "" and row["name"] == "" and row["nation"] == ""
+
+
+def test_entity_lookup_edge_arms():
+    from ragflow_spark.extractlib.resume_entities import (corp_norm,
+                                                          corp_tag_of,
+                                                          degree_id,
+                                                          region_get_names,
+                                                          region_is_name)
+    assert degree_id("") == ""
+    assert degree_id("mba") == "6"
+    # region id chains walk the parent pointer
+    assert region_get_names("33") == ["北京市", "北京"]
+    assert region_is_name("河北省")         # suffix-stripped form
+    # corp_norm: stop tokens (group) and region tokens drop out
+    assert corp_norm("google group beijing", False) == "googl beij"
+    # CJK-prefix + latin-tail collapses to the CJK run, and vice versa
+    assert corp_norm("字节跳动techteam", False) == "字节跳动"
+    assert corp_norm("yahoo日本株式会社", False) == "yahoo"
+    # the short-key guard: a 2-char tag key never matches a name
+    # twice its length
+    assert corp_tag_of("腾讯云计算") == []
+
+
+def test_school_select_list_and_empty_forms():
+    from ragflow_spark.extractlib.resume_entities import school_select
+    assert school_select(None) is None
+    assert school_select("（）") is None      # cleans to empty
+    r = school_select(["tsinghua university", "ignored"])
+    assert r and r["name_cn"] == "清华大学"
+
+
+def test_region_city_suffix_arm():
+    import ragflow_spark.extractlib.resume_entities as RE
+    old = RE.REGION_NAMES
+    RE.REGION_NAMES = old | {"试城市"}
+    try:
+        # name absent, name+市 present -> the city-suffix arm
+        assert RE.region_is_name("试城")
+    finally:
+        RE.REGION_NAMES = old

@@ -474,3 +474,29 @@ def test_layout_preprocess_pads_to_stride():
     # identity resize (50, 30) -> padded up to (64, 32)
     assert out.shape == (3, 64, 32)
     assert float(np.abs(out[:, 50:, :]).max()) == 0.0
+
+
+def test_det_resize_rejects_unknown_limit_type():
+    with pytest.raises(ValueError, match="not support limit type"):
+        V.det_resize_shape(40, 60, limit_type="bogus")
+
+
+def test_det_preprocess_convenience_matches_parts():
+    img = (np.arange(40 * 60 * 3) % 251).astype(np.uint8).reshape(
+        40, 60, 3)
+    out, shape = V.det_preprocess(img)
+    assert out.shape == (3, 32, 64)
+    assert list(shape) == [40.0, 60.0, 0.8, pytest.approx(64 / 60)]
+
+
+def test_filter_tag_det_res_accepts_list_boxes():
+    out = V.filter_tag_det_res([[[0, 0], [30, 0], [30, 10], [0, 10]]],
+                             (40, 60, 3))
+    assert out.shape == (1, 4, 2)
+
+
+def test_layout_preprocess_zero_stride_passthrough():
+    img = (np.arange(40 * 60 * 3) % 251).astype(np.uint8).reshape(
+        40, 60, 3)
+    im2, info = V.layout_preprocess(img, stride=0)
+    assert im2.shape[0] == 3

@@ -234,3 +234,16 @@ def test_cv_chain_flipping_quad_pinned():
         WK.quad_to_rect_inverse_cv(pts, cw, ch), cw, ch)
     ndiff = sum(int((x != y).sum()) for x, y in zip(g1, g2))
     assert ndiff > 0
+
+
+def test_interp_weights_rejects_unknown_method():
+    with pytest.raises(ValueError, match="bogus"):
+        WK.interp_weights_1d("bogus", 3)
+
+
+def test_perspective_degenerate_inputs_raise():
+    sq = np.array([[0, 0], [1, 0], [1, 1], [0, 1]], float)
+    with pytest.raises(ValueError, match="degenerate quad"):
+        WK.get_perspective_transform(sq, np.zeros((4, 2)))
+    with pytest.raises(ValueError, match="singular matrix"):
+        WK.invert3x3(np.zeros((3, 3)))
