@@ -277,3 +277,93 @@ def test_ring_self_intersection_detector():
     square = np.array([[0, 0], [4, 0], [4, 4], [0, 4]], dtype=np.int64)
     assert _ring_self_intersects(penta)
     assert not _ring_self_intersects(square)
+
+
+def test_mini_boxes_orientation_swaps():
+    import ragflow_spark.extractlib.dbpost as D
+    # rotated rects whose sorted corners exercise both index-swap arms
+    D.get_mini_boxes(np.array([[0, 0], [10, 4], [8, 12], [-2, 8]],
+                              float))
+    D.get_mini_boxes(np.array([[0, 0], [4, -10], [12, -8], [8, 2]],
+                              float))
+
+
+def test_box_score_outside_window_is_zero():
+    import ragflow_spark.extractlib.dbpost as D
+    s = D.box_score_fast(np.zeros((5, 5), np.float32),
+                         np.array([[10, 10], [12, 10], [12, 12],
+                                   [10, 12]], float))
+    assert s == 0.0
+
+
+def test_offset_round_parameter_arms():
+    import ragflow_spark.extractlib.dbpost as D
+    sq = np.array([[0, 0], [10, 0], [10, 10], [0, 10]], float)
+    # closed-duplicate input ring; degenerate input; zero delta
+    closed = np.vstack([sq, sq[:1]])
+    assert len(D.offset_round(closed, 2.0)) >= 4
+    assert D.offset_round(np.array([[0, 0], [5, 5]], float),
+                          2.0).shape == (2, 2)
+    assert np.array_equal(D.offset_round(sq[:3], 0.0),
+                          sq[:3].astype(np.int64))
+    # non-positive arc tolerance falls back to the Clipper default;
+    # negative delta flips the join sweep
+    D.offset_round(sq[:3], 2.0, arc_tolerance=0)
+    D.offset_round(sq, -1.0)
+    # a near-collinear corner emits a single join point
+    D.offset_round(np.array([[0, 0], [10, 0.001], [20, 0], [10, 5]],
+                            float), 1.0)
+
+
+def test_dp_degenerate_inputs():
+    import ragflow_spark.extractlib.dbpost as D
+    assert D._dp_open([(0, 0), (1, 1)], 0.5) == [(0, 0), (1, 1)]
+    # zero-length chord measures point distance to the anchor
+    assert D._dp_open([(0, 0), (3, 1), (0, 0)], 0.5) == \
+        [(0, 0), (3, 1), (0, 0)]
+    assert D.approx_poly_dp(np.array([[0, 0], [5, 5]], float),
+                            0.5).shape[0] == 2
+
+
+def test_ring_collinear_overlap_detected():
+    import ragflow_spark.extractlib.dbpost as D
+    ring = np.array([[0, 0], [10, 0], [10, 5], [6, 0], [3, 0], [3, 5]],
+                    np.int64)
+    assert D._ring_self_intersects(ring)
+
+
+def test_polygons_bitmap_guard_arms():
+    import ragflow_spark.extractlib.dbpost as D
+    pred = np.zeros((40, 40), np.float32)
+    bmp = np.zeros((40, 40), np.uint8)
+    bmp[5, 5] = 1                    # isolated pixel: < 4 approx points
+    bmp[10:12, 10:12] = 1            # zero pred under it: score gate
+    bmp[20:28, 5:35] = 1
+    pred[20:28, 5:35] = 0.9
+    boxes, scores = D.polygons_from_bitmap(pred, bmp, 40, 40)
+    assert len(boxes) == 1 and scores[0] > 0.8
+
+
+def test_polygons_bitmap_thin_blob_short_side_gate():
+    import ragflow_spark.extractlib.dbpost as D
+    pred = np.zeros((40, 40), np.float32)
+    bmp = np.zeros((40, 40), np.uint8)
+    bmp[20:22, 5:35] = 1
+    pred[20:22, 5:35] = 0.9
+    boxes, _ = D.polygons_from_bitmap(pred, bmp, 40, 40)
+    assert boxes == []
+
+
+def test_polygons_bitmap_concave_pinch_raises_loudly():
+    # the stated seam: a deeply concave contour whose offset ring
+    # self-intersects at a large unclip delta must raise, not emit a
+    # ring the reference's pyclipper union would have repaired
+    import ragflow_spark.extractlib.dbpost as D
+    pred = np.zeros((60, 60), np.float32)
+    bmp = np.zeros((60, 60), np.uint8)
+    bmp[10:50, 10:16] = 1
+    bmp[10:16, 10:50] = 1
+    bmp[44:50, 10:50] = 1
+    pred[bmp == 1] = 0.9
+    with pytest.raises(NotImplementedError, match="self-intersects"):
+        D.polygons_from_bitmap(pred, bmp, 60, 60, unclip_ratio=8.0)

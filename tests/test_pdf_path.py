@@ -332,3 +332,20 @@ beginbfchar <41> <004> endbfchar
 endstream endobj
 """
     assert parse_pdf_boxes(pdf) == []
+
+
+def test_manual_pdf_token_budget_fold():
+    from ragflow_spark.extractlib.templates import chunk_manual_pdf
+    long_body = "alpha beta gamma delta " * 12        # ~48 tokens
+    secs = [("Section 1", long_body), ("Section 2", long_body),
+            ("Section 3", long_body)]
+    blob = build_pdf("Manual 9", secs)
+    out = chunk_manual_pdf(blob)
+    # each >32-token section starts a new chunk; the title folds into
+    # the first (it is under the 32-token floor when appended)
+    assert len(out) == 3
+    assert out[0].startswith("Manual 9\nSection 1\n")
+    assert out[1].startswith("Section 2\n")
+    # short sections keep appending under the 32-token floor
+    tiny = [(f"{i} Part", "word word") for i in range(1, 5)]
+    assert len(chunk_manual_pdf(build_pdf("T", tiny))) == 1

@@ -235,3 +235,48 @@ def test_line_level_not_char_detected():
 def test_empty_and_garbage_blobs():
     assert pdf_to_sections_tables(b"") == ([], [], [])
     assert pdf_to_sections_tables(b"%PDF-1.4 garbage") == ([], [], [])
+
+
+def _tbox(text, top, pn=1, lt=None, lno=None, h=12, **kw):
+    b = dict(text=text, x0=72.0, x1=400.0, top=float(top),
+             bottom=float(top) + h, page_number=pn, height=h)
+    if lt is not None:
+        b["layout_type"] = lt
+    if lno is not None:
+        b["layoutno"] = lno
+    b.update(kw)
+    return b
+
+
+def test_tag_layouts_drops_garbage_lines():
+    from ragflow_spark.extractlib.pdftables import tag_layouts_with_tables
+    out = tag_layouts_with_tables([_tbox("1 / 12", 100),
+                                   _tbox("body text", 130)])
+    assert [b["text"] for b in out] == ["body text"]
+
+
+def test_extract_table_figure_pop_and_merge_guards():
+    from ragflow_spark.extractlib.pdftables import extract_table_figure
+    boxes = [
+        _tbox("plain", 50),                                 # no layoutno
+        _tbox("来源：wind", 100, lt="table", lno="t-1"),
+        _tbox("图表来源: wind", 105, lt="figure", lno="f-0"),
+        _tbox("r1", 120, lt="table", lno="t-1", R=0, C=0),
+        _tbox("", 500, lt="figure", lno="f-1"),             # empty figure
+    ]
+    rem, tbls, figs = extract_table_figure(boxes, [10.0])
+    # both source notes popped, the empty figure renders nothing
+    assert figs == []
+    assert len(tbls) == 1
+    assert [b["text"] for b in rem] == ["plain"]
+
+
+def test_table_merge_same_page_and_far_gap_stay_separate():
+    from ragflow_spark.extractlib.pdftables import extract_table_figure
+    boxes = [
+        _tbox("a", 100, lt="table", lno="t-1", R=0, C=0),
+        _tbox("b", 200, lt="table", lno="t-2", R=0, C=0),   # same page
+        _tbox("c", 5000, pn=2, lt="table", lno="t-3", R=0, C=0),  # far y
+    ]
+    _rem, tbls, _figs = extract_table_figure(boxes, [10.0, 10.0])
+    assert len(tbls) == 3
