@@ -669,3 +669,17 @@ def test_chunk_table_txt_end_to_end():
     from ragflow_spark.extractlib.tableparse import chunk_table_txt
     out = chunk_table_txt("name\tage\nbob\t3\nsue\t4\n".encode())
     assert len(out) == 2 and "bob" in out[0] and "sue" in out[1]
+
+
+def test_office_batch_corrupt_legacy_payloads_degrade():
+    # the Arrow batch walker must swallow DocError/PptError per
+    # document — one bad crawl payload cannot kill the whole batch
+    import pandas as pd
+    from ragflow_spark.extractlib.cfb import build_cfb
+    from ragflow_spark.job.extract import _office_batches
+    bad_doc = build_cfb([("WordDocument", b"\x00" * 600)])
+    bad_ppt = build_cfb([("PowerPoint Document",
+                          b"\x0f\x00\x00\x00\xff\xff\xff\x7f")])
+    pdf = pd.DataFrame({"url": ["a", "b"], "html": [bad_doc, bad_ppt]})
+    out = list(_office_batches(iter([pdf])))
+    assert len(out) == 1 and len(out[0]) == 0
