@@ -185,3 +185,19 @@ def test_chinese_term_fine_grained_or_expansion():
     q, _mm, kw = question("自然语言 的 处理")
     assert '自然语言 OR "自然 语言" OR ("自然 语言"~2)^0.5' in q
     assert "自然语言" in kw and "自然" in kw and "语言" in kw
+
+
+def test_pretoken_masks_surviving_punctuation():
+    # tokenize folds \W+ to spaces, but underscore survives and the
+    # mask pattern drops it — the only reachable mask case, identical
+    # in the reference (term_weight.py:92-110)
+    from ragflow_spark.extractlib.termweight import TermWeightDealer
+    assert TermWeightDealer().pretoken("好_好") == ["好", "好"]
+
+
+def test_weight_digit_fastpaths():
+    from ragflow_spark.extractlib.termweight import TermWeightDealer
+    dl = TermWeightDealer()
+    assert dl._ner_mult("12,5") == 2
+    assert dl._freq("12 5") == 3
+    assert dl._df("12 5") == 5

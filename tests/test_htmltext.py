@@ -131,3 +131,11 @@ def test_dom_edge_arms():
     assert get_body(parse_html("<html><body><p>x</p></body></html>")
                     ).tag == "body"
     assert get_body(parse_html("<p>x</p>")).tag == "#root"
+
+
+def test_traverse_skips_script_without_predrop():
+    # extract_text pre-drops script/style; the in-traverse skip branch
+    # is the parity arm for direct etree_to_text-style calls
+    from ragflow_spark.extractlib.htmltext import extract_text_from_node
+    t = parse_html("<p>keep<script>var x;</script> tail kept</p>")
+    assert extract_text_from_node(t) == "keep tail kept"

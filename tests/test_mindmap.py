@@ -217,3 +217,15 @@ def test_dictify_content_column_nesting():
     # re-entering an existing sublist after a dedent appends to it
     assert M.dictify("# H\n- a\n  - b\n- c\n  - d\n")["H"] == \
         ["a", ["b"], "c", ["d"]]
+
+
+def test_dictify_edge_arms():
+    from ragflow_spark.extractlib.mindmap import dictify, list_to_kv
+    # heading opened with no content closes as an empty dict
+    assert dictify("# T\n## open\n") == {"T": {"open": {}}}
+    # deep indent then partial dedent re-enters the existing sub-list
+    assert dictify("# T\n- a\n        - d1\n    - d2\n") == \
+        {"T": ["a", ["d1", "d2"]]}
+    # list_to_kv recurses into dict values and skips scalars
+    assert list_to_kv({"k": {"inner": ["a", ["b"]]}, "s": "x"}) == \
+        {"k": {"inner": {"a": "b"}}, "s": "x"}

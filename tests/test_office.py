@@ -683,3 +683,42 @@ def test_office_batch_corrupt_legacy_payloads_degrade():
     pdf = pd.DataFrame({"url": ["a", "b"], "html": [bad_doc, bad_ppt]})
     out = list(_office_batches(iter([pdf])))
     assert len(out) == 1 and len(out[0]) == 0
+
+
+def test_docx_page_window_breaks():
+    # lastRenderedPageBreak advances the page counter; paragraphs and
+    # runs past to_page stop the walk
+    from ragflow_spark.extractlib.docxparse import parse_docx
+    doc = (f'<w:document xmlns:w="{_WNS}"><w:body>'
+           '<w:p><w:r><w:t>first</w:t><w:lastRenderedPageBreak/></w:r>'
+           '<w:r><w:t>after break</w:t></w:r></w:p>'
+           '<w:p><w:r><w:t>second page</w:t></w:r></w:p>'
+           '</w:body></w:document>')
+    blob = _zip_of([("word/document.xml", doc)])
+    secs, _tbls = parse_docx(blob, to_page=1)
+    assert [s for s, _ in secs] == ["first", ""]
+    secs0, _ = parse_docx(blob, to_page=0)
+    assert [s for s, _ in secs0] == [""]
+
+
+def test_docx_table_title_stops_without_higher_heading():
+    # a Heading2 with no Heading1 above it: the upward chain walk
+    # stops and the context is just the one heading
+    from ragflow_spark.extractlib.docxparse import table_title_context
+    blob = build_docx([("Deep section", "Heading2"), ("text", None)],
+                      tables=[[["a", "b"], ["1", "2"]]])
+    assert table_title_context(blob, "doc") == ["doc > Deep section"]
+
+
+def test_docx_block_type_token_count_bands():
+    from ragflow_spark.extractlib.docxparse import _block_type
+    # 4-11 tokens -> Tx, 12+ -> Lx (CJK tokens avoid the En pattern)
+    assert _block_type("数据 分析 管道 研究 模型") == "Tx"
+    assert _block_type(" ".join(["数据"] * 13)) == "Lx"
+
+
+def test_docx_table_empty_cell_skipped_in_row_render():
+    from ragflow_spark.extractlib.docxparse import compose_table_content
+    out = compose_table_content([["Name", "Qty"], ["x", ""],
+                                 ["y", "2"]])
+    assert out == ["Name: x\nName: y;Qty: 2"]

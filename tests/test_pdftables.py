@@ -280,3 +280,18 @@ def test_table_merge_same_page_and_far_gap_stay_separate():
     ]
     _rem, tbls, _figs = extract_table_figure(boxes, [10.0, 10.0])
     assert len(tbls) == 3
+
+
+def test_table_merge_caption_and_page_distance_guards():
+    from ragflow_spark.extractlib.pdftables import extract_table_figure
+    boxes = [
+        _tbox("a", 100, lt="table", lno="t-1", R=0, C=0),
+        # caption right after t-1 marks it no-merge
+        _tbox("Table 2 next", 150, lt="table caption", lno="tc-1"),
+        _tbox("b", 300, pn=2, lt="table", lno="t-2", R=0, C=0),
+        # two pages further on: the <=1-page-apart gate drops the pair
+        _tbox("c", 320, pn=4, lt="table", lno="t-3", R=0, C=0),
+    ]
+    _rem, tbls, _figs = extract_table_figure(boxes,
+                                             [10.0, 10.0, 10.0, 10.0])
+    assert len(tbls) == 3

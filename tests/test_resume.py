@@ -51,3 +51,11 @@ def test_field_flattening_rules():
     r2 = _base()
     r2["degree_kwd"] = ["本科"]
     assert chunk_resume(r2, "r.pdf")["degree_kwd"] == "本科"
+
+
+def test_chunk_resume_list_valued_title_field():
+    from ragflow_spark.extractlib.resume import chunk_resume
+    doc = chunk_resume({"name_kwd": ["张三"], "gender_kwd": "男",
+                        "position_name_tks": "工程 师",
+                        "age_int": 30}, "r.pdf")
+    assert "张三" in doc["title_tks"] or "张 三" in doc["title_tks"]

@@ -97,3 +97,10 @@ def test_parser_txt_rejects_non_string():
     import pytest
     with pytest.raises(TypeError, match="txt type should be str"):
         parser_txt(b"bytes not str")
+
+
+def test_set_nested_builds_intermediate_dicts():
+    from ragflow_spark.extractlib.jsonparse import _set_nested
+    d = {}
+    _set_nested(d, ["a", "b", "c"], 1)
+    assert d == {"a": {"b": {"c": 1}}}
