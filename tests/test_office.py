@@ -722,3 +722,12 @@ def test_docx_table_empty_cell_skipped_in_row_render():
     out = compose_table_content([["Name", "Qty"], ["x", ""],
                                  ["y", "2"]])
     assert out == ["Name: x\nName: y;Qty: 2"]
+
+
+def test_pdf_table_batch_skips_non_pdf_payloads():
+    import pandas as pd
+    from ragflow_spark.job.extract import _table_batches_factory
+    gen = _table_batches_factory(False)
+    pdf = pd.DataFrame({"url": ["a"], "html": [b"<html>not pdf</html>"]})
+    out = list(gen(iter([pdf])))
+    assert len(out) == 1 and len(out[0]) == 0

@@ -176,3 +176,19 @@ def test_raptor_rows_assembly(spark):
     assert r1["create_timestamp_flt"] == 123.5
     assert r1["pagerank_fea"] == 5
     assert rows[2]["pagerank_fea"] is None   # falsy pagerank skipped
+
+
+def test_bad_cluster_fn_raises_loudly(spark):
+    # a cluster_fn that does not shrink the layer must fail the job
+    # (reference asserts the same), not loop forever
+    import numpy as np
+    import pytest
+    from ragflow_spark.operators.raptor import raptor_tiers
+
+    def identity_clusters(grp):
+        return np.arange(len(grp))
+
+    rows = [(1, i, f"c{i}", [float(i), 1.0]) for i in range(4)]
+    df = spark.createDataFrame(rows, schema=CHUNK_SCHEMA)
+    with pytest.raises(Exception, match="did not shrink"):
+        raptor_tiers(df, identity_clusters, _summ, _embed).collect()
