@@ -2580,11 +2580,13 @@ def _q_tokenize_huqie(spark: SparkSession, sf_dir: str) -> DataFrame:
     reconciliation + fine-grained second-best re-segmentation over the
     embedded dictionary, on four hand-verified CJK phrases (keyed by
     doc_id % 4; the 研究生命起源 case is a genuine forward/backward
-    disagreement the DFS must resolve)."""
+    disagreement the DFS must resolve, and its English tail pins the
+    Treebank contraction split: "cannot" -> "can not" pre-stem
+    (rag_tokenizer.py:300 word_tokenize parity)."""
     import pandas as pd
 
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
-    phrases = ["中华人民共和国数据分析", "研究生命起源",
+    phrases = ["中华人民共和国数据分析", "研究生命起源 we cannot wait",
                "大规模自然语言处理模型", "数据库与文档提取管道"]
 
     def gen(it):
@@ -5675,13 +5677,13 @@ FROM documents
 SELECT doc_id,
        CASE doc_id % 4
             WHEN 0 THEN '中华人民共和国 数据 分析'
-            WHEN 1 THEN '研究 生命 起源'
+            WHEN 1 THEN '研究 生命 起源 we can not wait'
             WHEN 2 THEN '大规模 自然语言 处理 模型'
             ELSE '数据库 与 文档 提取 管道'
        END AS seg_tks,
        CASE doc_id % 4
             WHEN 0 THEN '中华 人民 共和国 数据 分析'
-            WHEN 1 THEN '研究 生命 起源'
+            WHEN 1 THEN '研究 生命 起源 we can not wait'
             WHEN 2 THEN '大规模 自然 语言 处理 模型'
             ELSE '数据 库 与 文档 提取 管道'
        END AS fine_tks

@@ -23,10 +23,19 @@ Divergences (SURVEY.md §2.7, all resource-bound, machinery intact):
 - traditional->simplified folding (HanziConv) and WordNet
   lemmatization are corpus-bound; identity / Porter-only here;
 - the reference's English branch runs nltk ``word_tokenize`` per
-  alnum run; after the ``\\W+`` fold each run is a single token, so
-  whitespace split is equivalent EXCEPT the Treebank contraction
-  table ("cannot"->"can not", "gonna"->"gon na", and the handful of
-  similar hard-coded splits), which this path does not replicate.
+  alnum run; after the ``\\W+`` fold each run is a single alnum token
+  (punkt sees no sentence-final punctuation, and the Treebank
+  punctuation/quote rules are no-ops without punctuation), so the
+  pipeline reduces to whitespace split PLUS the MacIntyre contraction
+  table's apostrophe-free entries — ``cannot/gimme/gonna/gotta/
+  lemme/wanna`` split in two; the apostrophe-carrying patterns
+  (``d'ye``, ``mor'n``, ``'tis``, ``'twas`` and every ``n't``-family
+  rule) can never fire because ``\\W+`` has already replaced the
+  apostrophe with a space.  Inside a ``\\w+`` run the patterns' ``\\b``
+  anchors exist only at the ends, so a whole-token table lookup is
+  exactly equivalent (``wanna``'s trailing ``\\s`` always matches:
+  the Treebank tokenizer pads the text with a trailing space).
+  Replicated via ``_TREEBANK_SPLITS``.
 """
 
 from __future__ import annotations
@@ -37,6 +46,20 @@ import re
 from .porter import stem as _stem
 
 DENOMINATOR = 1000000
+
+# nltk TreebankWordTokenizer (MacIntyreContractions) splits that can
+# still fire on \W+-folded text: the apostrophe-free CONTRACTIONS2
+# entries.  Input reaching the English branch is already lowercased,
+# so the patterns' (?i) is moot; see module docstring for the
+# whole-token-equivalence argument.
+_TREEBANK_SPLITS = {
+    "cannot": ("can", "not"),
+    "gimme": ("gim", "me"),
+    "gonna": ("gon", "na"),
+    "gotta": ("got", "ta"),
+    "lemme": ("lem", "me"),
+    "wanna": ("wan", "na"),
+}
 
 SPLIT_CHAR = (r"([ ,\.<>/?;:'\[\]\\`!@#$%^&*\(\)\{\}\|_+=《》，。？、；"
               r"‘’：“”【】~！￥%……（）——-]+|[a-zA-Z0-9,\.-]+)")
@@ -287,10 +310,11 @@ class HuqieTokenizer:
         res: list[str] = []
         for L, zh in self._split_by_lang(line):
             if not zh:
-                # word_tokenize ~ whitespace here (runs are single
-                # alnum words by construction of the split); WordNet
-                # lemmatize is identity (divergence note above)
-                res.extend(_stem(t) for t in L.split())
+                # word_tokenize = whitespace split + the apostrophe-
+                # free Treebank contraction splits (module docstring);
+                # WordNet lemmatize is identity (divergence note above)
+                res.extend(_stem(p) for t in L.split()
+                           for p in _TREEBANK_SPLITS.get(t, (t,)))
                 continue
             if len(L) < 2 or re.match(r"[a-z\.-]+$", L) \
                     or re.match(r"[0-9\.-]+$", L):

@@ -216,3 +216,32 @@ def test_fine_grained_english_token_in_cjk_context_splits():
         "data 5000 n\nbase 5000 n\ndatabase 9000 n\n中文 100 n\n")
     assert tk.fine_grained_tokenize("中文一 database") == \
         "中文一 data base"
+
+
+def test_treebank_contraction_splits():
+    # nltk word_tokenize parity (rag_tokenizer.py:300): the
+    # apostrophe-free MacIntyre contractions split in two, pre-stem
+    tk = HuqieTokenizer("")
+    assert tk.tokenize("We cannot wait") == "we can not wait"
+    assert tk.tokenize("gonna gotta gimme lemme wanna") == \
+        "gon na got ta gim me lem me wan na"
+    # 'wanna' at end of input: the Treebank pad supplies the trailing
+    # whitespace its pattern requires, so it still splits
+    assert tk.tokenize("wanna") == "wan na"
+
+
+def test_treebank_splits_are_whole_token_only():
+    # \b anchors exist only at run ends inside a \w+ token: embedded
+    # or suffixed forms never split (they only stem afterwards)
+    tk = HuqieTokenizer("")
+    assert tk.tokenize("wannabe") == "wannab"       # porter e-drop
+    assert tk.tokenize("cannots") == "cannot"       # plural-s strip
+    assert "got ta" not in tk.tokenize("gottabe")
+
+
+def test_treebank_split_fires_after_cjk_adjacency():
+    # a contraction glued to CJK still forms its own language run and
+    # splits; apostrophe forms were already folded by \W+ upstream
+    tk = HuqieTokenizer("中文 100 n\n")
+    assert tk.tokenize("中文cannot等") == "中文 can not 等"
+    assert tk.tokenize("can't") == "can t"          # \W+ ate the quote
