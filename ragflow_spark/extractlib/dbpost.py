@@ -39,7 +39,11 @@ module re-implements from their published algorithms:
     ``polygons_from_bitmap`` detects the case exactly (integer
     segment-intersection test) and raises, a stated loud seam;
     simple concave rings are kept like the reference keeps its
-    single-ring results.
+    single-ring results.  Reachability: the deployed deepdoc OCR
+    pipeline hard-pins ``box_type: "quad"``
+    (deepdoc/vision/ocr.py:420-421), so the poly path — and with it
+    the union seam — is dead code in the reference's own pipeline;
+    it exists here only for ``DBPostProcess`` API parity.
 
 Scores stay bit-exact when the probability map holds dyadic values
 (the synthetic maps use k/128), because every partial sum is then a
