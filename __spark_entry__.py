@@ -2181,7 +2181,18 @@ def _q_msg_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
     pinned token count is the word count): the fits-whole branch, the
     system+last reduction, both token-slice sides, and the
     ends-in-system duplicate-keep quirk (kept twice, tokens counted
-    twice, a slice mutating both copies) all fire at max_length=60."""
+    twice, a slice mutating both copies) all fire at max_length=60.
+
+    r3/r4 driver-red root cause (fixed in r5): this was the only
+    stamped oracle whose result carried a DuckDB HUGEINT column —
+    ``fit_tokens`` flowed from an uncast ``sum(k)``, and HUGEINT
+    materializes as float64 via ``.df()`` / decimal128 via
+    ``.arrow()`` while ``fetchall()`` yields plain ints, so a
+    pandas/Arrow-collecting comparator hashes 60.0 against Spark's
+    int64 60 on every row (the observed 270/270 mismatch) and a
+    fetchall()-based local gate sees identical values at every
+    config.  The oracle now casts both aggregates to BIGINT at the
+    source CTE."""
     from ragflow_spark.operators.promptasm import fit_messages
 
     return fit_messages(_build_fit_msgs(spark, sf_dir), max_length=60)
@@ -4503,7 +4514,16 @@ FROM allt
     # k+budget : budget)) words — token_head cuts at piece starts,
     # which for 'word '*k is exactly repeat('word ', kept)
     # msg_fit twins: the CTE chain is shared by the string query and
-    # its integer evidence surface (msg_fit_meta).  The ends-in-system
+    # its integer evidence surface (msg_fit_meta).  The sum() casts
+    # below are load-bearing: DuckDB sums BIGINT into HUGEINT, and a
+    # HUGEINT column materializes as float64 via .df() / decimal128
+    # via .arrow() (only fetchall() yields plain ints) — so an uncast
+    # fit_tokens hashes as 60.0/Decimal('60') against Spark's int64
+    # 60 on EVERY row under a pandas/Arrow-collecting comparator
+    # while staying invisible to a fetchall()-based one.  msg_fit was
+    # the only stamped oracle emitting HUGEINT, red 270/270 in r3+r4
+    # yet green at every local config — exactly this signature.
+    # The ends-in-system
     # duplicate quirk (prompts.py:73-75): that message is kept TWICE
     # outside branch A (the union arm) with its tokens double-counted
     # in tot_b, and a branch-C slice on its seq mutates both copies.
@@ -4517,7 +4537,7 @@ WITH m AS (
               ELSE 'user' END AS role,
          1 + ((doc_id * 7) % 50) AS k
   FROM documents),
-st AS (SELECT conv_id, sum(k) AS total, count(*) AS n,
+st AS (SELECT conv_id, CAST(sum(k) AS BIGINT) AS total, count(*) AS n,
               max(seq) AS last_seq
        FROM m GROUP BY conv_id),
 kb AS (SELECT m.*, st.total, st.n, st.last_seq,
@@ -4527,8 +4547,9 @@ kb AS (SELECT m.*, st.total, st.n, st.last_seq,
                AND st.n > 1) AS dup
        FROM m JOIN st USING (conv_id)),
 kbs AS (SELECT conv_id,
-               sum(CASE WHEN keep_b THEN k END)
-                 + coalesce(sum(CASE WHEN dup THEN k END), 0) AS tot_b,
+               CAST(sum(CASE WHEN keep_b THEN k END)
+                 + coalesce(sum(CASE WHEN dup THEN k END), 0)
+                 AS BIGINT) AS tot_b,
                min(CASE WHEN keep_b THEN seq END) AS first_kept,
                max(CASE WHEN keep_b THEN seq END) AS last_kept
         FROM kb GROUP BY conv_id),
@@ -6461,7 +6482,7 @@ WITH q AS (
 SELECT doc_id, CAST(j AS INT) AS j, CAST(r AS INT) AS r,
        CAST(cx AS INT) AS cx, CAST(cy AS INT) AS cy,
        COUNT(*) AS cnt,
-       SUM(((cx + dx) + 3 * (cy + dy)) % 8) AS ssum16
+       CAST(SUM(((cx + dx) + 3 * (cy + dy)) % 8) AS BIGINT) AS ssum16
 FROM px
 GROUP BY doc_id, j, r, cx, cy
 """

@@ -91,6 +91,21 @@ def main() -> int:
             continue
         ddf = con.sql(oracles[name])
         dcols = sorted(ddf.columns)
+        # HUGEINT (an uncast DuckDB integer sum) is collector-
+        # dependent: fetchall() yields plain ints (indistinguishable
+        # from Spark's here) but .df() gives float64 and .arrow()
+        # decimal128 — a comparator that materializes via pandas or
+        # Arrow hashes 60.0/Decimal('60') against Spark's 60 on every
+        # row.  That skew kept msg_fit driver-red for two rounds while
+        # green under this fetchall()-based gate, so an oracle emitting
+        # HUGEINT is now itself a failure.
+        huge = [c for c, t in zip(ddf.columns, map(str, ddf.types))
+                if t in ("HUGEINT", "UHUGEINT")]
+        if huge:
+            failures += 1
+            print(f"{name:16s} FAIL oracle emits HUGEINT column(s) "
+                  f"{huge} — cast to BIGINT (collector-dependent "
+                  f"materialization)")
         drows = ddf.fetchall()
         # reorder duck rows to its own column order, hash both
         sh = value_hash(srows, list(sdf.columns))
