@@ -29,6 +29,17 @@ VOID_TAGS = frozenset({
 })
 
 # tag -> set of open tags it implicitly closes (nearest enclosing run)
+class _MinimizedAttr(str):
+    """Sentinel for a minimized attribute (``<input checked>``): equals
+    ``""`` everywhere (lxml exposes ``''`` for these), but the
+    serializer recognises the type and emits the bare name, matching
+    libxml2's NULL-children representation."""
+
+    __slots__ = ()
+
+
+MINIMIZED = _MinimizedAttr("")
+
 _AUTO_CLOSE = {
     "p": {"p"},
     "li": {"li"},
@@ -193,15 +204,28 @@ class _TreeBuilder(HTMLParser):
             self.stack.pop()
 
     # -- HTMLParser hooks ---------------------------------------------
+    @staticmethod
+    def _attr_dict(attrs):
+        # libxml2's HTML parser keeps the FIRST of duplicate attributes
+        # (stdlib yields them in order; last-write-wins would flip it);
+        # a minimized attribute carries MINIMIZED — equal to "" for every
+        # consumer (lxml's Python-side value) but serialized as the bare
+        # name by htmlser (libxml2 stores NULL children for it)
+        d = {}
+        for k, v in attrs:
+            if k not in d:
+                d[k] = MINIMIZED if v is None else v
+        return d
+
     def handle_starttag(self, tag, attrs):
         self._auto_close(tag)
-        node = Node(tag, {k: (v if v is not None else "") for k, v in attrs})
+        node = Node(tag, self._attr_dict(attrs))
         self._cur().append(node)
         if tag not in VOID_TAGS:
             self.stack.append(node)
 
     def handle_startendtag(self, tag, attrs):
-        node = Node(tag, {k: (v if v is not None else "") for k, v in attrs})
+        node = Node(tag, self._attr_dict(attrs))
         self._cur().append(node)
 
     def handle_endtag(self, tag):
