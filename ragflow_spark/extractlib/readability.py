@@ -35,6 +35,7 @@ import re
 from typing import Optional
 
 from .dom import Node, parse_html, find_first, drop_tags
+from .htmlser import clean_attributes, serialize_html
 
 REGEXES = {
     "unlikelyCandidatesRe": re.compile(
@@ -63,11 +64,60 @@ REGEXES = {
     "videoRe": re.compile(r"https?:\/\/(www\.)?(youtube|vimeo)\.com", re.I),
 }
 
-# tags whose presence as a descendant blocks div->p conversion
-# (equivalent to divToPElementsRe matched against the div's inner HTML)
-_DIV_TO_P_BLOCKERS = frozenset(
-    ["a", "blockquote", "dl", "div", "img", "ol", "p", "pre", "table", "ul"]
+# divToPElementsRe runs against the SERIALIZED children of the div
+# (transform_misused_divs_into_paragraphs: b"".join(map(tostring,
+# list(elem)))), and "<(a|...)" matches tag PREFIXES — "<article",
+# "<address", "<aside", "<param", "<picture" all block conversion, not
+# just the exact names.  Serialization escapes "<" in text, tails and
+# attribute values, so a descendant-tag prefix test is match-equivalent
+# (our parser keeps no comments/PIs, the only other raw "<" sources);
+# tests/test_readability_parity.py proves the equivalence against the
+# regex over serialize_html output on random trees.
+_DIV_TO_P_PREFIXES = (
+    "a", "blockquote", "dl", "div", "img", "ol", "p", "table", "ul",
 )
+
+# lxml defs.link_attrs — the attributes Cleaner(javascript=True)
+# rewrites through _remove_javascript_link
+_LINK_ATTRS = frozenset({
+    "action", "archive", "background", "cite", "classid", "codebase",
+    "data", "href", "longdesc", "profile", "src", "usemap", "dynsrc",
+    "lowsrc",
+})
+_JS_SCHEME = re.compile(
+    r"\s*(?:javascript|jscript|livescript|vbscript|data|about|mocha):",
+    re.I)
+_WS_SUB = re.compile(r"[\s\x00-\x08\x0B\x0C\x0E-\x19]+").sub
+
+
+def _remove_javascript_link(link: str) -> str:
+    from urllib.parse import unquote_plus
+    new = _WS_SUB("", unquote_plus(link))
+    if _JS_SCHEME.search(new):
+        return ""
+    return link
+
+
+def _clean_doc_attrs(root: Node) -> None:
+    """The attribute half of readability's parse-time Cleaner:
+    style=True deletes every style attribute, javascript=True deletes
+    on* handlers and blanks javascript:-scheme link values."""
+    for el in root.iter():
+        attrib = el.attrib
+        if not attrib:
+            continue
+        drop = [a for a in attrib if a == "style" or a.startswith("on")]
+        for a in drop:
+            del attrib[a]
+        for a in attrib:
+            if a in _LINK_ATTRS:
+                v = attrib[a]
+                # no ":" precheck: unquote_plus may decode %3A into the
+                # scheme separator, exactly what the lxml regex hunts
+                if v:
+                    nv = _remove_javascript_link(v)
+                    if nv != v:
+                        attrib[a] = nv
 
 
 _CLEAN_LONG = re.compile(r"\s{255,}")
@@ -92,8 +142,29 @@ def _text_length(node: Node) -> int:
     return len(_clean(node.text_content() or ""))
 
 
+# htmls.py normalize_entities — applied AFTER normalize_spaces, so the
+# \xa0 rule is mostly shadowed (str.split() already eats \xa0); the
+# dash / guillemet / literal-reference rules are live
+_TITLE_ENTITIES = (
+    ("\u2014", "-"),
+    ("\u2013", "-"),
+    ("&mdash;", "-"),
+    ("&ndash;", "-"),
+    ("\u00a0", " "),
+    ("\u00ab", '"'),
+    ("\u00bb", '"'),
+    ("&quot;", '"'),
+)
+
+
 def _norm_title(title: str) -> str:
-    return re.sub(r"\s+", " ", title or "").strip()
+    """htmls.py ``norm_title``: normalize_spaces (split/join on unicode
+    whitespace) then normalize_entities."""
+    title = " ".join(title.split()) if title else ""
+    for c, r in _TITLE_ENTITIES:
+        if c in title:
+            title = title.replace(c, r)
+    return title
 
 
 class Document:
@@ -115,24 +186,41 @@ class Document:
         # halves the dominant per-doc cost (stdlib HTMLParser walk)
         self._fresh_root: Node | None = None
 
+    def _parse(self) -> Node:
+        """Parse + the observable part of readability's parse-time
+        ``html_cleaner`` (lxml Cleaner flags at readability.py top):
+        comments/PIs are already dropped by our parser (dom.py);
+        ``style`` and ``on*`` attributes are deleted
+        (style=True/javascript=True) and link attributes carrying a
+        javascript:-family scheme are blanked (rewrite_links with
+        _remove_javascript_link).  <script>/<style>/<link> subtree
+        drops (scripts/style/links=True) happen in ``summary_node`` —
+        same trees by the time anything is scored or serialized."""
+        root = parse_html(self.source)
+        _clean_doc_attrs(root)
+        return root
+
     def _take_root(self) -> Node:
         root = self._fresh_root
         if root is not None:
             self._fresh_root = None
             return root
-        return parse_html(self.source)
+        return self._parse()
 
     # ------------------------------------------------------------------
     def title(self) -> str:
+        """htmls.py ``get_title``: the <title> element's DIRECT text
+        (``.text``, not text_content), with the [no-title] fallback
+        decided on the RAW text — a whitespace-only title therefore
+        normalizes to "" and is returned as "", not "[no-title]"."""
         root = self._fresh_root
         if root is None:
-            root = parse_html(self.source)
+            root = self._parse()
             self._fresh_root = root
         t = find_first(root, "title")
-        if t is None:
+        if t is None or t.text is None or len(t.text) == 0:
             return "[no-title]"
-        txt = _norm_title(t.text_content())
-        return txt if txt else "[no-title]"
+        return _norm_title(t.text)
 
     # ------------------------------------------------------------------
     def summary_node(self, html_partial: bool = True) -> Node:
@@ -140,6 +228,12 @@ class Document:
         while True:
             root = self._take_root()
             drop_tags(root, ("script", "style", "link"))
+            # readability.py summary(): every <body> gets
+            # id="readabilityBody" (overwriting any source id) BEFORE
+            # scoring — positiveRe matches "body", so a body candidate
+            # carries +25 class weight from here on
+            for b in list(root.iter("body")):
+                b.set("id", "readabilityBody")
             if ruthless:
                 self._remove_unlikely_candidates(root)
             self._transform_misused_divs(root)
@@ -154,10 +248,14 @@ class Document:
                 body = find_first(root, "body")
                 article = body if body is not None else root
             cleaned = self._sanitize(article, candidates)
-            # the reference retries when the *serialized* article is shorter
-            # than retry_length; text length is our deterministic stand-in
-            # (documented divergence: tags excluded from the length)
-            if ruthless and _text_length(cleaned) < self.retry_length:
+            # the reference retries when the SERIALIZED article —
+            # clean_attributes(tounicode(node, method="html")) — is
+            # shorter than retry_length (readability.py summary():
+            # article_length = len(cleaned_article or ""));
+            # serialize_html is libxml2-pinned so the byte count is the
+            # reference's own
+            if ruthless and len(clean_attributes(
+                    serialize_html(cleaned))) < self.retry_length:
                 ruthless = False
                 continue
             return cleaned
@@ -178,9 +276,11 @@ class Document:
     def _transform_misused_divs(self, root: Node) -> None:
         for elem in list(root.iter("div")):
             # blocker check covers descendants only (the reference regex
-            # runs on the div's *inner* HTML, not the div tag itself)
-            if not any(n is not elem
-                       for n in elem.iter_tags(_DIV_TO_P_BLOCKERS)):
+            # runs on the div's serialized children, not the div tag
+            # itself) and matches tag-name PREFIXES — see
+            # _DIV_TO_P_PREFIXES
+            if not any(n is not elem and n.tag.startswith(_DIV_TO_P_PREFIXES)
+                       for n in elem.iter()):
                 elem.tag = "p"
         for elem in list(root.iter("div")):
             if elem.text and elem.text.strip():
@@ -244,7 +344,13 @@ class Document:
         def cand_key(n: Node) -> int:
             return id(n)
 
-        for elem in list(root.iter_tags(("p", "pre", "td"))):
+        # the library's self.tags() iterates PER TAG NAME (findall .//p,
+        # then .//pre, then .//td) — not interleaved document order; the
+        # insertion order of `candidates` decides best-candidate
+        # tie-breaks, so the grouping is load-bearing
+        scorable = [e for t in ("p", "pre", "td")
+                    for e in root.iter(t) if e is not root]
+        for elem in scorable:
             parent = elem.getparent()
             if parent is None:
                 continue
@@ -316,14 +422,19 @@ class Document:
         min_len = self.min_text_length
         by_id = {id(c["elem"]): c for c in candidates.values()}
 
-        for header in list(node.iter_tags(("h1", "h2", "h3", "h4", "h5",
-                                           "h6"))):
-            if (self._class_weight(header) < 0
-                    or self._link_density(header) > 0.33):
-                header.drop_tree()
+        # the library's self.tags() snapshots PER TAG NAME, lazily —
+        # the .//h2 findall runs only after every h1 was handled, so an
+        # h2 inside a dropped h1 is never revisited; same for the
+        # form/textarea pair and the reverse clean loop below
+        for t in ("h1", "h2", "h3", "h4", "h5", "h6"):
+            for header in [n for n in node.iter(t) if n is not node]:
+                if (self._class_weight(header) < 0
+                        or self._link_density(header) > 0.33):
+                    header.drop_tree()
 
-        for elem in list(node.iter_tags(("form", "textarea"))):
-            elem.drop_tree()
+        for t in ("form", "textarea"):
+            for elem in [n for n in node.iter(t) if n is not node]:
+                elem.drop_tree()
         for elem in list(node.iter("iframe")):
             if "src" in elem.attrib and REGEXES["videoRe"].search(
                     elem.attrib["src"]):
@@ -334,7 +445,19 @@ class Document:
         allowed: set[int] = set()
         clean_tags = ("table", "ul", "div", "aside", "header", "footer",
                       "section")
-        for el in reversed(list(node.iter_tags(clean_tags))):
+
+        def _reverse_tag_groups():
+            # reverse_tags(): per tag name, findall .//tag REVERSED —
+            # all tables (last first), then uls, then divs, ...; each
+            # group's snapshot is taken only when the previous group is
+            # exhausted, so elements dropped by an earlier group never
+            # appear (detached descendants within one group still do,
+            # as in the library, where their cleanup is a no-op)
+            for t in clean_tags:
+                yield from reversed([n for n in node.iter(t)
+                                     if n is not node])
+
+        for el in _reverse_tag_groups():
             if id(el) in allowed or el.parent is None:
                 continue
             weight = self._class_weight(el)
@@ -349,9 +472,12 @@ class Document:
                 for kind in ("p", "img", "li", "a", "embed", "input")
             }
             counts["li"] -= 100
+            # findall('.//input[@type="hidden"]') — the VALUE match is
+            # case-sensitive (only attribute NAMES are lowercased at
+            # parse), so type="HIDDEN" stays a counted input
             counts["input"] -= sum(
                 1 for n in el.iter("input")
-                if n.get("type", "").lower() == "hidden"
+                if n.get("type") == "hidden"
             )
             content_length = _text_length(el)
             link_density = self._link_density(el)
@@ -399,9 +525,12 @@ class Document:
                             break
                 if sib_lengths and sum(sib_lengths) > 1000:
                     to_remove = False
-                    for des in el.iter_tags(("table", "ul", "div",
-                                             "section")):
-                        allowed.add(id(des))
+                    # self.tags(el, ...) — descendants only, el itself
+                    # is not whitelisted (it was just decided kept)
+                    for t in ("table", "ul", "div", "section"):
+                        for des in el.iter(t):
+                            if des is not el:
+                                allowed.add(id(des))
 
             if to_remove:
                 el.drop_tree()
