@@ -111,12 +111,22 @@ def main() -> int:
     only: set[str] | None = None
     pandas_mode = "--pandas" in sys.argv[1:]
     for a in sys.argv[1:]:
-        if a.startswith("--skip"):
-            skip = set(a.split("=", 1)[-1].split(",")) if "=" in a \
-                else set()
-        if a.startswith("--only"):
-            only = set(a.split("=", 1)[-1].split(",")) if "=" in a \
-                else None
+        if a.startswith("--skip") or a.startswith("--only"):
+            if "=" not in a:
+                # `--skip q1,q2` used to parse as an EMPTY skip set and
+                # run the quadratic oracles it was meant to avoid —
+                # refuse the space-separated form loudly instead
+                print(f"error: {a} requires the form {a}=q1,q2,...",
+                      file=sys.stderr)
+                return 2
+            if a.startswith("--skip"):
+                skip = set(a.split("=", 1)[1].split(","))
+            else:
+                only = set(a.split("=", 1)[1].split(","))
+    if len(args) > 1:
+        print(f"error: unexpected positional arguments {args[1:]} "
+              "(only [sf_dir] is accepted)", file=sys.stderr)
+        return 2
     sf_dir = args[0] if args else "/root/testdata/sf0.01"
     import __spark_entry__ as entrymod
     from ragflow_spark.job.session import get_spark
