@@ -2956,14 +2956,21 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "chunks_book_docx": _q_chunks_book_docx,
         "docx_tables_html": _q_docx_tables_html,
         "docx_table_titles": _q_docx_table_titles,
-        # stalest remaining evidence (r2 stamps on unchanged code,
-        # then r3-stamped queries adjacent to round-4/5-edited modules
-        # as cheap insurance) — fills the 50-entry window
-        "chunks_qa": _q_chunks_qa,
-        "chunks_email": _q_chunks_email,
-        "chunks_table": _q_chunks_table,
-        "chunks_tag": _q_chunks_tag,
-        "chunks_xlsx": _q_chunks_xlsx,
+        # round-5 session 5: dup_clusters was rewritten around a
+        # partition-local union-find contraction (dedup.py), so every
+        # query that executes it needs a fresh stamp on current code —
+        # these five are the complete set of direct executors
+        # (communities/community_weights via hierarchical_communities,
+        # ents_resolved/rels_resolved via resolution_mapping's
+        # string-id path); all five re-verified green locally at the
+        # driver's exact config before landing here
+        "dup_clusters": _q_dup_clusters,
+        "communities": _q_communities,
+        "community_weights": _q_community_weights,
+        "ents_resolved": _q_ents_resolved,
+        "rels_resolved": _q_rels_resolved,
+        # r3-stamped queries adjacent to round-4/5-edited modules as
+        # cheap insurance — fills the 50-entry window
         "kb_prompts": _q_kb_prompts,
         "mentions_ents": _q_mentions_ents,
         "mentions_rels": _q_mentions_rels,
@@ -2979,6 +2986,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # ---- end of the driver's 50-query stamp window ----
         "kg_chunk_ents": _q_kg_chunk_ents,
         "kg_chunk_rels": _q_kg_chunk_rels,
+        # evicted from the window for the dup_clusters family (r2
+        # stamps, but on code unchanged since r2 — the weaker claim)
+        "chunks_qa": _q_chunks_qa,
+        "chunks_email": _q_chunks_email,
+        "chunks_table": _q_chunks_table,
+        "chunks_tag": _q_chunks_tag,
+        "chunks_xlsx": _q_chunks_xlsx,
         # r3-stamped queries (code unchanged since their stamp)
         "chunks_txt": _q_chunks_txt,
         "chunks_json": _q_chunks_json,
@@ -2990,8 +3004,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "chunks_pptx": _q_chunks_pptx,
         "chunks_resume": _q_chunks_resume,
         "chunks_resume_enriched": _q_chunks_resume_enriched,
-        "communities": _q_communities,
-        "community_weights": _q_community_weights,
         "graph_nodes": _q_graph_nodes,
         "graph_edges": _q_graph_edges,
         "docx_img_lines": _q_docx_img_lines,
@@ -3000,8 +3012,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pdf_scraps": _q_pdf_scraps,
         "match_expr": _q_match_expr,
         "graph_pagerank": _q_graph_pagerank,
-        "ents_resolved": _q_ents_resolved,
-        "rels_resolved": _q_rels_resolved,
         "resolution_parse": _q_resolution_parse,
         "eval_metrics": _q_eval_metrics,
         "task_plan": _q_task_plan,
@@ -3038,7 +3048,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_stats": _q_doc_stats,
         "quality_score": _q_quality_score,
         "dedup_minhash": _q_dedup_minhash,
-        "dup_clusters": _q_dup_clusters,
         "entity_candidates": _q_entity_candidates,
         "dedup_ngram": _q_dedup_ngram,
         "ann_topk": _q_ann_topk,

@@ -352,6 +352,55 @@ def dedup_exact(docs: DataFrame, col: str = "text") -> DataFrame:
     )
 
 
+def _contract_partitions(edges: DataFrame) -> DataFrame:
+    """(node, root): partition-local union-find over an edge frame.
+
+    One Arrow-batched pass (``mapInPandas``): each input partition
+    runs a sequential union-find over its own edges (attach the larger
+    root under the smaller, so a tree's root is always its set's
+    minimum id) and emits every endpoint with its partition-local
+    root.  No shuffle — the pass accepts whatever partitioning the
+    edge frame arrives with, because ANY partitioning is correct: an
+    edge's endpoints always share a local root, and a node split
+    across partitions stitches its roots in the caller's contracted
+    graph.  Memory is bounded by the scan partition
+    (``maxPartitionBytes``): 128 MB of 16-byte edge pairs is ~8M
+    dict entries."""
+    import pandas as pd
+
+    id_type = edges.schema["src"].dataType.simpleString()
+
+    def gen(batches):
+        parent: dict = {}
+
+        def find(x):
+            root = x
+            while parent[root] != root:
+                root = parent[root]
+            while parent[x] != root:
+                parent[x], x = root, parent[x]
+            return root
+
+        for pdf in batches:
+            for a, b in zip(pdf["src"].tolist(), pdf["dst"].tolist()):
+                if a not in parent:
+                    parent[a] = a
+                if b not in parent:
+                    parent[b] = b
+                ra, rb = find(a), find(b)
+                if ra != rb:
+                    if rb < ra:
+                        ra, rb = rb, ra
+                    parent[rb] = ra
+        if parent:
+            nodes = list(parent)
+            yield pd.DataFrame({"node": nodes,
+                                "root": [find(n) for n in nodes]})
+
+    return edges.mapInPandas(
+        gen, schema=f"node {id_type}, root {id_type}")
+
+
 def dup_clusters(pairs: DataFrame, max_iters: int = 20,
                  a_col: str = "doc_a", b_col: str = "doc_b") -> DataFrame:
     """(doc_id, cluster_id): connected components over near-duplicate
@@ -359,17 +408,61 @@ def dup_clusters(pairs: DataFrame, max_iters: int = 20,
     GROUPS (keep one representative per component). cluster_id is the
     component's minimum doc id.
 
-    Algorithm: iterative min-label propagation with pointer jumping —
-    each round every node takes min(own label, neighbors' labels,
-    label-of-label). The self-join squares propagation distance, so
-    convergence is O(log diameter) rounds (dup clusters are shallow;
-    CC-scale chains converge in a handful). Each round is two
+    Algorithm: partition-local contraction, then iterative min-label
+    propagation over the contracted graph (the two-level CC shape of
+    Kiveris et al., "Connected Components in MapReduce and Beyond").
+
+    1. **Contract** (map-only): each edge partition union-finds its own
+       edges and emits (node, local_root) — no shuffle of the full edge
+       set at all (the previous all-rounds-over-all-edges form paid a
+       symmetrize+distinct exchange up front and re-joined the full
+       edge set every round).
+    2. **Stitch**: a node seen by k partitions carries k local roots;
+       one groupBy(node) emits (min_root, other_root) edges.  The
+       contracted graph's node set is the local ROOTS — orders of
+       magnitude smaller than the input (bounded by edge partition
+       count x components-per-partition, not by document count).
+    3. **Propagate**: the fused pointer-jumping min-label rounds run
+       on that contracted graph only, O(log diameter) rounds of
+       3 exchanges each — but over roots, not documents.
+    4. **Map back**: one join + min-agg restores per-document labels
+       (any of a node's roots carries the component label; min() makes
+       the agg deterministic).
+
+    Local roots are partition-local minima and stitching/propagation
+    takes minima of minima, so cluster_id = the component's global
+    minimum id regardless of how edges land in partitions — values are
+    partitioning-invariant (the property the correctness gate checks
+    across Spark configs)."""
+    edges = pairs.select(F.col(a_col).alias("src"),
+                         F.col(b_col).alias("dst"))
+    mapping = _contract_partitions(edges)
+    grp = mapping.groupBy("node").agg(
+        F.min("root").alias("r0"),
+        F.collect_set("root").alias("rs"))
+    cedges = (grp.where(F.size("rs") > 1)
+              .select(F.col("r0").alias("src"),
+                      F.explode("rs").alias("dst"))
+              .where(F.col("src") != F.col("dst")))
+    lbls = _min_label_prop(cedges, max_iters) \
+        .withColumnRenamed("src", "root")
+    return (
+        mapping.join(lbls, "root", "left")
+        .groupBy("node")
+        .agg(F.min(F.coalesce("lbl", F.col("root"))).alias("cluster_id"))
+        .select(F.col("node").alias("doc_id"), "cluster_id")
+    )
+
+
+def _min_label_prop(edges: DataFrame, max_iters: int) -> DataFrame:
+    """(src, lbl): fused pointer-jumping min-label propagation — each
+    round every node takes min(own label, neighbors' labels,
+    label-of-label). The label self-join squares propagation distance,
+    so convergence is O(log diameter) rounds. Each round is two
     broadcast-free joins keyed on 8-byte ids; the per-round
     convergence check is one count action — the standard Spark shape
     for iterative graph algorithms (GraphX/Pregel does the same under
     the hood). Labels are cached per round and unpersisted after."""
-    edges = pairs.select(F.col(a_col).alias("src"),
-                         F.col(b_col).alias("dst"))
     edges = edges.unionByName(
         edges.select(F.col("dst").alias("src"),
                      F.col("src").alias("dst"))).distinct().cache()
@@ -417,5 +510,4 @@ def dup_clusters(pairs: DataFrame, max_iters: int = 20,
         if changed == 0:
             break
     edges.unpersist()
-    return labels.select(F.col("src").alias("doc_id"),
-                         F.col("lbl").alias("cluster_id"))
+    return labels

@@ -113,3 +113,61 @@ def test_dup_clusters_vs_union_find_random_both_id_types():
         sgot = {r["doc_id"]: r["cluster_id"]
                 for r in dup_clusters(sdf).collect()}
         assert sgot == uf_clusters(spairs)
+
+
+def test_dup_clusters_contraction_across_partitions():
+    """The partition-local contraction must stitch components whose
+    edges are spread across many partitions: a 16-node chain
+    repartitioned into 8 partitions guarantees most consecutive edges
+    land apart, so the result can only be right if the groupBy(node)
+    stitch connects the local roots."""
+    from ragflow_spark.job.session import get_spark
+    from ragflow_spark.operators.dedup import dup_clusters
+
+    spark = get_spark("local[4]", shuffle_partitions=4)
+    chain = [(i, i + 1) for i in range(100, 115)]
+    df = spark.createDataFrame(chain, schema="doc_a long, doc_b long") \
+        .repartition(8)
+    got = {r["doc_id"]: r["cluster_id"]
+           for r in dup_clusters(df).collect()}
+    assert got == {i: 100 for i in range(100, 116)}
+
+
+def test_dup_clusters_self_loops_and_duplicate_edges():
+    """Self-pairs register the node without merging anything, and
+    repeated/reversed edges don't change the result (the contraction
+    consumes the raw pair frame — no distinct/symmetrize pre-pass)."""
+    from ragflow_spark.job.session import get_spark
+    from ragflow_spark.operators.dedup import dup_clusters
+
+    spark = get_spark("local[4]", shuffle_partitions=4)
+    pairs = [(1, 2), (2, 1), (1, 2), (3, 3), (4, 5), (5, 6), (6, 4)]
+    df = spark.createDataFrame(pairs, schema="doc_a long, doc_b long")
+    got = {r["doc_id"]: r["cluster_id"]
+           for r in dup_clusters(df).collect()}
+    assert got == {1: 1, 2: 1, 3: 3, 4: 4, 5: 4, 6: 4}
+
+
+def test_contract_partitions_invariants():
+    """Every endpoint appears exactly once per partition it touches,
+    an edge's endpoints share a local root, and each local root is the
+    minimum of its local set."""
+    from pyspark.sql import functions as F
+    from ragflow_spark.job.session import get_spark
+    from ragflow_spark.operators.dedup import _contract_partitions
+
+    spark = get_spark("local[4]", shuffle_partitions=4)
+    pairs = [(10, 11), (11, 12), (30, 31), (12, 30), (50, 51)]
+    edges = spark.createDataFrame(
+        pairs, schema="src long, dst long").repartition(3)
+    m = _contract_partitions(edges)
+    rows = m.collect()
+    # roots are <= their nodes (min-representative union)
+    assert all(r["root"] <= r["node"] for r in rows)
+    # every node of the input appears
+    assert {r["node"] for r in rows} == {10, 11, 12, 30, 31, 50, 51}
+    # stitching the mapping yields the true components
+    grp = (m.groupBy("node")
+           .agg(F.min("root").alias("r0"),
+                F.collect_set("root").alias("rs")).collect())
+    assert all(row["r0"] in row["rs"] for row in grp)
