@@ -436,7 +436,19 @@ def dup_clusters(pairs: DataFrame, max_iters: int = 20,
     across Spark configs)."""
     edges = pairs.select(F.col(a_col).alias("src"),
                          F.col(b_col).alias("dst"))
-    mapping = _contract_partitions(edges)
+    # The contraction output feeds two consumers: the stitch/propagate
+    # path (executed eagerly by _min_label_prop's per-round counts) and
+    # the returned map-back join.  Pin it so (a) the upstream pair
+    # generation runs once, not twice, and (b) both consumers see the
+    # SAME local roots — a recomputation under different partitioning
+    # would assign different (still-valid) local roots, and the
+    # map-back join would miss the propagated labels and silently
+    # split clusters.  localCheckpoint because the second consumer is
+    # the lazily-returned frame (cache() could not be unpersisted
+    # here); lineage severing / unreplicated blocks is the known
+    # tradeoff (see retrieval.py) — on executor loss the job fails
+    # and the checkpoint-resume layer re-runs the batch.
+    mapping = _contract_partitions(edges).localCheckpoint(eager=False)
     grp = mapping.groupBy("node").agg(
         F.min("root").alias("r0"),
         F.collect_set("root").alias("rs"))
