@@ -5,14 +5,26 @@ Models the subset of the lxml.html Element API that the readability
 ``text``, ``tail``, child list, parent pointer, ``text_content()``,
 ``drop_tree()`` (tail-preserving, like ``lxml.html.HtmlElement.drop_tree``).
 
-Normalizations (deterministic, browser-like):
+Recovery on malformed input replicates libxml2's HTML parser (what
+lxml.html — and therefore readability-lxml — actually uses):
   * void elements never take children;
-  * ``<p>`` auto-closes an open ``<p>``; ``li/tr/td/th/option`` likewise
-    auto-close their own kind (libxml2's HTML parser does the same, so this
-    keeps our tree shapes close to what readability-lxml sees);
-  * stray end tags are ignored; unclosed tags close at EOF;
+  * a start tag auto-closes open elements via libxml2's ``htmlAutoClose``
+    loop: while the TOP of the element stack is in the new tag's
+    ``htmlStartClose`` row, pop it.  ``AUTO_CLOSE_PAIRS`` below is that
+    relation, derived from the system libxml2 2.9.14 by observation
+    (``tools/derive_autoclose.py``; a live pytest differential re-derives
+    it).  Top-of-stack only: ``<ul><li>a<b>x<li>c`` nests the second li
+    inside ``<b>`` because (li, b) is not a pair, even though (li, li) is;
+  * XML-style self-closing syntax (``<div/>``) runs the same auto-close,
+    then appends an EMPTY element (libxml2 honors the slash in HTML mode);
+  * a duplicate ``<html>``/``<body>``/``<head>`` start tag is ignored,
+    attributes dropped (libxml2 merges content into the existing node);
+  * stray end tags are ignored (no HTML5-style implied ``<p></p>``);
+    a matching end tag closes through every intermediate open element;
+    unclosed tags close at EOF;
   * comments, processing instructions and doctypes are dropped at parse time
-    (both readability-lxml's clean step and html-text's Cleaner remove them).
+    (both readability-lxml's clean step and html-text's Cleaner remove them;
+    the serialized-length retry measure strips comments the same way).
 
 Character references are decoded by ``html.parser`` (convert_charrefs=True),
 matching lxml's entity resolution.
@@ -40,15 +52,73 @@ class _MinimizedAttr(str):
 
 MINIMIZED = _MinimizedAttr("")
 
-_AUTO_CLOSE = {
-    "p": {"p"},
-    "li": {"li"},
-    "tr": {"tr", "td", "th"},
-    "td": {"td", "th"},
-    "th": {"td", "th"},
-    "option": {"option"},
-    "dd": {"dd", "dt"},
-    "dt": {"dd", "dt"},
+# libxml2 htmlStartClose relation: new start tag -> open tags it closes
+# while they sit on TOP of the element stack.  Derived from the system
+# libxml2 2.9.14 by tools/derive_autoclose.py (do not hand-edit; re-run
+# the tool with --diff to audit).
+AUTO_CLOSE_PAIRS: dict[str, frozenset] = {
+    "a": frozenset({"a"}),
+    "address": frozenset({"p", "ul"}),
+    "blockquote": frozenset({"p"}),
+    "caption": frozenset({"p"}),
+    "center": frozenset({"b", "font", "i", "p"}),
+    "colgroup": frozenset({"caption", "colgroup", "p"}),
+    "dd": frozenset({"address", "dir", "dt", "menu", "p", "pre"}),
+    "dir": frozenset({"p"}),
+    "div": frozenset({"p"}),
+    "dl": frozenset({"address", "dir", "dt", "menu", "p", "pre"}),
+    "dt": frozenset({"address", "dd", "dir", "menu", "p", "pre"}),
+    "fieldset": frozenset({"a", "h1", "h2", "h3", "h4", "h5", "h6",
+                           "legend", "p", "pre"}),
+    "form": frozenset({"address", "dir", "dl", "form", "h1", "h2", "h3",
+                       "h4", "h5", "h6", "menu", "ol", "p", "pre", "ul"}),
+    "h1": frozenset({"p"}),
+    "h2": frozenset({"p"}),
+    "h3": frozenset({"p"}),
+    "h4": frozenset({"p"}),
+    "h5": frozenset({"p"}),
+    "h6": frozenset({"p"}),
+    "hr": frozenset({"p"}),
+    "li": frozenset({"address", "dl", "h1", "h2", "h3", "h4", "h5", "h6",
+                     "li", "p", "pre"}),
+    "menu": frozenset({"p", "ul"}),
+    "ol": frozenset({"p", "ul"}),
+    "optgroup": frozenset({"option"}),
+    "option": frozenset({"option"}),
+    "p": frozenset({"b", "big", "h1", "h2", "h3", "h4", "h5", "h6", "i",
+                    "p", "s", "small", "strike", "tt", "u"}),
+    "pre": frozenset({"p", "ul"}),
+    "table": frozenset({"a", "h1", "h2", "h3", "h4", "h5", "h6", "p",
+                        "pre"}),
+    "tbody": frozenset({"caption", "colgroup", "p", "tbody", "td",
+                        "tfoot", "th", "thead", "tr"}),
+    "td": frozenset({"a", "b", "font", "i", "p", "span", "td", "th",
+                     "u"}),
+    "tfoot": frozenset({"caption", "colgroup", "p", "tbody", "td", "th",
+                        "thead", "tr"}),
+    "th": frozenset({"a", "b", "font", "i", "p", "span", "td", "th",
+                     "u"}),
+    "thead": frozenset({"caption", "colgroup"}),
+    "title": frozenset({"p"}),
+    "tr": frozenset({"caption", "colgroup", "p", "td", "th", "tr"}),
+    "ul": frozenset({"address", "dir", "menu", "ol", "p", "pre"}),
+}
+
+# Document-structure tags libxml2 never duplicates: a repeated start tag
+# is ignored (content merges into the existing element, attrs dropped).
+_SINGLETON_TAGS = frozenset({"html", "head", "body"})
+
+# libxml2 htmlEndPriority: a misplaced end tag closes through open
+# elements only while their priority is <= its own; crossing a
+# higher-priority element makes the end tag a no-op.  Values derived
+# from the system libxml2 2.9.14 by observation (the full pairwise
+# closes-through matrix over the element universe reduces to exactly
+# this total order — tools/derive_autoclose.py --priorities).
+# Unlisted tags have priority 100.
+_END_PRIORITY = {
+    "div": 150, "td": 160, "th": 160, "tr": 161, "thead": 162,
+    "tbody": 162, "tfoot": 162, "table": 170, "head": 180,
+    "body": 190, "html": 200,
 }
 
 
@@ -183,6 +253,7 @@ class _TreeBuilder(HTMLParser):
         super().__init__(convert_charrefs=True)
         self.root = Node("#root")
         self.stack = [self.root]
+        self._seen_singletons: set = set()
 
     # -- helpers -------------------------------------------------------
     def _cur(self) -> Node:
@@ -197,10 +268,12 @@ class _TreeBuilder(HTMLParser):
             cur.text = (cur.text or "") + data
 
     def _auto_close(self, tag: str) -> None:
-        closers = _AUTO_CLOSE.get(tag)
+        # libxml2 htmlAutoClose: pop while the new tag closes the TOP of
+        # the element stack (context-free pair check, top-only).
+        closers = AUTO_CLOSE_PAIRS.get(tag)
         if not closers:
             return
-        if self._cur().tag in closers:
+        while len(self.stack) > 1 and self.stack[-1].tag in closers:
             self.stack.pop()
 
     # -- HTMLParser hooks ---------------------------------------------
@@ -218,6 +291,10 @@ class _TreeBuilder(HTMLParser):
         return d
 
     def handle_starttag(self, tag, attrs):
+        if tag in _SINGLETON_TAGS:
+            if tag in self._seen_singletons:
+                return  # libxml2 ignores duplicate html/head/body tags
+            self._seen_singletons.add(tag)
         self._auto_close(tag)
         node = Node(tag, self._attr_dict(attrs))
         self._cur().append(node)
@@ -225,15 +302,25 @@ class _TreeBuilder(HTMLParser):
             self.stack.append(node)
 
     def handle_startendtag(self, tag, attrs):
+        # <div/>: libxml2's HTML parser honors the slash — auto-close
+        # runs, then an EMPTY element is appended (never pushed).
+        if tag in _SINGLETON_TAGS and tag in self._seen_singletons:
+            return
+        self._auto_close(tag)
         node = Node(tag, self._attr_dict(attrs))
         self._cur().append(node)
 
     def handle_endtag(self, tag):
         if tag in VOID_TAGS:
             return
+        pri = _END_PRIORITY.get(tag, 100)
         for i in range(len(self.stack) - 1, 0, -1):
             if self.stack[i].tag == tag:
                 del self.stack[i:]
+                return
+            if _END_PRIORITY.get(self.stack[i].tag, 100) > pri:
+                # libxml2 htmlAutoCloseOnClose: a misplaced end tag
+                # cannot close through a higher-priority element
                 return
         # stray end tag: ignored
 

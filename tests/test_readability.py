@@ -277,17 +277,35 @@ def test_score_node_list_and_header_penalties():
 
 def test_link_density_of_anchor_counts_descendants_only():
     # lxml findall('.//a') is descendants-only: an <a> candidate's own
-    # text is not link text, only nested anchors count
+    # text is not link text, only nested anchors count.  A bare a-in-a
+    # cannot nest (libxml2's a-closes-a start rule, AUTO_CLOSE_PAIRS),
+    # so the descendant anchor sits behind a <span> — verified against
+    # the shared library to keep this exact tree shape.
     from ragflow_spark.extractlib.dom import find_first
     from ragflow_spark.extractlib.readability import Document
     doc = Document(_page(
-        '<a href="/x">own text <a href="/y">inner</a> tail</a>'
+        '<a href="/x">own text <span><a href="/y">inner</a></span>'
+        ' tail</a>'
     ).decode())
     a = find_first(doc._take_root(), "a")
     ld = doc._link_density(a)
     assert 0 < ld < 1
     total = len("own text inner tail")
     assert abs(ld - len("inner") / total) < 1e-9
+
+
+def test_a_closes_a_makes_sibling_anchor():
+    # the OLD divergent shape: a bare nested <a> becomes a SIBLING
+    # (libxml2 htmlStartClose pair (a, a)) and the outer anchor's link
+    # density is 0 — descendants-only with no descendants
+    from ragflow_spark.extractlib.dom import find_first
+    from ragflow_spark.extractlib.readability import Document
+    doc = Document(_page(
+        '<a href="/x">own text <a href="/y">inner</a> tail</a>'
+    ).decode())
+    a = find_first(doc._take_root(), "a")
+    assert [c.tag for c in a.children] == []
+    assert doc._link_density(a) == 0.0
 
 
 def test_sanitize_drops_textless_image_div():

@@ -1,0 +1,124 @@
+"""Randomized malformed-HTML differential: dom.py + htmlser vs libxml2.
+
+Generates random token streams (start tags, stray/mismatched end tags,
+XML self-closing syntax, text with entities, duplicate/minimized/URI
+attributes) wrapped in an <html><head><title>t</title></head><body>
+shell, parses each document with BOTH the from-scratch DOM
+(ragflow_spark.extractlib.dom) and the system libxml2 (the parser
+lxml.html / readability-lxml actually uses), serializes the <body>
+subtree from each, and reports divergences.
+
+Deliberately NOT generated (documented parse-time divergences):
+  * comments / PIs / doctypes — dom.py drops them at parse time (the
+    pipeline's Cleaner and the serialized-length retry both strip them);
+  * raw-text elements as containers (script/style/title/textarea) —
+    their content models are pinned by explicit goldens instead;
+  * tokenizer-level junk (bare '<' in text, malformed tag syntax) —
+    stdlib html.parser and libxml2 tokenize these differently upstream
+    of tree construction; extraction inputs are charset-decoded pages
+    where this junk class is rare, and the divergence is documented in
+    dom.py's module docstring.
+
+Usage: python tools/html_fuzz.py [N] [SEED]
+Exit 0 when all N documents match, 1 otherwise (first 10 diffs shown).
+"""
+
+from __future__ import annotations
+
+import random
+import sys
+
+from ragflow_spark.extractlib.dom import find_first, parse_html
+from ragflow_spark.extractlib.htmlser import serialize_html
+from tools.libxml_oracle import load_libxml2, serialize_subtree
+
+TAGS = [
+    "a", "abbr", "address", "b", "big", "blockquote", "caption",
+    "center", "cite", "code", "dd", "dir", "div", "dl", "dt", "em",
+    "fieldset", "font", "form", "h1", "h2", "h3", "h4", "h5", "h6",
+    "i", "ins", "kbd", "label", "legend", "li", "menu", "ol",
+    "optgroup", "option", "p", "pre", "q", "s", "samp", "select",
+    "small", "span", "strike", "strong", "sub", "sup", "table",
+    "tbody", "td", "tfoot", "th", "thead", "tr", "tt", "u", "ul",
+    "var", "article", "section", "nav",
+]
+VOIDS = ["br", "hr", "img", "input"]
+WORDS = ["alpha", "beta", "gamma", "delta", "text", "word", "x", "y",
+         "page", "link", "item", "entry", "note", "&amp;", "&lt;a&gt;",
+         "café", "文档"]
+ATTR_NAMES = ["class", "id", "title", "data-x", "href", "src", "name",
+              "checked", "align", "width"]
+ATTR_VALS = ["main", "x y", 'say "hi"', "it's", "a&b", "http://e.com/a b",
+             "", "1", "café"]
+
+
+def gen_doc(rng: random.Random) -> str:
+    parts = []
+    open_tags: list[str] = []
+    n = rng.randint(4, 28)
+    for _ in range(n):
+        r = rng.random()
+        if r < 0.38:  # start tag
+            tag = rng.choice(TAGS)
+            attrs = ""
+            for _ in range(rng.randint(0, 2)):
+                an = rng.choice(ATTR_NAMES)
+                if rng.random() < 0.2:
+                    attrs += f" {an}"  # minimized
+                else:
+                    av = rng.choice(ATTR_VALS).replace('"', "&quot;")
+                    attrs += f' {an}="{av}"'
+            if rng.random() < 0.08:
+                parts.append(f"<{tag}{attrs}/>")  # self-closing syntax
+            else:
+                parts.append(f"<{tag}{attrs}>")
+                open_tags.append(tag)
+        elif r < 0.52:  # end tag: matching, deep-matching, or stray
+            q = rng.random()
+            if open_tags and q < 0.55:
+                parts.append(f"</{open_tags.pop()}>")
+            elif open_tags and q < 0.8:
+                idx = rng.randrange(len(open_tags))
+                tag = open_tags[idx]
+                del open_tags[idx:]
+                parts.append(f"</{tag}>")
+            else:
+                parts.append(f"</{rng.choice(TAGS)}>")  # stray
+        elif r < 0.60:  # void element
+            v = rng.choice(VOIDS)
+            parts.append(f"<{v}/>" if rng.random() < 0.25 else f"<{v}>")
+        else:  # text
+            parts.append(" ".join(rng.choice(WORDS)
+                                  for _ in range(rng.randint(1, 4))))
+    body = "".join(parts)
+    return ("<html><head><title>t</title></head><body>"
+            f"{body}</body></html>")
+
+
+def run(n: int, seed: int, verbose: bool = True) -> int:
+    rng = random.Random(seed)
+    fails = 0
+    for i in range(n):
+        doc = gen_doc(rng)
+        lx = serialize_subtree(doc, "body")
+        node = find_first(parse_html(doc), "body")
+        ours = serialize_html(node) if node is not None else "<NO BODY>"
+        if lx != ours:
+            fails += 1
+            if verbose and fails <= 10:
+                print(f"--- diff #{fails} (doc {i})")
+                print("  input  :", doc)
+                print("  libxml2:", lx)
+                print("  ours   :", ours)
+    if verbose:
+        print(f"{n - fails}/{n} match (seed {seed})")
+    return fails
+
+
+if __name__ == "__main__":
+    if load_libxml2() is None:
+        print("libxml2 shared library not available", file=sys.stderr)
+        raise SystemExit(1)
+    n = int(sys.argv[1]) if len(sys.argv) > 1 else 2000
+    seed = int(sys.argv[2]) if len(sys.argv) > 2 else 42
+    raise SystemExit(1 if run(n, seed) else 0)
