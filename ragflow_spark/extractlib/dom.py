@@ -26,12 +26,33 @@ lxml.html — and therefore readability-lxml — actually uses):
     (both readability-lxml's clean step and html-text's Cleaner remove them;
     the serialized-length retry measure strips comments the same way).
 
-Character references are decoded by ``html.parser`` (convert_charrefs=True),
-matching lxml's entity resolution.
+Character references are resolved with libxml2's exact semantics, NOT
+stdlib ``html.parser``'s HTML5-style ``convert_charrefs`` (which
+resolves named references without a trailing semicolon, knows the
+~2k-name HTML5 table, and cp1252-remaps C1 numerics — all divergent
+from what lxml.html sees).  Every ``&`` is hidden behind a sentinel
+before tokenization and restored afterwards under libxml2's rules,
+derived from the system library 2.9.14 by observation:
+  * named references need the terminating ``;``, are case-sensitive,
+    and resolve through the 253-entry HTML4 table (htmlEntityLookup) —
+    note ``&lang;``/``&rang;`` map to U+2329/232A, not HTML5's
+    U+27E8/27E9; unknown or unterminated names stay literal;
+  * numeric references (``&#65`` / ``&#x41``) do not need the ``;``
+    (consumed when present, even after zero digits); codepoints failing
+    xmlIsChar (C0 controls except tab/LF/CR, surrogates, >U+10FFFF,
+    U+FFFE/FFFF, zero/empty/overflow) are DELETED, not replaced;
+  * script/style content keeps references literal; title/textarea
+    resolve them (RCDATA).
+If the input already contains the U+E000 sentinel, resolution falls
+back to convert_charrefs semantics (documented divergence; U+E000 is
+a private-use codepoint with no legitimate occurrence in web text).
 """
 
 from __future__ import annotations
 
+import re
+
+from html import unescape as _html_unescape
 from html.parser import HTMLParser
 from typing import Iterator, Optional
 
@@ -120,6 +141,269 @@ _END_PRIORITY = {
     "tbody": 162, "tfoot": 162, "table": 170, "head": 180,
     "body": 190, "html": 200,
 }
+
+
+# libxml2's HTML4 named-entity table (html40EntitiesTable, 253 entries),
+# derived from the system library 2.9.14 by observation
+# (tests/test_dom_recovery.py re-derives it live).  Case-sensitive;
+# values differ from HTML5 on lang/rang (U+2329/232A vs U+27E8/27E9).
+HTML4_ENTITIES = {
+    "AElig": 'Æ', "Aacute": 'Á', "Acirc": 'Â',
+    "Agrave": 'À', "Alpha": 'Α', "Aring": 'Å',
+    "Atilde": 'Ã', "Auml": 'Ä', "Beta": 'Β',
+    "Ccedil": 'Ç', "Chi": 'Χ', "Dagger": '‡',
+    "Delta": 'Δ', "ETH": 'Ð', "Eacute": 'É',
+    "Ecirc": 'Ê', "Egrave": 'È', "Epsilon": 'Ε',
+    "Eta": 'Η', "Euml": 'Ë', "Gamma": 'Γ',
+    "Iacute": 'Í', "Icirc": 'Î', "Igrave": 'Ì',
+    "Iota": 'Ι', "Iuml": 'Ï', "Kappa": 'Κ',
+    "Lambda": 'Λ', "Mu": 'Μ', "Ntilde": 'Ñ',
+    "Nu": 'Ν', "OElig": 'Œ', "Oacute": 'Ó',
+    "Ocirc": 'Ô', "Ograve": 'Ò', "Omega": 'Ω',
+    "Omicron": 'Ο', "Oslash": 'Ø', "Otilde": 'Õ',
+    "Ouml": 'Ö', "Phi": 'Φ', "Pi": 'Π',
+    "Prime": '″', "Psi": 'Ψ', "Rho": 'Ρ',
+    "Scaron": 'Š', "Sigma": 'Σ', "THORN": 'Þ',
+    "Tau": 'Τ', "Theta": 'Θ', "Uacute": 'Ú',
+    "Ucirc": 'Û', "Ugrave": 'Ù', "Upsilon": 'Υ',
+    "Uuml": 'Ü', "Xi": 'Ξ', "Yacute": 'Ý',
+    "Yuml": 'Ÿ', "Zeta": 'Ζ', "aacute": 'á',
+    "acirc": 'â', "acute": '´', "aelig": 'æ',
+    "agrave": 'à', "alefsym": 'ℵ', "alpha": 'α',
+    "amp": '&', "and": '∧', "ang": '∠',
+    "apos": "'", "aring": 'å', "asymp": '≈',
+    "atilde": 'ã', "auml": 'ä', "bdquo": '„',
+    "beta": 'β', "brvbar": '¦', "bull": '•',
+    "cap": '∩', "ccedil": 'ç', "cedil": '¸',
+    "cent": '¢', "chi": 'χ', "circ": 'ˆ',
+    "clubs": '♣', "cong": '≅', "copy": '©',
+    "crarr": '↵', "cup": '∪', "curren": '¤',
+    "dArr": '⇓', "dagger": '†', "darr": '↓',
+    "deg": '°', "delta": 'δ', "diams": '♦',
+    "divide": '÷', "eacute": 'é', "ecirc": 'ê',
+    "egrave": 'è', "empty": '∅', "emsp": '\u2003',
+    "ensp": '\u2002', "epsilon": 'ε', "equiv": '≡',
+    "eta": 'η', "eth": 'ð', "euml": 'ë',
+    "euro": '€', "exist": '∃', "fnof": 'ƒ',
+    "forall": '∀', "frac12": '½', "frac14": '¼',
+    "frac34": '¾', "frasl": '⁄', "gamma": 'γ',
+    "ge": '≥', "gt": '>', "hArr": '⇔',
+    "harr": '↔', "hearts": '♥', "hellip": '…',
+    "iacute": 'í', "icirc": 'î', "iexcl": '¡',
+    "igrave": 'ì', "image": 'ℑ', "infin": '∞',
+    "int": '∫', "iota": 'ι', "iquest": '¿',
+    "isin": '∈', "iuml": 'ï', "kappa": 'κ',
+    "lArr": '⇐', "lambda": 'λ', "lang": '〈',
+    "laquo": '«', "larr": '←', "lceil": '⌈',
+    "ldquo": '“', "le": '≤', "lfloor": '⌊',
+    "lowast": '∗', "loz": '◊', "lrm": '\u200e',
+    "lsaquo": '‹', "lsquo": '‘', "lt": '<',
+    "macr": '¯', "mdash": '—', "micro": 'µ',
+    "middot": '·', "minus": '−', "mu": 'μ',
+    "nabla": '∇', "nbsp": '\xa0', "ndash": '–',
+    "ne": '≠', "ni": '∋', "not": '¬',
+    "notin": '∉', "nsub": '⊄', "ntilde": 'ñ',
+    "nu": 'ν', "oacute": 'ó', "ocirc": 'ô',
+    "oelig": 'œ', "ograve": 'ò', "oline": '‾',
+    "omega": 'ω', "omicron": 'ο', "oplus": '⊕',
+    "or": '∨', "ordf": 'ª', "ordm": 'º',
+    "oslash": 'ø', "otilde": 'õ', "otimes": '⊗',
+    "ouml": 'ö', "para": '¶', "part": '∂',
+    "permil": '‰', "perp": '⊥', "phi": 'φ',
+    "pi": 'π', "piv": 'ϖ', "plusmn": '±',
+    "pound": '£', "prime": '′', "prod": '∏',
+    "prop": '∝', "psi": 'ψ', "quot": '"',
+    "rArr": '⇒', "radic": '√', "rang": '〉',
+    "raquo": '»', "rarr": '→', "rceil": '⌉',
+    "rdquo": '”', "real": 'ℜ', "reg": '®',
+    "rfloor": '⌋', "rho": 'ρ', "rlm": '\u200f',
+    "rsaquo": '›', "rsquo": '’', "sbquo": '‚',
+    "scaron": 'š', "sdot": '⋅', "sect": '§',
+    "shy": '\xad', "sigma": 'σ', "sigmaf": 'ς',
+    "sim": '∼', "spades": '♠', "sub": '⊂',
+    "sube": '⊆', "sum": '∑', "sup": '⊃',
+    "sup1": '¹', "sup2": '²', "sup3": '³',
+    "supe": '⊇', "szlig": 'ß', "tau": 'τ',
+    "there4": '∴', "theta": 'θ', "thetasym": 'ϑ',
+    "thinsp": '\u2009', "thorn": 'þ', "tilde": '˜',
+    "times": '×', "trade": '™', "uArr": '⇑',
+    "uacute": 'ú', "uarr": '↑', "ucirc": 'û',
+    "ugrave": 'ù', "uml": '¨', "upsih": 'ϒ',
+    "upsilon": 'υ', "uuml": 'ü', "weierp": '℘',
+    "xi": 'ξ', "yacute": 'ý', "yen": '¥',
+    "yuml": 'ÿ', "zeta": 'ζ', "zwj": '\u200d',
+    "zwnj": '\u200c',
+}
+
+# The sentinel every literal '&' hides behind during tokenization, so
+# stdlib html.parser's HTML5-style charref conversion never runs.
+_AMP_SENTINEL = "\ue000"
+
+# Reference forms after the sentinel swap: numeric (hex / decimal, the
+# ';' consumed when present even after zero digits) or named (';'
+# REQUIRED; resolved case-sensitively through HTML4_ENTITIES).
+_REF_RE = re.compile(
+    "\ue000(?:#(?:[xX]([0-9a-fA-F]*)|([0-9]*));?|([a-zA-Z][a-zA-Z0-9]*);)?"
+)
+
+# Raw-text content models: libxml2 keeps references literal inside
+# these (title/textarea are RCDATA and DO resolve).
+_RAW_TEXT_TAGS = frozenset({"script", "style"})
+
+# libxml2 tag names: stdlib html.parser's tolerant tag scan keeps junk
+# chars in the name ('<b]] x="1">' names the element 'b]]'); libxml2
+# stops at its name charset and skips the junk (element 'b', attrs
+# kept), and a qualified name keeps the part after the FIRST colon
+# when non-empty ('b:c' -> 'c', 'x::y' -> ':y', 'b:' stays 'b:').
+_NAME_RE = re.compile(r"[a-zA-Z][a-zA-Z0-9._:-]*")
+
+
+def _libxml_tag_name(tag: str) -> Optional[str]:
+    m = _NAME_RE.match(tag)
+    if not m:
+        return None
+    name = m.group(0)
+    if ":" in name:
+        local = name.split(":", 1)[1]
+        if local:
+            name = local
+    return name
+
+
+# Attribute names may also start with '_' or ':' (xmlParseName) and are
+# NOT QName-split (``x:y=1`` keeps the name ``x:y``, unlike tags).
+_ATTRNAME_RE = re.compile(r"[a-zA-Z_:][a-zA-Z0-9._:-]*")
+_WS = " \t\n\r\f"
+
+
+def _parse_attrs_libxml(raw: str, hide_refs: bool) -> tuple:
+    """Parse attributes from the RAW start-tag text with libxml2's
+    htmlParseStartTag algorithm — stdlib html.parser's tolerant scan
+    diverges on junk (it makes ``<b/junk>`` an attribute and keeps
+    ``=x`` as a name).  Returns ``(attrs, selfclose)``.  libxml2
+    rules, all probe-verified:
+
+      * a token failing the name charset is skipped to the next BLANK
+        (``<b ]]x="1">`` loses the x; ``<b]] x="1">`` keeps it);
+      * blanks are allowed around '='; a missing value means MINIMIZED;
+        ``x=`` is an explicit empty string; an unquoted value may
+        START with '=' (``x==1`` -> ``=1``);
+      * unquoted values run to the next blank or tag end and may
+        contain quotes (``x=a"b``) and slashes — ``<b x=1/>`` is NOT
+        self-closing (value ``1/``), and ``<b x=/>`` isn't either
+        (value ``/``): after an ``=`` the value scan always wins;
+      * self-close is decided at the scan's ATTRIBUTE BOUNDARIES: a
+        ``/>`` seen where an attribute would start ends the tag as an
+        empty element (``<b @j=1/>`` IS self-closing — the junk skip
+        stops at ``/>`` — which html.parser's dispatch gets wrong, so
+        the flag must come from this scan, not from which handler
+        fired);
+      * duplicate names keep the first; names lowercase; values keep
+        case and resolve references with the truncating attr rule.
+    """
+    end = len(raw) - 1
+    selfclose = False
+    m = _NAME_RE.match(raw, 1)
+    i = m.end() if m else 1
+    attrs: dict = {}
+    while i < end:
+        if raw[i] in _WS:
+            i += 1
+            continue
+        if raw[i] == "/" and i == end - 1:
+            selfclose = True
+            break
+        m = _ATTRNAME_RE.match(raw, i)
+        if not m:
+            while i < end and raw[i] not in _WS \
+                    and not (raw[i] == "/" and i == end - 1):
+                i += 1
+            continue
+        name = m.group(0).lower()
+        i = m.end()
+        j = i
+        while j < end and raw[j] in _WS:
+            j += 1
+        if j < end and raw[j] == "=":
+            i = j + 1
+            while i < end and raw[i] in _WS:
+                i += 1
+            if i < end and raw[i] in "\"'":
+                q = raw[i]
+                i += 1
+                k = raw.find(q, i, end)
+                if k == -1:
+                    val, i = raw[i:end], end
+                else:
+                    val, i = raw[i:k], k + 1
+            else:
+                k = i
+                while k < end and raw[k] not in _WS:
+                    k += 1
+                val, i = raw[i:k], k
+            if name not in attrs:
+                if hide_refs and _AMP_SENTINEL in val:
+                    val = _resolve_attr_value(val)
+                elif not hide_refs and "&" in val:
+                    # sentinel-collision fallback: keep the
+                    # convert_charrefs semantics the docstring promises
+                    val = _html_unescape(val)
+                attrs[name] = val
+        else:
+            if name not in attrs:
+                attrs[name] = MINIMIZED
+    return attrs, selfclose
+
+
+def _xml_is_char(cp: int) -> bool:
+    """libxml2 xmlIsChar: the codepoints a numeric reference may emit."""
+    return (cp in (0x9, 0xA, 0xD) or 0x20 <= cp <= 0xD7FF
+            or 0xE000 <= cp <= 0xFFFD or 0x10000 <= cp <= 0x10FFFF)
+
+
+def _resolve_ref(m: "re.Match") -> str:
+    hexd, decd, name = m.group(1), m.group(2), m.group(3)
+    if name is not None:
+        val = HTML4_ENTITIES.get(name)
+        return val if val is not None else f"&{name};"
+    if hexd is not None or decd is not None:
+        try:
+            cp = int(hexd, 16) if hexd is not None else int(decd)
+        except ValueError:  # zero digits: libxml2 emits nothing
+            return ""
+        return chr(cp) if _xml_is_char(cp) else ""
+    return "&"  # bare '&' (no reference form followed)
+
+
+def _resolve_attr_value(s: str) -> str:
+    """Attribute-value resolution: same reference rules as text, except
+    an INVALID numeric reference (failing digits or xmlIsChar) TRUNCATES
+    the value there — libxml2's attr parser writes the bad codepoint as
+    a NUL into its C buffer, cutting the string (``title="a&#0;q"``
+    parses as ``"a"``)."""
+    out: list[str] = []
+    pos = 0
+    for m in _REF_RE.finditer(s):
+        out.append(s[pos:m.start()])
+        pos = m.end()
+        hexd, decd, name = m.group(1), m.group(2), m.group(3)
+        if name is not None:
+            val = HTML4_ENTITIES.get(name)
+            out.append(val if val is not None else f"&{name};")
+        elif hexd is not None or decd is not None:
+            try:
+                cp = int(hexd, 16) if hexd is not None else int(decd)
+            except ValueError:
+                return "".join(out)
+            if not _xml_is_char(cp):
+                return "".join(out)
+            out.append(chr(cp))
+        else:
+            out.append("&")
+    out.append(s[pos:])
+    return "".join(out)
+
+
 
 
 class Node:
@@ -249,11 +533,19 @@ class Node:
 
 
 class _TreeBuilder(HTMLParser):
-    def __init__(self):
+    """``hide_refs=True`` means the input had every ``&`` swapped for
+    ``_AMP_SENTINEL``; references are resolved libxml2-style PER
+    TOKENIZER CHUNK (text runs are bounded by '<' exactly as libxml2's
+    char-data scan is — resolving after tree-building would merge text
+    across dropped tokens and corrupt references like ``&#X41</u>caf``)
+    and attribute values resolve with the truncating attr rule."""
+
+    def __init__(self, hide_refs: bool = False):
         super().__init__(convert_charrefs=True)
         self.root = Node("#root")
         self.stack = [self.root]
         self._seen_singletons: set = set()
+        self._hide_refs = hide_refs
 
     # -- helpers -------------------------------------------------------
     def _cur(self) -> Node:
@@ -277,41 +569,56 @@ class _TreeBuilder(HTMLParser):
             self.stack.pop()
 
     # -- HTMLParser hooks ---------------------------------------------
-    @staticmethod
-    def _attr_dict(attrs):
-        # libxml2's HTML parser keeps the FIRST of duplicate attributes
-        # (stdlib yields them in order; last-write-wins would flip it);
-        # a minimized attribute carries MINIMIZED — equal to "" for every
-        # consumer (lxml's Python-side value) but serialized as the bare
-        # name by htmlser (libxml2 stores NULL children for it)
-        d = {}
-        for k, v in attrs:
-            if k not in d:
-                d[k] = MINIMIZED if v is None else v
-        return d
-
-    def handle_starttag(self, tag, attrs):
+    def _start(self, tag, attrs, xml_slash):
+        # Attributes AND the self-close decision re-parse from the RAW
+        # start-tag text with libxml2's algorithm
+        # (_parse_attrs_libxml) — stdlib html.parser's tolerant scan
+        # keeps junk tokens as attributes (``<b /junk>``, ``<b "x">``),
+        # loses libxml2's skip-to-blank rule, and mis-dispatches
+        # ``<b @j=1/>`` (its value scan eats the slash, so it fires
+        # handle_starttag where libxml2 self-closes).  First-duplicate-
+        # wins and MINIMIZED (serialized as the bare name by htmlser;
+        # libxml2 stores NULL children for it) are handled inside the
+        # re-parse; the handler-arg fallback covers a None raw text
+        # only, trusting html.parser's dispatch (``xml_slash``).
+        tag = _libxml_tag_name(tag)
+        if tag is None:
+            return
         if tag in _SINGLETON_TAGS:
             if tag in self._seen_singletons:
                 return  # libxml2 ignores duplicate html/head/body tags
             self._seen_singletons.add(tag)
-        self._auto_close(tag)
-        node = Node(tag, self._attr_dict(attrs))
-        self._cur().append(node)
-        if tag not in VOID_TAGS:
-            self.stack.append(node)
-
-    def handle_startendtag(self, tag, attrs):
+        raw = self.get_starttag_text()
+        if raw is not None:
+            ad, selfclose = _parse_attrs_libxml(raw, self._hide_refs)
+        else:
+            selfclose = xml_slash
+            ad = {}
+            for k, v in attrs:
+                if k not in ad:
+                    if v is None:
+                        ad[k] = MINIMIZED
+                    elif self._hide_refs and _AMP_SENTINEL in v:
+                        ad[k] = _resolve_attr_value(v)
+                    else:
+                        ad[k] = v
         # <div/>: libxml2's HTML parser honors the slash — auto-close
         # runs, then an EMPTY element is appended (never pushed).
-        if tag in _SINGLETON_TAGS and tag in self._seen_singletons:
-            return
         self._auto_close(tag)
-        node = Node(tag, self._attr_dict(attrs))
+        node = Node(tag, ad)
         self._cur().append(node)
+        if not selfclose and tag not in VOID_TAGS:
+            self.stack.append(node)
+
+    def handle_starttag(self, tag, attrs):
+        self._start(tag, attrs, xml_slash=False)
+
+    def handle_startendtag(self, tag, attrs):
+        self._start(tag, attrs, xml_slash=True)
 
     def handle_endtag(self, tag):
-        if tag in VOID_TAGS:
+        tag = _libxml_tag_name(tag)
+        if tag is None or tag in VOID_TAGS:
             return
         pri = _END_PRIORITY.get(tag, 100)
         for i in range(len(self.stack) - 1, 0, -1):
@@ -325,10 +632,19 @@ class _TreeBuilder(HTMLParser):
         # stray end tag: ignored
 
     def handle_data(self, data):
-        if data:
-            self._add_text(data)
+        if not data:
+            return
+        if self._hide_refs and _AMP_SENTINEL in data:
+            if self._cur().tag in _RAW_TEXT_TAGS:
+                data = data.replace(_AMP_SENTINEL, "&")
+            else:
+                data = _REF_RE.sub(_resolve_ref, data)
+        self._add_text(data)
 
-    # comments / PIs / doctype dropped (cleaner semantics)
+    # comments / PIs / doctype dropped (cleaner semantics: readability's
+    # html_cleaner removes comment and PI nodes before scoring, and
+    # clean_attributes strips comments from the serialized retry
+    # measure, so parse-time drop is observationally equivalent)
     def handle_comment(self, data):
         pass
 
@@ -338,14 +654,40 @@ class _TreeBuilder(HTMLParser):
     def handle_pi(self, data):
         pass
 
+    def parse_html_declaration(self, i):
+        # libxml2 treats '<!' that opens neither a comment nor a
+        # DOCTYPE as LITERAL TEXT: the '<' is emitted as character
+        # data and tokenization resumes at the next character (so
+        # '<![if !IE]>x<![endif]>' — a downlevel-revealed conditional
+        # comment — contributes visible text, and '<![CDATA[a<b]]>'
+        # re-parses the inner '<b' as a start tag).  stdlib
+        # html.parser would instead swallow these as bogus comments /
+        # marked sections.
+        rawdata = self.rawdata
+        if rawdata[i:i + 4] == "<!--" or \
+                rawdata[i:i + 9].lower() == "<!doctype":
+            return super().parse_html_declaration(i)
+        self.handle_data("<")
+        return i + 1
+
 
 def parse_html(text: str) -> Node:
     """Parse an HTML string into a tree; returns the synthetic ``#root``.
 
     The root's children are whatever top-level elements the document has
     (usually a single ``html``); fragments parse to multiple children.
+
+    Character references resolve with libxml2 semantics: every ``&`` is
+    swapped for a private-use sentinel before tokenization (so stdlib
+    html.parser's HTML5-style conversion never fires) and restored
+    afterwards under the derived rules (module docstring).  Input that
+    already contains the sentinel codepoint falls back to
+    convert_charrefs semantics.
     """
-    tb = _TreeBuilder()
+    hide = _AMP_SENTINEL not in text
+    if hide:
+        text = text.replace("&", _AMP_SENTINEL)
+    tb = _TreeBuilder(hide_refs=hide)
     tb.feed(text)
     tb.close()
     return tb.root

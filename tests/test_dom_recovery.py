@@ -123,6 +123,98 @@ def test_fuzz_differential():
     assert run(400, seed=20260820, verbose=False) == 0
 
 
+# (input, libxml2 body dump) — character-reference semantics
+ENTITY_GOLDENS = [
+    # named refs need ';' and are case-sensitive; numerics don't need ';'
+    ("<html><body><p>&#65;&#x42;&copy;&nbsp;&unknown;&amp</p></body>"
+     "</html>",
+     "<body><p>AB©\xa0&amp;unknown;&amp;amp</p></body>"),
+    ("<html><body><p>&AMP;&Amp;&apos;&COPY;[&#65][&#X41]</p></body>"
+     "</html>",
+     "<body><p>&amp;AMP;&amp;Amp;'&amp;COPY;[A][A]</p></body>"),
+    # HTML4 values where HTML5 differs: lang/rang are U+2329/232A
+    ("<html><body><p>&lang;&rang;</p></body></html>",
+     "<body><p>〈〉</p></body>"),
+    # HTML5-only names stay literal (libxml2 knows the HTML4 table)
+    ("<html><body><p>&dollar;&nGt;&quat;</p></body></html>",
+     "<body><p>&amp;dollar;&amp;nGt;&amp;quat;</p></body>"),
+    # invalid numerics are DELETED (no U+FFFD, no cp1252 remap of C1)
+    ("<html><body><p>[&#0;][&#xD800;][&#1114112;][&#12;][&#151;]</p>"
+     "</body></html>",
+     "<body><p>[][][][][\x97]</p></body>"),
+    # zero-digit forms consume an immediate ';'; '&#' alone vanishes
+    ("<html><body><p>[&#;][&#x;][&#][&#abc]</p></body></html>",
+     "<body><p>[][][][abc]</p></body>"),
+    # a '<' terminates the reference scan (tokenizer-time resolution):
+    # the digits after a dropped stray end tag must NOT join the ref
+    ("<html><body><p>x&#X41</u>caf y</p></body></html>",
+     "<body><p>xAcaf y</p></body>"),
+    # attribute rule: first INVALID numeric truncates the value
+    ('<html><body><div title="a&#0;q" id="x&#abc y" '
+     'class="ok&#65;z">v</div></body></html>',
+     '<body><div title="a" id="x" class="okAz">v</div></body>'),
+    # unknown NAMED refs in attrs stay literal, no truncation
+    ('<html><body><a href="x?a=1&b=2&copy=3&unknown;end">l</a></body>'
+     "</html>",
+     '<body><a href="x?a=1&amp;b=2&amp;copy=3&amp;unknown;end">l</a>'
+     "</body>"),
+    # script/style keep references literal; title/textarea resolve
+    ("<html><body><script>a&amp;b&#65;</script><textarea>a&amp;b&#65;"
+     "</textarea></body></html>",
+     "<body><script>a&amp;b&#65;</script><textarea>a&amp;bA"
+     "</textarea></body>"),
+]
+
+
+@pytest.mark.parametrize("html,want", ENTITY_GOLDENS,
+                         ids=[f"e{i}" for i in range(len(ENTITY_GOLDENS))])
+def test_entity_goldens(html, want):
+    assert _body(html) == want
+
+
+def test_entity_goldens_against_live_library():
+    _lib_or_skip()
+    from tools.libxml_oracle import serialize_subtree
+    for html, want in ENTITY_GOLDENS:
+        assert serialize_subtree(html, "body") == want, html
+
+
+def test_entity_table_matches_live_library():
+    """Every name the library resolves, with the same value — and no
+    extras — over the full HTML5 candidate namespace."""
+    _lib_or_skip()
+    from html.entities import html5
+    from ragflow_spark.extractlib.dom import HTML4_ENTITIES
+    from tools.libxml_oracle import serialize_subtree
+    names = sorted({n[:-1] for n in html5 if n.endswith(";")})
+    derived = {}
+    step = 150
+    for i in range(0, len(names), step):
+        batch = names[i:i + step]
+        body = "".join(f"<p>[&{n};]</p>" for n in batch)
+        out = serialize_subtree(f"<html><body>{body}</body></html>",
+                                "body")
+        segs = [s[len("<p>"):] for s in
+                out[len("<body>"):-len("</body>")].split("</p>") if s]
+        assert len(segs) == len(batch)
+        for n, seg in zip(batch, segs):
+            inner = seg[1:-1]
+            if inner != f"&amp;{n};":
+                derived[n] = (inner.replace("&amp;", "&")
+                              .replace("&lt;", "<").replace("&gt;", ">"))
+    assert derived == HTML4_ENTITIES
+
+
+def test_sentinel_collision_fallback():
+    # input already containing U+E000 parses via the legacy
+    # convert_charrefs path: the PUA char survives untouched (never
+    # turned into '&') while references resolve HTML5-style there
+    root = parse_html(
+        "<html><body><p>ab\ue000z&amp;c&copy</p></body></html>")
+    p = find_first(root, "p")
+    assert p.text == "ab\ue000z&c\xa9"
+
+
 def test_priority_sanity():
     # the derived order the goldens rely on
     assert _END_PRIORITY["div"] < _END_PRIORITY["td"]
@@ -131,3 +223,68 @@ def test_priority_sanity():
     assert _END_PRIORITY["tr"] < _END_PRIORITY["thead"]
     assert _END_PRIORITY["thead"] == _END_PRIORITY["tbody"]
     assert _END_PRIORITY["thead"] < _END_PRIORITY["table"]
+
+
+# (tag snippet, libxml2 body dump) — htmlParseStartTag attribute
+# mechanics, re-parsed from the raw tag text by _parse_attrs_libxml
+# (stdlib html.parser's tolerant scan diverges on every one of these)
+ATTR_GOLDENS = [
+    # junk token skips to the NEXT BLANK; junk in the name keeps attrs
+    ('<b]] x="1">t</b>', '<b x="1">t</b>'),
+    ('<b ]]x="1">t</b>', "<b>t</b>"),
+    ('<b /junk x=1>t</b>', '<b x="1">t</b>'),
+    ('<b 9x=1 y=2>t</b>', '<b y="2">t</b>'),
+    ('<b x="1" "junk" y=2>t</b>', '<b x="1" y="2">t</b>'),
+    ("<b @foo=1 y=2>t</b>", '<b y="2">t</b>'),
+    # skip-to-blank can land INSIDE a quoted value: b" -> minimized b
+    ('<b ]x="a b" y=2>t</b>', '<b b y="2">t</b>'),
+    # blanks around '='; empty / minimized; '='-leading unquoted value
+    ('<b x = "1" y = 2>t</b>', '<b x="1" y="2">t</b>'),
+    ("<b x=>t</b>", '<b x="">t</b>'),
+    ("<b x>t</b>", "<b x>t</b>"),
+    ("<b x==1>t</b>", '<b x="=1">t</b>'),
+    ("<b x= =1>t</b>", '<b x="=1">t</b>'),
+    ("<b =1 y=2>t</b>", '<b y="2">t</b>'),
+    # unquoted values eat quotes; no blank needed after a quoted value
+    ('<b x=a"b y=2>t</b>', "<b x='a\"b' y=\"2\">t</b>"),
+    ('<b x="1"y="2">t</b>', '<b x="1" y="2">t</b>'),
+    # names: first-duplicate wins, lowercased, NOT QName-split
+    ("<b x=1 x=2>t</b>", '<b x="1">t</b>'),
+    ("<b X=1>t</b>", '<b x="1">t</b>'),
+    ("<b x:y=1>t</b>", '<b x:y="1">t</b>'),
+    ("<b _x=1 :y=2>t</b>", '<b _x="1" :y="2">t</b>'),
+    ("<b a.b-c_d:e=1>t</b>", '<b a.b-c_d:e="1">t</b>'),
+    # name charset ends the name mid-token: x." -> minimized x.
+    ('<b x."y=1>t</b>', "<b x.>t</b>"),
+    # self-close fires at attribute boundaries only: values eat '/'
+    ("<b x=1/>t", '<b x="1/">t</b>'),
+    ("<b x=1 />t", '<b x="1"></b>t'),
+    ("<b x/>t", "<b x></b>t"),
+    ("<b x=/>t", '<b x="/">t</b>'),
+    ("<b @j=1/>t", "<b></b>t"),
+    ("<b //>t", "<b></b>t"),
+    ("<b/ >t", "<b>t</b>"),
+    ("<b x=1/ y=2>t</b>", '<b x="1/" y="2">t</b>'),
+    ("<b x /y=2>t</b>", "<b x>t</b>"),
+    ('<b x=">"/>t', '<b x="&gt;"></b>t'),
+    # attr references resolve with the truncating rule at re-parse time
+    ('<b x="a&copy;b">t</b>', '<b x="a©b">t</b>'),
+    ('<b x="a&copy b">t</b>', '<b x="a&amp;copy b">t</b>'),
+    ("<b x=&copy;>t</b>", '<b x="©">t</b>'),
+    ('<b x="a&#0;q">t</b>', '<b x="a">t</b>'),
+]
+
+
+@pytest.mark.parametrize("html,want", ATTR_GOLDENS,
+                         ids=[f"a{i}" for i in range(len(ATTR_GOLDENS))])
+def test_attr_goldens(html, want):
+    got = _body(f"<html><body>{html}</body></html>")
+    assert got == f"<body>{want}</body>"
+
+
+def test_attr_goldens_against_live_library():
+    _lib_or_skip()
+    from tools.libxml_oracle import serialize_subtree
+    for html, want in ATTR_GOLDENS:
+        doc = f"<html><head><title>t</title></head><body>{html}</body></html>"
+        assert serialize_subtree(doc, "body") == f"<body>{want}</body>", html

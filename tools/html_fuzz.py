@@ -45,11 +45,29 @@ TAGS = [
 VOIDS = ["br", "hr", "img", "input"]
 WORDS = ["alpha", "beta", "gamma", "delta", "text", "word", "x", "y",
          "page", "link", "item", "entry", "note", "&amp;", "&lt;a&gt;",
-         "café", "文档"]
+         "café", "文档",
+         # entity-resolution junk (libxml2 semantics pinned in dom.py)
+         "&amp", "&copy;", "&copy", "&COPY;", "&unknown;", "&dollar;",
+         "&#65", "&#x41;", "&#X41", "&#0;", "&#xD800;", "&#1114112;",
+         "&#151;", "&#abc", "&#x;", "&#", "&;", "&", "&lang;", "&nGt;",
+         "a&&b", "&#9;tab"]
 ATTR_NAMES = ["class", "id", "title", "data-x", "href", "src", "name",
               "checked", "align", "width"]
 ATTR_VALS = ["main", "x y", 'say "hi"', "it's", "a&b", "http://e.com/a b",
-             "", "1", "café"]
+             "", "1", "café", "&copy;", "&copy=3", "&#65", "&amp",
+             "&unknown;", "&#0;q", "x?a=1&b=2"]
+# raw attribute-area junk (libxml2's htmlParseStartTag mechanics pinned
+# by _parse_attrs_libxml: skip-to-blank on bad names, unquoted values
+# eating quotes/slashes, blanks around '=', first-duplicate-wins)
+ATTR_JUNK = [' ]]x="1"', ']] x="1"', ' x=a"b', ' x = "1"', " x=",
+             ' x="1"y="2"', " x:y=1", " _x=1", " :y=2", " x=1 x=2",
+             " X=1", " /junk x=1", " x=1/", ' "junk"', " @foo=1",
+             " x==1", ' ]x="a b"', " x= =1", " =1", " x=&copy;",
+             ' x."y=1', " 9x=1", " x=a/b", " x=1//", " x/ y=2",
+             " a.b-c_d:e=1"]
+RAW_CONTAINERS = ["script", "style", "textarea", "title"]
+RAW_CONTENT = ["var a = 1;", "if (a<b && c>d) {}", ".x > .y { }",
+               "a &amp; b &#65; &copy; &copy plain", "<p>not a tag</p>"]
 
 
 def gen_doc(rng: random.Random) -> str:
@@ -62,8 +80,12 @@ def gen_doc(rng: random.Random) -> str:
             tag = rng.choice(TAGS)
             attrs = ""
             for _ in range(rng.randint(0, 2)):
+                q = rng.random()
+                if q < 0.15:
+                    attrs += rng.choice(ATTR_JUNK)
+                    continue
                 an = rng.choice(ATTR_NAMES)
-                if rng.random() < 0.2:
+                if q < 0.35:
                     attrs += f" {an}"  # minimized
                 else:
                     av = rng.choice(ATTR_VALS).replace('"', "&quot;")
@@ -87,6 +109,11 @@ def gen_doc(rng: random.Random) -> str:
         elif r < 0.60:  # void element
             v = rng.choice(VOIDS)
             parts.append(f"<{v}/>" if rng.random() < 0.25 else f"<{v}>")
+        elif r < 0.66:  # raw-text / RCDATA container, well-delimited
+            c = rng.choice(RAW_CONTAINERS)
+            content = rng.choice(RAW_CONTENT)
+            if c in ("script", "style") or "<" not in content:
+                parts.append(f"<{c}>{content}</{c}>")
         else:  # text
             parts.append(" ".join(rng.choice(WORDS)
                                   for _ in range(rng.randint(1, 4))))
