@@ -275,6 +275,13 @@ def _libxml_tag_name(tag: str) -> Optional[str]:
 _ATTRNAME_RE = re.compile(r"[a-zA-Z_:][a-zA-Z0-9._:-]*")
 _WS = " \t\n\r\f"
 
+# libxml2 comment close: '-->' or '--!>' ('-- >' does NOT close).
+_COMMENT_CLOSE_RE = re.compile(r"--!?>")
+
+# The chars that may START an end-tag name (htmlParseHTMLName's first
+# char, probe-derived: '</.b>' is swallowed like a tag, '</9>' is not).
+_ENDNAME_START_RE = re.compile(r"[a-zA-Z_:.]")
+
 
 def _parse_attrs_libxml(raw: str, hide_refs: bool) -> tuple:
     """Parse attributes from the RAW start-tag text with libxml2's
@@ -664,11 +671,40 @@ class _TreeBuilder(HTMLParser):
         # html.parser would instead swallow these as bogus comments /
         # marked sections.
         rawdata = self.rawdata
-        if rawdata[i:i + 4] == "<!--" or \
-                rawdata[i:i + 9].lower() == "<!doctype":
+        if rawdata[i:i + 4] == "<!--":
+            return self.parse_comment(i)
+        if rawdata[i:i + 9].lower() == "<!doctype":
             return super().parse_html_declaration(i)
         self.handle_data("<")
         return i + 1
+
+    def parse_comment(self, i, report=1):
+        # libxml2's comment scan closes at the FIRST '-->' OR '--!>'
+        # ('-- >' does not close), and an UNTERMINATED comment
+        # swallows everything to EOF — where stdlib html.parser
+        # accepts only '-->' and re-emits an unterminated comment as
+        # literal text at close().  The comment content is dropped
+        # either way (cleaner semantics, handle_comment below); input
+        # is single-feed, so rawdata holds the whole document.
+        m = _COMMENT_CLOSE_RE.search(self.rawdata, i + 4)
+        return m.end() if m else len(self.rawdata)
+
+    def parse_endtag(self, i):
+        # libxml2's '</' recovery: when the next char cannot START an
+        # end-tag name (not [a-zA-Z_:.]) the two chars '</' are
+        # DROPPED and tokenization resumes as character data ('a </>
+        # b' yields the text 'a > b') — stdlib html.parser instead
+        # swallows everything to the next '>' as a bogus comment.
+        # Name-start chars fall through: both parsers then consume to
+        # '>' and the QName-local / unknown-name end tag is ignored
+        # by handle_endtag, which is already equivalent.  CDATA
+        # content (script/style) never reaches here mid-run — stdlib
+        # only fires parse_endtag at the matching close tag there.
+        rawdata = self.rawdata
+        if self.cdata_elem is None and i + 2 < len(rawdata) \
+                and not _ENDNAME_START_RE.match(rawdata, i + 2):
+            return i + 2
+        return super().parse_endtag(i)
 
 
 def parse_html(text: str) -> Node:

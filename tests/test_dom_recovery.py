@@ -288,3 +288,58 @@ def test_attr_goldens_against_live_library():
     for html, want in ATTR_GOLDENS:
         doc = f"<html><head><title>t</title></head><body>{html}</body></html>"
         assert serialize_subtree(doc, "body") == f"<body>{want}</body>", html
+
+
+# (body snippet, libxml2 body dump with comment NODES stripped) —
+# tokenizer-level recovery: '</' junk and comment-close variants
+TOKENIZER_GOLDENS = [
+    # '</' + non-name-start: DROP exactly the two chars, resume as text
+    ("a </ p> b", "a  p&gt; b"),
+    ("a </> b", "a &gt; b"),
+    ("a </3> b", "a 3&gt; b"),
+    ("a </ b", "a  b"),
+    # '</' + name-start ([a-zA-Z_:.]): swallow to '>', ignore unknown
+    ("a<b>x</B>y", "a<b>x</b>y"),
+    ("a<b>x</_b>y", "a<b>xy</b>"),
+    ("a<b>x</.b>y", "a<b>xy</b>"),
+    ("a<b>x</:b>y", "a<b>xy</b>"),
+    # end-tag QName keeps the local part: 'c' matches nothing, ignored
+    ("a<b>x</b:c>y", "a<b>xy</b>"),
+    # comment closes at the FIRST '-->' OR '--!>'; '-- >' does not
+    # close; UNTERMINATED swallows to EOF
+    ("x<!-- c -->y", "xy"),
+    ("x<!-- c --!>y", "xy"),
+    ("x<!---->y", "xy"),
+    ("x<!-- a --->y", "xy"),
+    ("x<!--a--b-->y", "xy"),
+    ("x<!-- a --!b -->y", "xy"),
+    ("x<!-- a -- >y", "x"),
+    ("x<!-->y", "x"),
+    ("x<!--->y", "x"),
+    ("x<!--", "x"),
+    ("x<!--a--!", "x"),
+    # doctype mid-body swallows to '>'
+    ("x<!DOCTYPE junk >y", "xy"),
+    # '<!' opening neither comment nor doctype is literal text
+    ("x <!junk>y", "x &lt;!junk&gt;y"),
+    ("x <!->y", "x &lt;!-&gt;y"),
+]
+
+
+@pytest.mark.parametrize("html,want", TOKENIZER_GOLDENS,
+                         ids=[f"t{i}" for i in range(len(TOKENIZER_GOLDENS))])
+def test_tokenizer_goldens(html, want):
+    got = _body(f"<html><body>{html}</body></html>")
+    assert got == f"<body>{want}</body>"
+
+
+def test_tokenizer_goldens_against_live_library():
+    _lib_or_skip()
+    import re as _re
+    from tools.libxml_oracle import serialize_subtree
+    strip = _re.compile(r"<!--.*?--!?>", _re.S)
+    for html, want in TOKENIZER_GOLDENS:
+        doc = (f"<html><head><title>t</title></head><body>{html}"
+               "</body></html>")
+        got = strip.sub("", serialize_subtree(doc, "body"))
+        assert got == f"<body>{want}</body>", html

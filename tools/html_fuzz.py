@@ -8,16 +8,22 @@ shell, parses each document with BOTH the from-scratch DOM
 lxml.html / readability-lxml actually uses), serializes the <body>
 subtree from each, and reports divergences.
 
+Tokenizer-level junk IS generated (bare '<' in text, malformed
+start/end-tag syntax, attribute junk, comment-close variants) — dom.py
+pins libxml2's recovery for all of it.  WELL-FORMED comment nodes are
+generated too; since dom.py drops comments at parse time (the
+pipeline's Cleaner and the serialized-length retry both strip them),
+the libxml2 dump has its comment nodes stripped before comparison.
+
 Deliberately NOT generated (documented parse-time divergences):
-  * comments / PIs / doctypes — dom.py drops them at parse time (the
-    pipeline's Cleaner and the serialized-length retry both strip them);
+  * UNTERMINATED comments — both sides swallow to EOF (pinned by
+    goldens); generating them would blank most of the document;
+  * PIs / doctypes — libxml2 keeps PI nodes in its serialization while
+    dom.py drops them at parse time; their text contribution is zero
+    and the pipeline's Cleaner removes them, so extraction is
+    equivalent (goldens pin the consumed span);
   * raw-text elements as containers (script/style/title/textarea) —
-    their content models are pinned by explicit goldens instead;
-  * tokenizer-level junk (bare '<' in text, malformed tag syntax) —
-    stdlib html.parser and libxml2 tokenize these differently upstream
-    of tree construction; extraction inputs are charset-decoded pages
-    where this junk class is rare, and the divergence is documented in
-    dom.py's module docstring.
+    their content models are pinned by explicit goldens instead.
 
 Usage: python tools/html_fuzz.py [N] [SEED]
 Exit 0 when all N documents match, 1 otherwise (first 10 diffs shown).
@@ -26,6 +32,7 @@ Exit 0 when all N documents match, 1 otherwise (first 10 diffs shown).
 from __future__ import annotations
 
 import random
+import re
 import sys
 
 from ragflow_spark.extractlib.dom import find_first, parse_html
@@ -68,6 +75,17 @@ ATTR_JUNK = [' ]]x="1"', ']] x="1"', ' x=a"b', ' x = "1"', " x=",
 RAW_CONTAINERS = ["script", "style", "textarea", "title"]
 RAW_CONTENT = ["var a = 1;", "if (a<b && c>d) {}", ".x > .y { }",
                "a &amp; b &#65; &copy; &copy plain", "<p>not a tag</p>"]
+# tokenizer-level junk: bare '<', '<!' oddballs, malformed end tags,
+# and comment-close variants (libxml2 recovery pinned in dom.py)
+TOKEN_JUNK = ["a < b", "a <3 b", "a <$x b", "a <<b>x</b>", "a <&copy; b",
+              "x <!", "x <!junk>y", "x <!->y", "<![if !IE]>z<![endif]>",
+              "</ p> b", "</> b", "</3> b", "</$> b", "</_q>x", "</.q>x",
+              "</:q>x", "</q:r>x", "<!-- a -->y", "<!---->y",
+              "<!-- a --->y", "<!--a--b-->y", "<!-- a --!y -->z",
+              "<!-- c --!>y", "x<!doctype html>y"]
+# libxml2 serializes kept comment nodes; dom.py drops them at parse
+# time — strip them from the libxml2 dump before comparing
+_COMMENT_NODE_RE = re.compile(r"<!--.*?--!?>", re.S)
 
 
 def gen_doc(rng: random.Random) -> str:
@@ -109,11 +127,13 @@ def gen_doc(rng: random.Random) -> str:
         elif r < 0.60:  # void element
             v = rng.choice(VOIDS)
             parts.append(f"<{v}/>" if rng.random() < 0.25 else f"<{v}>")
-        elif r < 0.66:  # raw-text / RCDATA container, well-delimited
+        elif r < 0.64:  # raw-text / RCDATA container, well-delimited
             c = rng.choice(RAW_CONTAINERS)
             content = rng.choice(RAW_CONTENT)
             if c in ("script", "style") or "<" not in content:
                 parts.append(f"<{c}>{content}</{c}>")
+        elif r < 0.70:  # tokenizer junk
+            parts.append(rng.choice(TOKEN_JUNK))
         else:  # text
             parts.append(" ".join(rng.choice(WORDS)
                                   for _ in range(rng.randint(1, 4))))
@@ -127,7 +147,7 @@ def run(n: int, seed: int, verbose: bool = True) -> int:
     fails = 0
     for i in range(n):
         doc = gen_doc(rng)
-        lx = serialize_subtree(doc, "body")
+        lx = _COMMENT_NODE_RE.sub("", serialize_subtree(doc, "body"))
         node = find_first(parse_html(doc), "body")
         ours = serialize_html(node) if node is not None else "<NO BODY>"
         if lx != ours:
