@@ -282,6 +282,9 @@ _COMMENT_CLOSE_RE = re.compile(r"--!?>")
 # char, probe-derived: '</.b>' is swallowed like a tag, '</9>' is not).
 _ENDNAME_START_RE = re.compile(r"[a-zA-Z_:.]")
 
+# The chars that CONTINUE a name (raw-text close detection).
+_NAME_CONT_RE = re.compile(r"[a-zA-Z0-9._:-]")
+
 
 def _parse_attrs_libxml(raw: str, hide_refs: bool) -> tuple:
     """Parse attributes from the RAW start-tag text with libxml2's
@@ -689,7 +692,35 @@ class _TreeBuilder(HTMLParser):
         m = _COMMENT_CLOSE_RE.search(self.rawdata, i + 4)
         return m.end() if m else len(self.rawdata)
 
+    def set_cdata_mode(self, elem):
+        # libxml2's raw-text (script/style) scan stops at a '</' +
+        # element-name PREFIX (case-insensitive, NO blanks before the
+        # name): if the name continues with more name chars
+        # ('</scriptfoo>') the whole end-tag token is consumed to the
+        # first '>' and DROPPED while the element stays open;
+        # otherwise the element closes, junk consumed through '>'.
+        # stdlib's '</\s*script\s*>' regex both over-accepts
+        # ('</ script>' is CONTENT in libxml2) and under-accepts
+        # ('</script x>' CLOSES in libxml2).
+        self.cdata_elem = elem.lower()
+        self.interesting = re.compile(
+            r"</%s" % self.cdata_elem, re.IGNORECASE)
+
     def parse_endtag(self, i):
+        rawdata = self.rawdata
+        if self.cdata_elem is not None:
+            # reached only at a '</name'-prefix match of the scan
+            # regex above
+            j = i + 2 + len(self.cdata_elem)
+            k = rawdata.find(">", j)
+            if _NAME_CONT_RE.match(rawdata, j):
+                # longer name ('</scriptfoo>'): token dropped, the
+                # raw-text element stays open
+                return len(rawdata) if k == -1 else k + 1
+            elem = self.cdata_elem
+            self.clear_cdata_mode()
+            self.handle_endtag(elem)
+            return len(rawdata) if k == -1 else k + 1
         # libxml2's '</' recovery: when the next char cannot START an
         # end-tag name (not [a-zA-Z_:.]) the two chars '</' are
         # DROPPED and tokenization resumes as character data ('a </>
@@ -697,14 +728,20 @@ class _TreeBuilder(HTMLParser):
         # swallows everything to the next '>' as a bogus comment.
         # Name-start chars fall through: both parsers then consume to
         # '>' and the QName-local / unknown-name end tag is ignored
-        # by handle_endtag, which is already equivalent.  CDATA
-        # content (script/style) never reaches here mid-run — stdlib
-        # only fires parse_endtag at the matching close tag there.
-        rawdata = self.rawdata
-        if self.cdata_elem is None and i + 2 < len(rawdata) \
+        # by handle_endtag, which is already equivalent.
+        if i + 2 < len(rawdata) \
                 and not _ENDNAME_START_RE.match(rawdata, i + 2):
             return i + 2
         return super().parse_endtag(i)
+
+    def close(self):
+        super().close()
+        # an UNTERMINATED script/style swallows the rest of the
+        # document as its content in libxml2; stdlib goahead leaves
+        # that tail unconsumed in rawdata at close() — emit it
+        if self.cdata_elem is not None and self.rawdata:
+            self.handle_data(self.rawdata)
+            self.rawdata = ""
 
 
 def parse_html(text: str) -> Node:

@@ -343,3 +343,50 @@ def test_tokenizer_goldens_against_live_library():
                "</body></html>")
         got = strip.sub("", serialize_subtree(doc, "body"))
         assert got == f"<body>{want}</body>", html
+
+
+# (body snippet, libxml2 body dump) — raw-text (script/style) close
+# scanning: '</name' prefix + non-name char closes (junk to '>');
+# '</namefoo>' is dropped while the element stays open; '</ name>'
+# stays content; an unterminated element swallows the tail
+RAWTEXT_GOLDENS = [
+    ("<script>a</script x>b", "<script>a</script>b"),
+    ("<script>a</script/>b", "<script>a</script>b"),
+    ("<script>a</script=x>b", "<script>a</script>b"),
+    ("<script>a</script\t>b", "<script>a</script>b"),
+    ("<script>a</SCRIPT>b", "<script>a</script>b"),
+    ("<style>s</style junk>b", "<style>s</style>b"),
+    ("<script>a</scriptfoo>b</script>c", "<script>ab</script>c"),
+    ("<script>a</script.>b</script>c", "<script>ab</script>c"),
+    ("<script>a</sCrIpTfOo>b</script>c", "<script>ab</script>c"),
+    # the dropped token consumes blindly to the FIRST '>'
+    ("<script>a</scriptx </script>b",
+     "<script>ab</body></html></script>"),
+    ("<script>a</ script>b</script>c", "<script>a</ script>b</script>c"),
+    ("<script>a</stylefoo>b</script>c",
+     "<script>a</stylefoo>b</script>c"),
+    ("<script>x</script", "<script>x</script>"),
+    ("<script>a", "<script>a</body></html></script>"),
+    ("<script>a</scr", "<script>a</scr</body></html></script>"),
+    # the scan is CSS-string-unaware: '</style>' inside a quoted value
+    # still closes the element
+    ("<style>a{content:\"</style>\"}b</style>c",
+     '<style>a{content:"</style>"}bc'),
+]
+
+
+@pytest.mark.parametrize("html,want", RAWTEXT_GOLDENS,
+                         ids=[f"s{i}" for i in range(len(RAWTEXT_GOLDENS))])
+def test_rawtext_goldens(html, want):
+    got = _body(f"<html><head><title>t</title></head><body>{html}"
+                "</body></html>")
+    assert got == f"<body>{want}</body>"
+
+
+def test_rawtext_goldens_against_live_library():
+    _lib_or_skip()
+    from tools.libxml_oracle import serialize_subtree
+    for html, want in RAWTEXT_GOLDENS:
+        doc = (f"<html><head><title>t</title></head><body>{html}"
+               "</body></html>")
+        assert serialize_subtree(doc, "body") == f"<body>{want}</body>", html

@@ -127,10 +127,19 @@ def gen_doc(rng: random.Random) -> str:
         elif r < 0.60:  # void element
             v = rng.choice(VOIDS)
             parts.append(f"<{v}/>" if rng.random() < 0.25 else f"<{v}>")
-        elif r < 0.64:  # raw-text / RCDATA container, well-delimited
+        elif r < 0.64:  # raw-text / RCDATA container
             c = rng.choice(RAW_CONTAINERS)
             content = rng.choice(RAW_CONTENT)
-            if c in ("script", "style") or "<" not in content:
+            if c in ("script", "style"):
+                # closer variants the raw-text scan pins: junk after
+                # the name still closes; a longer name is dropped as
+                # a token while the element stays open
+                close = rng.choice(
+                    [f"</{c}>", f"</{c} x>", f"</{c}/>", f"</{c}\t>",
+                     f"</{c.upper()}>", f"</{c}foo></{c}>",
+                     f"</ {c}></{c}>"])
+                parts.append(f"<{c}>{content}{close}")
+            elif "<" not in content:
                 parts.append(f"<{c}>{content}</{c}>")
         elif r < 0.70:  # tokenizer junk
             parts.append(rng.choice(TOKEN_JUNK))
