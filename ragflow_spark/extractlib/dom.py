@@ -17,14 +17,36 @@ lxml.html — and therefore readability-lxml — actually uses):
     inside ``<b>`` because (li, b) is not a pair, even though (li, li) is;
   * XML-style self-closing syntax (``<div/>``) runs the same auto-close,
     then appends an EMPTY element (libxml2 honors the slash in HTML mode);
-  * a duplicate ``<html>``/``<body>``/``<head>`` start tag is ignored,
-    attributes dropped (libxml2 merges content into the existing node);
   * stray end tags are ignored (no HTML5-style implied ``<p></p>``);
-    a matching end tag closes through every intermediate open element;
-    unclosed tags close at EOF;
+    a matching end tag closes through every intermediate open element
+    (bounded by the ``_END_PRIORITY`` order); unclosed tags close at
+    EOF;
   * comments, processing instructions and doctypes are dropped at parse time
     (both readability-lxml's clean step and html-text's Cleaner remove them;
-    the serialized-length retry measure strips comments the same way).
+    the serialized-length retry measure strips comments the same way —
+    libxml2 would keep comment/PI NODES in its tree, the one deliberate
+    tree-shape divergence, observationally equivalent after cleaning).
+
+Document structure is IMPLIED exactly as libxml2's htmlCheckImplied /
+htmlCheckParagraph do (tests/test_dom_structure.py pins it all):
+  * every document gets an ``html`` root; head-y tags (title, meta,
+    link, base, script, style) at html level open an implied ``head``
+    while no head/body has been seen; any other content implies a
+    ``body`` (except the frameset family); non-blank character data at
+    document/html/head level opens an implied ``<p>`` that stays open;
+  * blank runs are kept verbatim at html/head level and dropped at
+    document level — except a blank flush cut short by a character
+    reference, which libxml2 treats as significant (it flushes its
+    buffer before each reference, and only a flush whose next input is
+    ``<`` can be ignorable);
+  * duplicate html/head/body start tags are discarded POSITIONALLY
+    (``<html>`` whenever anything is open, ``<head>`` unless exactly
+    the html is open, ``<body>`` while a body is OPEN — a second body
+    after ``</body>`` is accepted), with each discard counted in a
+    SHARED phantom counter that swallows the next html/head/body END
+    tag regardless of name (libxml2 ctxt->depth);
+  * content after ``</html>`` reopens nested ``html`` elements that
+    collect as siblings inside the first html (libxml2 artifact).
 
 Character references are resolved with libxml2's exact semantics, NOT
 stdlib ``html.parser``'s HTML5-style ``convert_charrefs`` (which
@@ -56,9 +78,15 @@ from html import unescape as _html_unescape
 from html.parser import HTMLParser
 from typing import Iterator, Optional
 
+# HTML 4.01 EMPTY-content elements (libxml2 html40ElementTable entries
+# with the empty flag — the set the serializer's VOID_HTML4 probes):
+# these are never pushed as containers.  HTML5-only voids (embed,
+# source, track, wbr) are UNKNOWN tags to libxml2 and parse as
+# containers ('<embed>x</embed>' keeps x inside), so they are
+# deliberately absent here.
 VOID_TAGS = frozenset({
-    "area", "base", "br", "col", "embed", "hr", "img", "input", "link",
-    "meta", "param", "source", "track", "wbr",
+    "area", "base", "basefont", "br", "col", "frame", "hr", "img",
+    "input", "isindex", "link", "meta", "param",
 })
 
 # tag -> set of open tags it implicitly closes (nearest enclosing run)
@@ -129,6 +157,32 @@ AUTO_CLOSE_PAIRS: dict[str, frozenset] = {
 # is ignored (content merges into the existing element, attrs dropped).
 _SINGLETON_TAGS = frozenset({"html", "head", "body"})
 
+# --- implied-structure relations (libxml2 htmlCheckImplied /
+# htmlCheckParagraph, derived from the system library by observation;
+# tests/test_dom_structure.py re-derives the closer table live) ---
+
+# Tags that open an implied <head> when they appear at html level
+# before any head/body has been seen; at html level AFTER a head was
+# seen they stay at html level and never imply a body.
+_HEAD_ONLY = frozenset({"base", "link", "meta", "script", "style",
+                        "title"})
+
+# htmlStartClose entries against "head": a start tag in this set pops
+# an OPEN head from the top of the stack (body implication follows).
+# Everything else — including unknown names like article/section and
+# head-permitted content like object/isindex — leaves head open.
+_HEAD_CLOSERS = frozenset({
+    "a", "abbr", "acronym", "address", "b", "bdo", "big", "blockquote",
+    "br", "center", "cite", "code", "dd", "dfn", "dir", "div", "dl",
+    "dt", "em", "fieldset", "font", "form", "frameset", "h1", "h2",
+    "h3", "h4", "h5", "h6", "hr", "i", "iframe", "img", "kbd", "li",
+    "map", "menu", "ol", "p", "pre", "q", "s", "samp", "small", "span",
+    "strike", "strong", "sub", "sup", "table", "tt", "u", "ul", "var",
+})
+
+# Frameset-family tags never imply a body.
+_NO_BODY_IMPLY = frozenset({"frame", "frameset", "noframes"})
+
 # libxml2 htmlEndPriority: a misplaced end tag closes through open
 # elements only while their priority is <= its own; crossing a
 # higher-priority element makes the end tag a no-op.  Values derived
@@ -138,8 +192,8 @@ _SINGLETON_TAGS = frozenset({"html", "head", "body"})
 # Unlisted tags have priority 100.
 _END_PRIORITY = {
     "div": 150, "td": 160, "th": 160, "tr": 161, "thead": 162,
-    "tbody": 162, "tfoot": 162, "table": 170, "head": 180,
-    "body": 190, "html": 200,
+    "tbody": 162, "tfoot": 162, "table": 170, "head": 170,
+    "body": 170, "html": 170,
 }
 
 
@@ -554,8 +608,16 @@ class _TreeBuilder(HTMLParser):
         super().__init__(convert_charrefs=True)
         self.root = Node("#root")
         self.stack = [self.root]
-        self._seen_singletons: set = set()
         self._hide_refs = hide_refs
+        # implied-structure state (libxml2 htmlCheckImplied): the
+        # FIRST html/head/body node of the document ("seen" gates for
+        # implication), plus the shared phantom-discard counter
+        # (libxml2 ctxt->depth) that swallows html/head/body end tags
+        self._html: Optional[Node] = None
+        self._html0: Optional[Node] = None  # reopen anchor (first html)
+        self._head: Optional[Node] = None
+        self._body: Optional[Node] = None
+        self._depth = 0
 
     # -- helpers -------------------------------------------------------
     def _cur(self) -> Node:
@@ -578,6 +640,119 @@ class _TreeBuilder(HTMLParser):
         while len(self.stack) > 1 and self.stack[-1].tag in closers:
             self.stack.pop()
 
+    # -- implied document structure (libxml2 htmlCheckImplied) ---------
+    def _ensure_html(self) -> None:
+        if self._html is None:
+            node = Node("html")
+            self.root.append(node)
+            self.stack.append(node)
+            self._html = node
+            self._html0 = node
+        elif self._html not in self.stack:
+            self._reopen_html({})
+
+    def _reopen_html(self, ad: dict) -> None:
+        # content after '</html>' reopens a NESTED html element
+        # appended inside the FIRST html (libxml2 artifact, pinned by
+        # probes: '<html><body>x</body></html><p>late</p>' puts the
+        # late <p> in <html><p/></html> inside the root html, and
+        # repeated reopens become SIBLINGS there, not a nested
+        # chain); the stack is [#root] whenever the html is closed
+        node = Node("html", ad)
+        self._html0.append(node)
+        self.stack.append(node)
+        self._html = node
+
+    def _insert(self, tag: str, ad: dict, selfclose: bool = False) -> None:
+        """Insert a start tag with libxml2's implied-structure rules
+        (htmlCheckImplied + htmlParseStartTag's html/head/body discard
+        checks), then the ordinary auto-close machinery.
+
+        Discard rules are POSITIONAL, with a shared phantom counter:
+        <html> is discarded whenever anything is open, <head> whenever
+        the open-element count isn't exactly one (the html), <body>
+        whenever a body is currently OPEN (a CLOSED body does not
+        block — '</body><body class=z>' creates a second body node).
+        Every discard bumps ``_depth``, and an end tag for ANY of the
+        three names is swallowed while the counter is positive
+        (libxml2's ctxt->depth — which is why a discarded duplicate
+        <head> swallows a later </body>)."""
+        if tag == "html":
+            if len(self.stack) > 1:
+                self._depth += 1
+                return
+            if self._html is None:
+                node = Node(tag, ad)
+                self.root.append(node)
+                self.stack.append(node)
+                self._html = node
+                self._html0 = node
+            else:
+                self._reopen_html(ad)
+            return
+        self._ensure_html()
+        if tag in ("head", "body"):
+            # htmlStartClose pairs (head,p)/(body,p)/(body,head):
+            # top-only pops that run even when the start tag is then
+            # discarded ('<html>text<body>x' closes the implied p
+            # around text).  '<head><object><body>' nests the body
+            # INSIDE the object — the pop really is top-only.
+            closers = ("p", "head") if tag == "body" else ("p",)
+            while len(self.stack) > 1 and self.stack[-1].tag in closers:
+                self.stack.pop()
+        if tag == "head":
+            if len(self.stack) != 2:
+                self._depth += 1
+                return
+            node = Node(tag, ad)
+            self._cur().append(node)
+            self.stack.append(node)
+            if self._head is None:
+                self._head = node
+            return
+        if tag == "body":
+            if any(n.tag == "body" for n in self.stack):
+                self._depth += 1
+                return
+            node = Node(tag, ad)
+            self._cur().append(node)
+            self.stack.append(node)
+            if self._body is None:
+                self._body = node
+            return
+        if tag in _HEAD_ONLY and self._cur() is self._html:
+            # head-y tag at html level: opens the implied head only
+            # while no head/body has been seen; otherwise it stays at
+            # html level (it never implies a body from here)
+            if self._head is None and self._body is None:
+                hd = Node("head")
+                self._cur().append(hd)
+                self.stack.append(hd)
+                self._head = hd
+        else:
+            # htmlAutoClose with the (tag, head) pairs folded into the
+            # SAME top-only loop — '<legend><fieldset>' pops legend
+            # (pair), then the now-top head (head pair), in one pass
+            closers = AUTO_CLOSE_PAIRS.get(tag, frozenset())
+            pops_head = tag in _HEAD_CLOSERS
+            while len(self.stack) > 1:
+                top = self.stack[-1].tag
+                if top in closers or (pops_head and top == "head"):
+                    self.stack.pop()
+                else:
+                    break
+            if self._body is None and tag not in _NO_BODY_IMPLY \
+                    and not any(n.tag == "head" for n in self.stack):
+                b = Node("body")
+                self._cur().append(b)
+                self.stack.append(b)
+                self._body = b
+        self._auto_close(tag)
+        node = Node(tag, ad)
+        self._cur().append(node)
+        if not selfclose and tag not in VOID_TAGS:
+            self.stack.append(node)
+
     # -- HTMLParser hooks ---------------------------------------------
     def _start(self, tag, attrs, xml_slash):
         # Attributes AND the self-close decision re-parse from the RAW
@@ -594,10 +769,6 @@ class _TreeBuilder(HTMLParser):
         tag = _libxml_tag_name(tag)
         if tag is None:
             return
-        if tag in _SINGLETON_TAGS:
-            if tag in self._seen_singletons:
-                return  # libxml2 ignores duplicate html/head/body tags
-            self._seen_singletons.add(tag)
         raw = self.get_starttag_text()
         if raw is not None:
             ad, selfclose = _parse_attrs_libxml(raw, self._hide_refs)
@@ -614,11 +785,7 @@ class _TreeBuilder(HTMLParser):
                         ad[k] = v
         # <div/>: libxml2's HTML parser honors the slash — auto-close
         # runs, then an EMPTY element is appended (never pushed).
-        self._auto_close(tag)
-        node = Node(tag, ad)
-        self._cur().append(node)
-        if not selfclose and tag not in VOID_TAGS:
-            self.stack.append(node)
+        self._insert(tag, ad, selfclose)
 
     def handle_starttag(self, tag, attrs):
         self._start(tag, attrs, xml_slash=False)
@@ -629,6 +796,12 @@ class _TreeBuilder(HTMLParser):
     def handle_endtag(self, tag):
         tag = _libxml_tag_name(tag)
         if tag is None or tag in VOID_TAGS:
+            return
+        if tag in ("html", "head", "body") and self._depth > 0:
+            # a pending phantom from a discarded html/head/body start
+            # swallows this end tag (libxml2 ctxt->depth — shared
+            # across all three names)
+            self._depth -= 1
             return
         pri = _END_PRIORITY.get(tag, 100)
         for i in range(len(self.stack) - 1, 0, -1):
@@ -641,14 +814,65 @@ class _TreeBuilder(HTMLParser):
                 return
         # stray end tag: ignored
 
+    _STRUCTURAL = ("#root", "html", "head")
+
+    def _structural_text_final(self, seg):
+        # the LAST flush of a char-data run (next input is '<' or
+        # EOF): blank runs are "ignorable" — kept verbatim at
+        # html/head level, dropped at document level — while
+        # non-blank text opens the implied paragraph
+        # (htmlCheckParagraph; the p then STAYS open)
+        if not seg:
+            return
+        if self._cur().tag not in self._STRUCTURAL:
+            # an earlier flush of this run already opened the p
+            self._add_text(seg)
+            return
+        if not seg.strip(" \t\n\r"):
+            if self._cur().tag != "#root":
+                self._add_text(seg)
+            return
+        self._insert("p", {})
+        self._add_text(seg)
+
+    def _structural_text_with_refs(self, data):
+        # libxml2 flushes its char-data buffer BEFORE each reference,
+        # and a flush whose next input is '&' (not '<') is never
+        # "ignorable" — so even a BLANK run directly before a
+        # reference opens the implied paragraph, while the blank tail
+        # after the last reference can still be ignorable
+        # ('<html> &#xD800;<code>' p-wraps the space;
+        #  '<html>&#xD800; <code>' keeps it at html level)
+        pos = 0
+        for m in _REF_RE.finditer(data):
+            seg = data[pos:m.start()]
+            pos = m.end()
+            if seg:
+                if self._cur().tag in self._STRUCTURAL:
+                    self._insert("p", {})
+                self._add_text(seg)
+            val = _resolve_ref(m)
+            if val:
+                if self._cur().tag in self._STRUCTURAL:
+                    self._insert("p", {})
+                self._add_text(val)
+        self._structural_text_final(data[pos:])
+
     def handle_data(self, data):
         if not data:
             return
+        cur = self._cur().tag
         if self._hide_refs and _AMP_SENTINEL in data:
-            if self._cur().tag in _RAW_TEXT_TAGS:
-                data = data.replace(_AMP_SENTINEL, "&")
-            else:
-                data = _REF_RE.sub(_resolve_ref, data)
+            if cur in _RAW_TEXT_TAGS:
+                self._add_text(data.replace(_AMP_SENTINEL, "&"))
+                return
+            if cur in self._STRUCTURAL:
+                self._structural_text_with_refs(data)
+                return
+            data = _REF_RE.sub(_resolve_ref, data)
+        if cur in self._STRUCTURAL:
+            self._structural_text_final(data)
+            return
         self._add_text(data)
 
     # comments / PIs / doctype dropped (cleaner semantics: readability's

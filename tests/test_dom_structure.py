@@ -1,0 +1,233 @@
+"""Implied document structure: dom.py vs libxml2 (what lxml.html,
+and therefore readability-lxml, actually builds for shell-less or
+malformed documents).
+
+Covers libxml2's htmlCheckImplied / htmlCheckParagraph / start-tag
+discard machinery, derived from the system library 2.9.14 by probe:
+
+  * implied <html>, implied <head> (head-y tags at html level before
+    any head/body), implied <body>, and the implied <p> wrapped
+    around document/html/head-level character data;
+  * the POSITIONAL discard rules with the SHARED phantom counter
+    (ctxt->depth): a discarded duplicate html/head/body start swallows
+    the NEXT html/head/body END tag, whichever name it carries;
+  * htmlStartClose pairs against head ((p,head), (fieldset,head), ...)
+    folded into the top-only auto-close loop;
+  * the after-</html> reopen artifact (nested html siblings under the
+    first html);
+  * areBlanks: blank runs kept verbatim at html/head level, dropped at
+    document level — EXCEPT a blank flush cut short by a character
+    reference, which is never ignorable and opens the implied p.
+
+Three layers: frozen goldens, a live-library cross-check of every
+golden, and a live re-derivation of the head-closer relation.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from ragflow_spark.extractlib.dom import (_HEAD_CLOSERS, find_first,
+                                          get_body, parse_html)
+from ragflow_spark.extractlib.htmlser import serialize_html
+
+
+def _dump(html: str) -> str:
+    root = parse_html(html)
+    return "".join(serialize_html(ch) for ch in root.children)
+
+
+# (input document, libxml2 root dump) — one per mechanism
+STRUCTURE_GOLDENS = [
+    # implied html/body; no head unless a head-y element demands it
+    ("<p>no shell</p>", "<html><body><p>no shell</p></body></html>"),
+    ("bare text", "<html><body><p>bare text</p></body></html>"),
+    ("<html><p>x</p></html>", "<html><body><p>x</p></body></html>"),
+    ("<b>inline first</b> tail",
+     "<html><body><b>inline first</b> tail</body></html>"),
+    ("text1<b>b2</b> tail",
+     "<html><body><p>text1<b>b2</b> tail</p></body></html>"),
+    # implied head for head-y tags at html level, closed by flow
+    ("<title>t</title><p>x</p>",
+     "<html><head><title>t</title></head><body><p>x</p></body></html>"),
+    ("<meta charset=\"u\"><p>x</p>",
+     "<html><head><meta charset=\"u\"></head><body><p>x</p></body>"
+     "</html>"),
+    ("<script>s</script><p>x</p>",
+     "<html><head><script>s</script></head><body><p>x</p></body>"
+     "</html>"),
+    ("<style>s</style>text",
+     "<html><head><style>s</style></head><body><p>text</p></body>"
+     "</html>"),
+    ("<title>a</title><title>b</title><p>x</p>",
+     "<html><head><title>a</title><title>b</title></head><body>"
+     "<p>x</p></body></html>"),
+    # head-y tags AFTER a closed head stay at html level, no body
+    ("<head></head><title>t2</title><p>x</p>",
+     "<html><head></head><title>t2</title><body><p>x</p></body>"
+     "</html>"),
+    ("<head><title>a</title></head><meta charset=\"u\"><p>x</p>",
+     "<html><head><title>a</title></head><meta charset=\"u\"><body>"
+     "<p>x</p></body></html>"),
+    # head-y tags inside an open body stay in the body
+    ("<body>x<title>q</title>y</body>",
+     "<html><body>x<title>q</title>y</body></html>"),
+    ("<div>d</div><title>t2</title><p>x</p>",
+     "<html><body><div>d</div><title>t2</title><p>x</p></body>"
+     "</html>"),
+    # implied p around document/html/head-level text
+    ("<html>toptext<body>x</body></html>",
+     "<html><body><p>toptext</p>x</body></html>"),
+    ("<head>headtext</head>",
+     "<html><head></head><body><p>headtext</p></body></html>"),
+    ("<html><head></head>between<body>x</body></html>",
+     "<html><head></head><body><p>between</p>x</body></html>"),
+    ("<html><head>h</head><body>x</body></html>",
+     "<html><head></head><body><p>h</p>x</body></html>"),
+    ("text1<title>t</title>text2",
+     "<html><body><p>text1</p><title>t</title>text2</body></html>"),
+    # flow inside an open head-container does NOT imply body
+    ("<head><title>a<p>b</p>c</title>d</head><body>x</body>",
+     "<html><head><title>a<p>b</p>c</title></head><body><p>d</p>x"
+     "</body></html>"),
+    ("<head><object><param name=\"n\"></object></head><p>x</p>",
+     "<html><head><object><param name=\"n\"></object></head><body>"
+     "<p>x</p></body></html>"),
+    # blanks: dropped at doc level, kept at html/head level; a blank
+    # flush cut short by a charref is significant and opens the p
+    ("  <p>leading blanks</p>",
+     "<html><body><p>leading blanks</p></body></html>"),
+    ("<html>  <body>x</body></html>",
+     "<html>  <body>x</body></html>"),
+    ("<head> <title>t</title></head><body>x</body>",
+     "<html><head> <title>t</title></head><body>x</body></html>"),
+    ("<html> <code>x</code></html>",
+     "<html> <body><code>x</code></body></html>"),
+    ("<html> &#xD800;<code>x</code></html>",
+     "<html><body><p> <code>x</code></p></body></html>"),
+    ("<html>&#xD800; <code>x</code></html>",
+     "<html> <body><code>x</code></body></html>"),
+    # after </body>: content at html level, text p-wrapped; a SECOND
+    # explicit body/head is accepted there (positional rules)
+    ("<p>a</body><p>b</p>",
+     "<html><body><p>a</p></body><p>b</p></html>"),
+    ("<p>a</body>text<p>c</p>",
+     "<html><body><p>a</p></body><p>text</p><p>c</p></html>"),
+    ("<p>a</body></body><p>c</p>",
+     "<html><body><p>a</p></body><p>c</p></html>"),
+    ("<html><body>x</body><title>late</title></html>",
+     "<html><body>x</body><title>late</title></html>"),
+    ("<p>a</body><body class=\"z\">x",
+     "<html><body><p>a</p></body><body class=\"z\">x</body></html>"),
+    ("<head></head><head><meta charset=\"u\"></head><body>x</body>",
+     "<html><head></head><head><meta charset=\"u\"></head><body>x"
+     "</body></html>"),
+    ("<p>a</body><head><title>t</title></head>done",
+     "<html><body><p>a</p></body><head><title>t</title></head>"
+     "<p>done</p></html>"),
+    # after </html>: reopen artifact — nested html SIBLINGS under the
+    # first html; no implication in the reopened scope
+    ("<html><body>x</body></html>trailing",
+     "<html><body>x</body><html><p>trailing</p></html></html>"),
+    ("<html><body>x</body></html><p>late</p>",
+     "<html><body>x</body><html><p>late</p></html></html>"),
+    ("<html><body>x</body></html><script>s</script>",
+     "<html><body>x</body><html><script>s</script></html></html>"),
+    ("<html><body>x</body></html> ", "<html><body>x</body></html>"),
+    ("<p>a</html>z",
+     "<html><body><p>a</p></body><html><p>z</p></html></html>"),
+    # the SHARED phantom counter: a discarded duplicate start swallows
+    # the next structural END tag, whatever its name
+    ("<html><body>a<html>dup</html>b</body></html>",
+     "<html><body>adupb</body></html>"),
+    ("<body>x<body class=\"d\">y</body>z</body>t",
+     "<html><body>xyz</body><p>t</p></html>"),
+    # htmlStartClose against head folded into the auto-close loop
+    ("<title>t1</title><legend><fieldset>x<meta charset=\"u\">",
+     "<html><head><title>t1</title><legend></legend></head><body>"
+     "<fieldset>x<meta charset=\"u\"></fieldset></body></html>"),
+    ("<head><body>z</body>",
+     "<html><head></head><body>z</body></html>"),
+    ("<head><object><body>z</body></object></head>",
+     "<html><head><object><body>z</body></object></head></html>"),
+    # frameset family: no body implication
+    ("<frame><p>x</p>",
+     "<html><frame><body><p>x</p></body></html>"),
+    ("<frameset><p>x</p></frameset>",
+     "<html><frameset><body><p>x</p></body></frameset></html>"),
+    ("<noframes>alt</noframes><p>x</p>",
+     "<html><noframes>alt</noframes><body><p>x</p></body></html>"),
+    ("<frameset><title>t</title></frameset>",
+     "<html><frameset><body><title>t</title></body></frameset>"
+     "</html>"),
+    # html-unknown tags parse as containers (HTML4 table)
+    ("<embed>e</embed>t", "<html><body><embed>e</embed>t</body></html>"),
+    ("<article>art</article><p>x</p>",
+     "<html><body><article>art</article><p>x</p></body></html>"),
+    # isindex/basefont are HTML4 EMPTY elements
+    ("<isindex><p>x</p>",
+     "<html><body><isindex><p>x</p></body></html>"),
+    ("<basefont size=\"1\"><p>x</p>",
+     "<html><body><basefont size=\"1\"><p>x</p></body></html>"),
+]
+
+
+@pytest.mark.parametrize("html,want", STRUCTURE_GOLDENS,
+                         ids=[f"g{i}" for i in
+                              range(len(STRUCTURE_GOLDENS))])
+def test_structure_goldens(html, want):
+    assert _dump(html) == want
+
+
+def _lib_or_skip():
+    from tools.libxml_oracle import load_libxml2
+    if load_libxml2() is None:
+        pytest.skip("libxml2 shared library not available")
+
+
+def test_structure_goldens_against_live_library():
+    _lib_or_skip()
+    from tools.libxml_oracle import serialize_root
+    for html, want in STRUCTURE_GOLDENS:
+        assert serialize_root(html) == want, html
+
+
+def test_head_closers_match_live_library():
+    """Re-derive the htmlStartClose-against-head relation from the
+    shared library and compare with the frozen _HEAD_CLOSERS."""
+    _lib_or_skip()
+    from tools.libxml_oracle import serialize_root
+    VOID = {"area", "base", "basefont", "br", "col", "embed", "frame",
+            "hr", "img", "input", "isindex", "link", "meta", "param",
+            "source", "track", "wbr"}
+    universe = sorted(_HEAD_CLOSERS | {
+        "applet", "article", "aside", "base", "basefont", "bgsound",
+        "button", "caption", "colgroup", "del", "figure", "frame",
+        "input", "ins", "isindex", "label", "legend", "link", "main",
+        "meta", "nav", "noframes", "noscript", "object", "optgroup",
+        "option", "script", "section", "select", "style", "tbody",
+        "td", "textarea", "tfoot", "th", "thead", "title", "tr"})
+    derived = set()
+    for t in universe:
+        endt = "" if t in VOID else f"</{t}>"
+        doc = f"<html><head><{t}>x{endt}</head><body>z</body></html>"
+        out = serialize_root(doc)
+        hd = (out.split("</head>")[0] if "</head>" in out
+              else out.split("<body")[0])
+        if f"<{t}" not in hd:
+            derived.add(t)
+    assert derived == set(_HEAD_CLOSERS)
+
+
+def test_fragment_fuzz_differential():
+    """Seeded shell-less fragments parse into the same implied
+    structure as libxml2 (full root dump, comments stripped)."""
+    _lib_or_skip()
+    from tools.html_fuzz import run
+    assert run(300, seed=20260820, verbose=False, fragments=True) == 0
+
+
+def test_get_body_on_fragments():
+    assert get_body(parse_html("<p>x</p>")).tag == "body"
+    assert find_first(parse_html("plain words"), "p").text \
+        == "plain words"

@@ -127,10 +127,15 @@ def test_dom_edge_arms():
     # </br> end tag for a void element is ignored; PIs are dropped
     assert "a" in extract_text("<div>a</br>b</div>")
     assert extract_text("<div><?pi data?>x</div>") == "x"
-    # get_body returns <body> when present, the root otherwise
+    # get_body returns <body> when present — including the IMPLIED
+    # body a shell-less fragment now gets (libxml2 htmlCheckImplied);
+    # the root fallback needs a truly body-less tree (frameset doc)
     assert get_body(parse_html("<html><body><p>x</p></body></html>")
                     ).tag == "body"
-    assert get_body(parse_html("<p>x</p>")).tag == "#root"
+    assert get_body(parse_html("<p>x</p>")).tag == "body"
+    assert get_body(parse_html(
+        "<html><frameset><frame src='a'></frameset></html>")
+    ).tag == "#root"
 
 
 def test_traverse_skips_script_without_predrop():

@@ -151,23 +151,79 @@ def gen_doc(rng: random.Random) -> str:
             f"{body}</body></html>")
 
 
-def run(n: int, seed: int, verbose: bool = True) -> int:
-    rng = random.Random(seed)
-    fails = 0
-    for i in range(n):
-        doc = gen_doc(rng)
+# shell-less fragment material: the implied html/head/body machinery
+# (htmlCheckImplied / htmlCheckParagraph), the positional discard
+# rules with the shared phantom counter (ctxt->depth), and the
+# after-</html> reopen artifact are all exercised by documents that
+# OMIT or MANGLE the standard shell.
+HEADY = ['<title>t1</title>', '<meta charset="u">', '<link href="l">',
+         '<base href="b">', '<script>var a;</script>',
+         '<style>.x{}</style>']
+STRUCT_JUNK = ["</head>", "</body>", "<body>", '<body class="z">',
+               "<head>", "</p>", "</html>trail", "<frame>",
+               "<noframes>alt</noframes>", "<isindex>",
+               "<html>dup", "</html>", "<html lang=\"x\">"]
+
+
+def gen_fragment(rng: random.Random) -> str:
+    parts = []
+    if rng.random() < 0.3:
+        parts.append("<html>" if rng.random() < 0.7
+                     else '<html lang="en">')
+    for _ in range(rng.randint(0, 3)):
+        parts.append(rng.choice(HEADY))
+    n = rng.randint(1, 10)
+    open_tags: list[str] = []
+    for _ in range(n):
+        r = rng.random()
+        if r < 0.30:
+            tag = rng.choice(TAGS)
+            parts.append(f"<{tag}>")
+            open_tags.append(tag)
+        elif r < 0.45 and open_tags:
+            parts.append(f"</{open_tags.pop()}>")
+        elif r < 0.55:
+            parts.append(rng.choice(STRUCT_JUNK))
+        elif r < 0.65:
+            parts.append(rng.choice(HEADY))
+        else:
+            parts.append(" ".join(rng.choice(WORDS)
+                                  for _ in range(rng.randint(1, 3))))
+    return "".join(parts)
+
+
+def _check(doc: str, frag: bool) -> tuple:
+    from tools.libxml_oracle import serialize_root
+    if frag:
+        lx = _COMMENT_NODE_RE.sub("", serialize_root(doc))
+        root = parse_html(doc)
+        ours = "".join(serialize_html(ch) for ch in root.children)
+    else:
         lx = _COMMENT_NODE_RE.sub("", serialize_subtree(doc, "body"))
         node = find_first(parse_html(doc), "body")
         ours = serialize_html(node) if node is not None else "<NO BODY>"
+    return lx, ours
+
+
+def run(n: int, seed: int, verbose: bool = True,
+        fragments: bool = False) -> int:
+    rng = random.Random(seed)
+    fails = 0
+    for i in range(n):
+        frag = fragments and (i % 3 == 0)
+        doc = gen_fragment(rng) if frag else gen_doc(rng)
+        lx, ours = _check(doc, frag)
         if lx != ours:
             fails += 1
             if verbose and fails <= 10:
-                print(f"--- diff #{fails} (doc {i})")
+                print(f"--- diff #{fails} ({'frag' if frag else 'doc'}"
+                      f" {i})")
                 print("  input  :", doc)
                 print("  libxml2:", lx)
                 print("  ours   :", ours)
     if verbose:
-        print(f"{n - fails}/{n} match (seed {seed})")
+        kind = "mixed" if fragments else "shelled"
+        print(f"{n - fails}/{n} match (seed {seed}, {kind})")
     return fails
 
 
@@ -177,4 +233,4 @@ if __name__ == "__main__":
         raise SystemExit(1)
     n = int(sys.argv[1]) if len(sys.argv) > 1 else 2000
     seed = int(sys.argv[2]) if len(sys.argv) > 2 else 42
-    raise SystemExit(1 if run(n, seed) else 0)
+    raise SystemExit(1 if run(n, seed, fragments=True) else 0)

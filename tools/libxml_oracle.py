@@ -171,6 +171,22 @@ def serialize_subtree(html: str, tag: str, with_tail: bool = True) -> str:
         d.close()
 
 
+def serialize_root(html: str) -> str:
+    """Dump the document's ROOT element (usually the implied ``html``)
+    — observes libxml2's implied html/head/body construction."""
+    lib = load_libxml2()
+    if lib is None:
+        raise RuntimeError("libxml2 not available")
+    d = LibxmlHtml(lib, html)
+    try:
+        root = lib.xmlDocGetRootElement(d.doc)
+        if not root:
+            return ""
+        return d._dump_node(root)
+    finally:
+        d.close()
+
+
 if __name__ == "__main__":
     import sys
     html = sys.stdin.read()
