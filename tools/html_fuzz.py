@@ -48,6 +48,9 @@ TAGS = [
     "small", "span", "strike", "strong", "sub", "sup", "table",
     "tbody", "td", "tfoot", "th", "thead", "tr", "tt", "u", "ul",
     "var", "article", "section", "nav",
+    "acronym", "applet", "aside", "bdo", "button", "colgroup", "del",
+    "dfn", "figure", "iframe", "main", "map", "noscript", "object",
+    "embed", "wbr",
 ]
 VOIDS = ["br", "hr", "img", "input"]
 WORDS = ["alpha", "beta", "gamma", "delta", "text", "word", "x", "y",
