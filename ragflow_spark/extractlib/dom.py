@@ -183,6 +183,8 @@ _HEAD_CLOSERS = frozenset({
 # Frameset-family tags never imply a body.
 _NO_BODY_IMPLY = frozenset({"frame", "frameset", "noframes"})
 
+_STRUCT_TAGS = frozenset({"html", "head", "body"})
+
 # libxml2 htmlEndPriority: a misplaced end tag closes through open
 # elements only while their priority is <= its own; crossing a
 # higher-priority element makes the end tag a no-op.  Values derived
@@ -324,6 +326,26 @@ def _libxml_tag_name(tag: str) -> Optional[str]:
     return name
 
 
+# fast path for the overwhelmingly common case: a known tag name needs
+# no junk-stripping or QName-splitting (hot path: one lookup per tag)
+_CLEAN_TAGS = frozenset({
+    "a", "abbr", "acronym", "address", "applet", "area", "article",
+    "aside", "b", "base", "basefont", "bdo", "big", "blockquote",
+    "body", "br", "button", "caption", "center", "cite", "code",
+    "col", "colgroup", "dd", "del", "dfn", "dir", "div", "dl", "dt",
+    "em", "embed", "fieldset", "figure", "font", "footer", "form",
+    "frame", "frameset", "h1", "h2", "h3", "h4", "h5", "h6", "head",
+    "header", "hr", "html", "i", "iframe", "img", "input", "ins",
+    "isindex", "kbd", "label", "legend", "li", "link", "main", "map",
+    "menu", "meta", "nav", "noframes", "noscript", "object", "ol",
+    "optgroup", "option", "p", "param", "pre", "q", "s", "samp",
+    "script", "section", "select", "small", "span", "strike",
+    "strong", "style", "sub", "sup", "table", "tbody", "td",
+    "textarea", "tfoot", "th", "thead", "title", "tr", "tt", "u",
+    "ul", "var", "wbr",
+})
+
+
 # Attribute names may also start with '_' or ':' (xmlParseName) and are
 # NOT QName-split (``x:y=1`` keeps the name ``x:y``, unlike tags).
 _ATTRNAME_RE = re.compile(r"[a-zA-Z_:][a-zA-Z0-9._:-]*")
@@ -334,7 +356,8 @@ _COMMENT_CLOSE_RE = re.compile(r"--!?>")
 
 # The chars that may START an end-tag name (htmlParseHTMLName's first
 # char, probe-derived: '</.b>' is swallowed like a tag, '</9>' is not).
-_ENDNAME_START_RE = re.compile(r"[a-zA-Z_:.]")
+_ENDNAME_START = frozenset(
+    "abcdefghijklmnopqrstuvwxyzABCDEFGHIJKLMNOPQRSTUVWXYZ_:.")
 
 # The chars that CONTINUE a name (raw-text close detection).
 _NAME_CONT_RE = re.compile(r"[a-zA-Z0-9._:-]")
@@ -365,6 +388,8 @@ def _parse_attrs_libxml(raw: str, hide_refs: bool) -> tuple:
       * duplicate names keep the first; names lowercase; values keep
         case and resolve references with the truncating attr rule.
     """
+    if raw[1:-1].isalnum():
+        return {}, False  # fast path: '<div>' — no attrs, no slash
     end = len(raw) - 1
     selfclose = False
     m = _NAME_RE.match(raw, 1)
@@ -426,17 +451,20 @@ def _xml_is_char(cp: int) -> bool:
 
 
 def _resolve_ref(m: "re.Match") -> str:
-    hexd, decd, name = m.group(1), m.group(2), m.group(3)
-    if name is not None:
+    # hot path: m.lastindex names the one matched group (1=hex 2=dec
+    # 3=named, None=bare '&') without touching the others
+    li = m.lastindex
+    if li == 3:
+        name = m.group(3)
         val = HTML4_ENTITIES.get(name)
         return val if val is not None else f"&{name};"
-    if hexd is not None or decd is not None:
-        try:
-            cp = int(hexd, 16) if hexd is not None else int(decd)
-        except ValueError:  # zero digits: libxml2 emits nothing
-            return ""
-        return chr(cp) if _xml_is_char(cp) else ""
-    return "&"  # bare '&' (no reference form followed)
+    if li is None:
+        return "&"  # bare '&' (no reference form followed)
+    try:
+        cp = int(m.group(li), 16 if li == 1 else 10)
+    except ValueError:  # zero digits: libxml2 emits nothing
+        return ""
+    return chr(cp) if _xml_is_char(cp) else ""
 
 
 def _resolve_attr_value(s: str) -> str:
@@ -642,13 +670,17 @@ class _TreeBuilder(HTMLParser):
 
     # -- implied document structure (libxml2 htmlCheckImplied) ---------
     def _ensure_html(self) -> None:
+        # invariant: whenever anything is open the html is stack[1]
+        # (every push goes through here first), so depth>1 means open
+        if len(self.stack) > 1:
+            return
         if self._html is None:
             node = Node("html")
             self.root.append(node)
             self.stack.append(node)
             self._html = node
             self._html0 = node
-        elif self._html not in self.stack:
+        else:
             self._reopen_html({})
 
     def _reopen_html(self, ad: dict) -> None:
@@ -677,6 +709,28 @@ class _TreeBuilder(HTMLParser):
         three names is swallowed while the counter is positive
         (libxml2's ctxt->depth — which is why a discarded duplicate
         <head> swallows a later </body>)."""
+        stack = self.stack
+        if self._body is not None and len(stack) > 1 \
+                and tag not in _STRUCT_TAGS \
+                and stack[-1] is not self._html:
+            # hot path: ordinary tag, body seen, insertion point not
+            # at html level — no structure implication can fire, only
+            # the auto-close loop (identical to the full path below)
+            closers = AUTO_CLOSE_PAIRS.get(tag)
+            pops_head = tag in _HEAD_CLOSERS
+            if closers or pops_head:
+                while len(stack) > 1:
+                    top = stack[-1].tag
+                    if (closers and top in closers) \
+                            or (pops_head and top == "head"):
+                        stack.pop()
+                    else:
+                        break
+            node = Node(tag, ad)
+            stack[-1].append(node)
+            if not selfclose and tag not in VOID_TAGS:
+                stack.append(node)
+            return
         if tag == "html":
             if len(self.stack) > 1:
                 self._depth += 1
@@ -733,27 +787,37 @@ class _TreeBuilder(HTMLParser):
             # htmlAutoClose with the (tag, head) pairs folded into the
             # SAME top-only loop — '<legend><fieldset>' pops legend
             # (pair), then the now-top head (head pair), in one pass
-            closers = AUTO_CLOSE_PAIRS.get(tag, frozenset())
+            # (this IS the auto-close for this path; the head-y branch
+            # above can only have the html itself on top, so neither
+            # path needs a second _auto_close run)
+            closers = AUTO_CLOSE_PAIRS.get(tag)
             pops_head = tag in _HEAD_CLOSERS
-            while len(self.stack) > 1:
-                top = self.stack[-1].tag
-                if top in closers or (pops_head and top == "head"):
-                    self.stack.pop()
-                else:
-                    break
+            if closers or pops_head:
+                while len(self.stack) > 1:
+                    top = self.stack[-1].tag
+                    if (closers and top in closers) \
+                            or (pops_head and top == "head"):
+                        self.stack.pop()
+                    else:
+                        break
             if self._body is None and tag not in _NO_BODY_IMPLY \
                     and not any(n.tag == "head" for n in self.stack):
                 b = Node("body")
                 self._cur().append(b)
                 self.stack.append(b)
                 self._body = b
-        self._auto_close(tag)
         node = Node(tag, ad)
         self._cur().append(node)
         if not selfclose and tag not in VOID_TAGS:
             self.stack.append(node)
 
     # -- HTMLParser hooks ---------------------------------------------
+    def _name(self, tag):
+        # memoized common case; junk names take the slow path
+        if tag in _CLEAN_TAGS:
+            return tag
+        return _libxml_tag_name(tag)
+
     def _start(self, tag, attrs, xml_slash):
         # Attributes AND the self-close decision re-parse from the RAW
         # start-tag text with libxml2's algorithm
@@ -794,14 +858,18 @@ class _TreeBuilder(HTMLParser):
         self._start(tag, attrs, xml_slash=True)
 
     def handle_endtag(self, tag):
-        tag = _libxml_tag_name(tag)
+        tag = self._name(tag)
         if tag is None or tag in VOID_TAGS:
             return
-        if tag in ("html", "head", "body") and self._depth > 0:
+        if tag in _STRUCT_TAGS and self._depth > 0:
             # a pending phantom from a discarded html/head/body start
             # swallows this end tag (libxml2 ctxt->depth — shared
             # across all three names)
             self._depth -= 1
+            return
+        stack = self.stack
+        if len(stack) > 1 and stack[-1].tag == tag:
+            stack.pop()  # hot path: well-nested close
             return
         pri = _END_PRIORITY.get(tag, 100)
         for i in range(len(self.stack) - 1, 0, -1):
@@ -954,7 +1022,7 @@ class _TreeBuilder(HTMLParser):
         # '>' and the QName-local / unknown-name end tag is ignored
         # by handle_endtag, which is already equivalent.
         if i + 2 < len(rawdata) \
-                and not _ENDNAME_START_RE.match(rawdata, i + 2):
+                and rawdata[i + 2] not in _ENDNAME_START:
             return i + 2
         return super().parse_endtag(i)
 
