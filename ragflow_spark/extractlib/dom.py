@@ -559,19 +559,55 @@ class Node:
             if n.tag in tags:
                 yield n
 
+    def iter_list(self, tag: Optional[str] = None) -> list["Node"]:
+        """Materialized ``.iter()`` — identical to ``list(self.iter(tag))``
+        (the walk is one atomic snapshot; no caller mutation can
+        interleave with it) without the generator resumption cost,
+        which dominated the extraction profile at ~2µs/node across
+        readability's many full-tree walks.  Only for call sites that
+        already materialized the walk or consume it fully read-only;
+        mutation-during-iteration callers keep the lazy ``iter()``."""
+        out = []
+        stack = [self]
+        pop = stack.pop
+        push = stack.extend
+        add = out.append
+        if tag is None:
+            while stack:
+                n = pop()
+                add(n)
+                c = n.children
+                if c:
+                    push(c[::-1])
+        else:
+            while stack:
+                n = pop()
+                if n.tag == tag:
+                    add(n)
+                c = n.children
+                if c:
+                    push(c[::-1])
+        return out
+
     def text_content(self) -> str:
-        """All text in the subtree, in document order (lxml text_content)."""
+        """All text in the subtree, in document order (lxml text_content).
+
+        Iterative: the stack holds nodes to open and already-ordered
+        tail strings; for each child (pushed in reverse) its tail is
+        pushed first so it pops after the child's whole subtree."""
         out: list[str] = []
-
-        def walk(n: "Node") -> None:
-            if n.text:
-                out.append(n.text)
-            for c in n.children:
-                walk(c)
+        stack: list = [self]
+        while stack:
+            item = stack.pop()
+            if item.__class__ is str:
+                out.append(item)
+                continue
+            if item.text:
+                out.append(item.text)
+            for c in reversed(item.children):
                 if c.tail:
-                    out.append(c.tail)
-
-        walk(self)
+                    stack.append(c.tail)
+                stack.append(c)
         return "".join(out)
 
     def drop_tree(self) -> None:

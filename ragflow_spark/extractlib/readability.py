@@ -102,7 +102,7 @@ def _clean_doc_attrs(root: Node) -> None:
     """The attribute half of readability's parse-time Cleaner:
     style=True deletes every style attribute, javascript=True deletes
     on* handlers and blanks javascript:-scheme link values."""
-    for el in root.iter():
+    for el in root.iter_list():
         attrib = el.attrib
         if not attrib:
             continue
@@ -232,7 +232,7 @@ class Document:
             # id="readabilityBody" (overwriting any source id) BEFORE
             # scoring — positiveRe matches "body", so a body candidate
             # carries +25 class weight from here on
-            for b in list(root.iter("body")):
+            for b in root.iter_list("body"):
                 b.set("id", "readabilityBody")
             if ruthless:
                 self._remove_unlikely_candidates(root)
@@ -262,7 +262,7 @@ class Document:
 
     # ------------------------------------------------------------------
     def _remove_unlikely_candidates(self, root: Node) -> None:
-        for elem in list(root.iter()):
+        for elem in root.iter_list():
             s = "%s %s" % (elem.get("class", ""), elem.get("id", ""))
             if len(s) < 2:
                 continue
@@ -274,7 +274,7 @@ class Document:
                 elem.drop_tree()
 
     def _transform_misused_divs(self, root: Node) -> None:
-        for elem in list(root.iter("div")):
+        for elem in root.iter_list("div"):
             # blocker check covers descendants only (the reference regex
             # runs on the div's serialized children, not the div tag
             # itself) and matches tag-name PREFIXES — see
@@ -282,7 +282,7 @@ class Document:
             if not any(n is not elem and n.tag.startswith(_DIV_TO_P_PREFIXES)
                        for n in elem.iter()):
                 elem.tag = "p"
-        for elem in list(root.iter("div")):
+        for elem in root.iter_list("div"):
             if elem.text and elem.text.strip():
                 p = Node("p")
                 p.text = elem.text
@@ -329,7 +329,7 @@ class Document:
         # <a> elem contributes nested links but never itself (our
         # iter() includes self, hence the guard)
         link_length = 0
-        for a in elem.iter("a"):
+        for a in elem.iter_list("a"):
             if a is elem:
                 continue
             link_length += _text_length(a)
@@ -349,7 +349,7 @@ class Document:
         # insertion order of `candidates` decides best-candidate
         # tie-breaks, so the grouping is load-bearing
         scorable = [e for t in ("p", "pre", "td")
-                    for e in root.iter(t) if e is not root]
+                    for e in root.iter_list(t) if e is not root]
         for elem in scorable:
             parent = elem.getparent()
             if parent is None:
@@ -427,15 +427,15 @@ class Document:
         # h2 inside a dropped h1 is never revisited; same for the
         # form/textarea pair and the reverse clean loop below
         for t in ("h1", "h2", "h3", "h4", "h5", "h6"):
-            for header in [n for n in node.iter(t) if n is not node]:
+            for header in [n for n in node.iter_list(t) if n is not node]:
                 if (self._class_weight(header) < 0
                         or self._link_density(header) > 0.33):
                     header.drop_tree()
 
         for t in ("form", "textarea"):
-            for elem in [n for n in node.iter(t) if n is not node]:
+            for elem in [n for n in node.iter_list(t) if n is not node]:
                 elem.drop_tree()
-        for elem in list(node.iter("iframe")):
+        for elem in node.iter_list("iframe"):
             if "src" in elem.attrib and REGEXES["videoRe"].search(
                     elem.attrib["src"]):
                 elem.text = "VIDEO"
@@ -454,7 +454,7 @@ class Document:
             # appear (detached descendants within one group still do,
             # as in the library, where their cleanup is a no-op)
             for t in clean_tags:
-                yield from reversed([n for n in node.iter(t)
+                yield from reversed([n for n in node.iter_list(t)
                                      if n is not node])
 
         for el in _reverse_tag_groups():
@@ -468,7 +468,7 @@ class Document:
             if el.text_content().count(",") >= 10:
                 continue
             counts = {
-                kind: sum(1 for n in el.iter(kind) if n is not el)
+                kind: sum(1 for n in el.iter_list(kind) if n is not el)
                 for kind in ("p", "img", "li", "a", "embed", "input")
             }
             counts["li"] -= 100
@@ -476,7 +476,7 @@ class Document:
             # case-sensitive (only attribute NAMES are lowercased at
             # parse), so type="HIDDEN" stays a counted input
             counts["input"] -= sum(
-                1 for n in el.iter("input")
+                1 for n in el.iter_list("input")
                 if n.get("type") == "hidden"
             )
             content_length = _text_length(el)
@@ -528,7 +528,7 @@ class Document:
                     # self.tags(el, ...) — descendants only, el itself
                     # is not whitelisted (it was just decided kept)
                     for t in ("table", "ul", "div", "section"):
-                        for des in el.iter(t):
+                        for des in el.iter_list(t):
                             if des is not el:
                                 allowed.add(id(des))
 
