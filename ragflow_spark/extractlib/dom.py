@@ -194,9 +194,14 @@ _STRUCT_TAGS = frozenset({"html", "head", "body"})
 # Unlisted tags have priority 100.
 _END_PRIORITY = {
     "div": 150, "td": 160, "th": 160, "tr": 161, "thead": 162,
-    "tbody": 162, "tfoot": 162, "table": 170, "head": 170,
-    "body": 170, "html": 170,
+    "tbody": 162, "tfoot": 162, "table": 170, "head": 180,
+    "body": 180, "html": 180,
 }
+# head/body/html sit ABOVE table: an open <body> (reachable inside a
+# table via the head-level tbody quirk) blocks </table> and </tbody>,
+# while </head>/</body>/</html> close through the whole table family —
+# all six cells probed against the live library
+# (tests/test_dom_structure.py).
 
 
 # libxml2's HTML4 named-entity table (html40EntitiesTable, 253 entries),

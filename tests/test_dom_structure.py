@@ -169,6 +169,35 @@ STRUCTURE_GOLDENS = [
      "<html><body><isindex><p>x</p></body></html>"),
     ("<basefont size=\"1\"><p>x</p>",
      "<html><body><basefont size=\"1\"><p>x</p></body></html>"),
+    # htmlEndPriority: head/body/html sit ABOVE the table family
+    # (_END_PRIORITY 180 vs table 170) — a body opened INSIDE a table
+    # (reachable via the head-level tbody quirk, where tbody stays in
+    # head and suppresses the body implication) blocks </table> and
+    # </tbody>, while the structural end tags close through the whole
+    # family.  All cells probed against the live library.
+    ("<html><link><tbody><table><body></table>x</tbody><dir>y</html>",
+     "<html><head><link><tbody><table><body>x<dir>y</dir></body>"
+     "</table></tbody></head></html>"),
+    ("<html><link><tbody><table><body></tbody>z</html>",
+     "<html><head><link><tbody><table><body>z</body></table></tbody>"
+     "</head></html>"),
+    ("<html><link><tbody><table></head><dir>x</html>",
+     "<html><head><link><tbody><table></table></tbody></head><body>"
+     "<dir>x</dir></body></html>"),
+    ("<html><p>a<table>b</body>c</html>",
+     "<html><body><p>a</p><table>b</table></body><p>c</p></html>"),
+    # an inner <table> blocks </td> and </tr> (table 170 > td 160,
+    # tr 161)
+    ("<html><body><table><tr><td>a<table>b</td>c</table></body></html>",
+     "<html><body><table><tr><td>a<table>bc</table></td></tr>"
+     "</table></body></html>"),
+    ("<html><body><table><tr>a<table>b</tr>c</table></body></html>",
+     "<html><body><table><tr>a<table>bc</table></tr></table></body>"
+     "</html>"),
+    # <table> directly at head level DOES imply body (unlike tbody),
+    # so the following <body> start is a positional discard
+    ("<html><link><table><body>a</table>b</html>",
+     "<html><head><link></head><body><table>a</table>b</body></html>"),
 ]
 
 

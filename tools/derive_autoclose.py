@@ -28,7 +28,10 @@ priority is <= its own; crossing a higher-priority element makes the
 end tag a no-op.  ``--priorities`` re-derives the pairwise
 closes-through matrix and checks it against ``dom.py``'s frozen
 ``_END_PRIORITY`` order (observed: default 100 < div 150 < td = th 160
-< tr 161 < thead = tbody = tfoot 162 < table 170).
+< tr 161 < thead = tbody = tfoot 162 < table 170 < head = body =
+html 180 — the structural cells are probed separately through the
+head-level tbody construction, tests/test_dom_structure.py, since
+body cannot sit above body-content elements in this harness).
 
 Usage:  python tools/derive_autoclose.py              # print the table
         python tools/derive_autoclose.py --diff       # diff vs dom.py
