@@ -687,10 +687,28 @@ class _TreeBuilder(HTMLParser):
         self._head: Optional[Node] = None
         self._body: Optional[Node] = None
         self._depth = 0
+        self._stopped = False  # depth-cap fatal (htmlParserMaxDepth)
 
     # -- helpers -------------------------------------------------------
     def _cur(self) -> Node:
         return self.stack[-1]
+
+    def _depth_stop(self) -> bool:
+        """libxml2 htmlParserMaxDepth (256): a start tag reaching its
+        push step with more than 256 OPEN elements (nameNr; our
+        ``#root`` excluded) is a fatal error — the parser stops
+        consuming input entirely and the document tail is dropped.
+        Probed live: the check runs AFTER the auto-close/implied pops
+        (``<p>`` replacing a top-of-stack ``<p>`` at max depth is
+        accepted) and BEFORE the append (a void ``<br>`` at max depth
+        aborts without pushing); positionally-discarded html/head/body
+        duplicates and stray end tags at max depth do NOT abort.
+        Besides parity, this bounds tree depth for every downstream
+        recursive walker (htmltext render, serializer)."""
+        if len(self.stack) > 257:  # #root + 256 open
+            self._stopped = True
+            return True
+        return False
 
     def _add_text(self, data: str) -> None:
         cur = self._cur()
@@ -767,6 +785,8 @@ class _TreeBuilder(HTMLParser):
                         stack.pop()
                     else:
                         break
+            if self._depth_stop():
+                return
             node = Node(tag, ad)
             stack[-1].append(node)
             if not selfclose and tag not in VOID_TAGS:
@@ -809,6 +829,8 @@ class _TreeBuilder(HTMLParser):
             if any(n.tag == "body" for n in self.stack):
                 self._depth += 1
                 return
+            if self._depth_stop():
+                return
             node = Node(tag, ad)
             self._cur().append(node)
             self.stack.append(node)
@@ -847,6 +869,8 @@ class _TreeBuilder(HTMLParser):
                 self._cur().append(b)
                 self.stack.append(b)
                 self._body = b
+        if self._depth_stop():
+            return
         node = Node(tag, ad)
         self._cur().append(node)
         if not selfclose and tag not in VOID_TAGS:
@@ -871,6 +895,8 @@ class _TreeBuilder(HTMLParser):
         # libxml2 stores NULL children for it) are handled inside the
         # re-parse; the handler-arg fallback covers a None raw text
         # only, trusting html.parser's dispatch (``xml_slash``).
+        if self._stopped:
+            return
         tag = _libxml_tag_name(tag)
         if tag is None:
             return
@@ -899,6 +925,8 @@ class _TreeBuilder(HTMLParser):
         self._start(tag, attrs, xml_slash=True)
 
     def handle_endtag(self, tag):
+        if self._stopped:
+            return
         tag = self._name(tag)
         if tag is None or tag in VOID_TAGS:
             return
@@ -968,7 +996,7 @@ class _TreeBuilder(HTMLParser):
         self._structural_text_final(data[pos:])
 
     def handle_data(self, data):
-        if not data:
+        if self._stopped or not data:
             return
         cur = self._cur().tag
         if self._hide_refs and _AMP_SENTINEL in data:

@@ -260,3 +260,98 @@ def test_get_body_on_fragments():
     assert get_body(parse_html("<p>x</p>")).tag == "body"
     assert find_first(parse_html("plain words"), "p").text \
         == "plain words"
+
+
+# ---------------------------------------------------------------------
+# libxml2 htmlParserMaxDepth (256): a start tag reaching its push step
+# with more than 256 open elements is FATAL — the parser stops and the
+# document tail is dropped.  The check runs after the auto-close pops
+# and before the append; discarded html/head/body duplicates and stray
+# end tags at max depth do not abort.  Derived live (dom.py
+# _depth_stop); these cases are also cross-checked against the shared
+# library below.
+
+def _depth_cases():
+    sp = "<span>"
+    return [
+        # at the cap: 255 spans under html+body parse fully
+        ("<html><body>" + sp * 255 + "mid" + "</span>" * 255
+         + "tail</body></html>", 255, True, True),
+        # one over: the 256th span aborts; mid and tail are dropped
+        ("<html><body>" + sp * 256 + "mid" + "</span>" * 256
+         + "tail</body></html>", 255, False, False),
+        # cap counts TOTAL open depth (html+body+div leaves 254)
+        ("<html><body><div>" + "<u>" * 260 + "x" + "</u>" * 260
+         + "</div></body></html>", 254, False, False),
+    ]
+
+
+@pytest.mark.parametrize("html,n_open,mid,tail", _depth_cases())
+def test_depth_cap_frozen(html, n_open, mid, tail):
+    root = parse_html(html)
+    dump = "".join(serialize_html(ch) for ch in root.children)
+    opens = dump.count("<span>") or dump.count("<u>")
+    assert opens == n_open
+    assert ("mid" in dump or "x" in dump) is mid
+    assert ("tail" in dump) is tail
+
+
+def test_depth_cap_check_order():
+    """Auto-close runs BEFORE the depth check (a <p> replacing the
+    top-of-stack <p> at max depth is accepted), the append comes
+    after it (a void <br> at max depth aborts without pushing), and
+    positionally-discarded duplicates / stray end tags never abort."""
+    deep = "<span>" * 254
+    close = "</span>" * 254
+    d = "".join(serialize_html(ch) for ch in parse_html(
+        f"<html><body>{deep}<p>one<p>two{close}t</body></html>").children)
+    assert "one" in d and "two" in d and d.count("<p>") == 2 and "t" in d
+    d = "".join(serialize_html(ch) for ch in parse_html(
+        "<html><body>" + "<span>" * 255 + "a<br>b" + "</span>" * 255
+        + "t</body></html>").children)
+    inner = d.replace("<span>", "").replace("</span>", "")
+    assert inner == "<html><body>a</body></html>"
+    for probe in ("<html>", "<body class=q>", "</nosuch>"):
+        d = "".join(serialize_html(ch) for ch in parse_html(
+            "<html><body>" + "<span>" * 255 + f"a{probe}b"
+            + "</span>" * 255 + "</body></html>").children)
+        inner = d.replace("<span>", "").replace("</span>", "")
+        assert "ab" in inner, probe
+    # end tag frees a slot: close one span, open another at the cap
+    d = "".join(serialize_html(ch) for ch in parse_html(
+        "<html><body>" + "<span>" * 255 + "a</span><span>b"
+        + "</span>" * 255 + "</body></html>").children)
+    assert "a" in d and "b" in d and d.count("<span>") == 256
+
+
+def test_depth_cap_against_live_library():
+    _lib_or_skip()
+    from tools.libxml_oracle import serialize_root
+    docs = [h for h, *_ in _depth_cases()]
+    docs += [
+        "<html><body>" + "<span>" * 300 + "<b class='z'>bold</b> t"
+        + "</span>" * 300 + "after</body></html>",
+        "<html><body>" + "<i>" * 300 + "</i>" * 300
+        + "<p>shallow</p></body></html>",
+        "<html><body>" + "<span>" * 255 + "pre<span>post"
+        + "</span>" * 256 + "tail</body></html>",
+        "<html><body>" + "<span>" * 256 + "<script>var q;</script>x"
+        + "</span>" * 256 + "</body></html>",
+    ]
+    for doc in docs:
+        assert serialize_root(doc) == "".join(
+            serialize_html(ch) for ch in parse_html(doc).children), doc[:60]
+
+
+def test_deep_nesting_extraction_no_recursion():
+    """The cap bounds tree depth for every recursive downstream walker:
+    a hostile 50k-deep inline chain inside the article must extract
+    (pre-cap this hit RecursionError in the htmltext render)."""
+    from ragflow_spark.extractlib.htmlparse import extract_html
+    big = ("This is a long scoring paragraph, with commas, plenty of "
+           "text to win the candidate race. " * 5)
+    doc = ("<html><body><div class='content'><p>" + big + "</p>"
+           + "<span>" * 50000 + "x" + "</span>" * 50000
+           + "<p>" + big + "</p></div></body></html>").encode()
+    out = extract_html(doc)
+    assert "long scoring paragraph" in out
