@@ -1140,8 +1140,10 @@ def get_body(root: Node) -> Node:
 
 def drop_tags(root: Node, tags) -> None:
     """Remove all nodes with the given tags (subtree included)."""
-    for n in list(root.iter_tags(tags)):
-        n.drop_tree()
+    tags = frozenset(tags)
+    for n in root.iter_list():
+        if n.tag in tags:
+            n.drop_tree()
 
 
 _ESCAPES = {"&": "&amp;", "<": "&lt;", ">": "&gt;"}
