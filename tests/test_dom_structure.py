@@ -355,3 +355,29 @@ def test_deep_nesting_extraction_no_recursion():
            + "<p>" + big + "</p></div></body></html>").encode()
     out = extract_html(doc)
     assert "long scoring paragraph" in out
+
+
+def test_adversarial_html_shapes_bounded():
+    """No quadratic blowups in the HTML path: each hostile shape must
+    extract within a generous wall bound (scaled-down versions of the
+    session probes — 10MB text / 1M entities / 100k attrs all clear
+    at <1.5s full-size)."""
+    import time
+    from ragflow_spark.extractlib.htmlparse import extract_html
+    shapes = [
+        b"<html><body><p>" + b"a" * 2_000_000 + b"</p></body></html>",
+        b"<html><body><p>" + b"&amp;" * 50_000 + b"&#65;" * 25_000
+        + b"</p></body></html>",
+        b"<html><body><div "
+        + b" ".join(b'a%d="v"' % i for i in range(20_000))
+        + b">x</div></body></html>",
+        b"<html><body><p>t</p>" + b"</nosuch>" * 10_000
+        + b"</body></html>",
+        b"<html><body><p>" + b"<br>" * 20_000
+        + b"text here</p></body></html>",
+    ]
+    for doc in shapes:
+        t0 = time.perf_counter()
+        out = extract_html(doc)
+        assert time.perf_counter() - t0 < 10.0
+        assert out.startswith("[no-title]\n")
