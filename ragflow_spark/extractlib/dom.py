@@ -1019,6 +1019,14 @@ class _TreeBuilder(HTMLParser):
     def handle_comment(self, data):
         pass
 
+    def updatepos(self, i, j):
+        # stdlib bookkeeping for error positions: counts newlines over
+        # every consumed span to maintain self.lineno/offset, which
+        # nothing in this recovery parser ever reads (no error
+        # reporting; libxml2 positions are not modeled). Skipping the
+        # scans is a measurable win on multi-MB documents.
+        return j
+
     def handle_decl(self, decl):
         pass
 
