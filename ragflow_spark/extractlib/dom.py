@@ -688,10 +688,35 @@ class _TreeBuilder(HTMLParser):
         self._body: Optional[Node] = None
         self._depth = 0
         self._stopped = False  # depth-cap fatal (htmlParserMaxDepth)
+        # DOCTYPE machinery (probed live, tests/test_dom_structure.py):
+        # a doctype ANYWHERE suppresses the after-</html> reopen
+        # artifact (content after the closed root is dropped), and a
+        # MISPLACED doctype (any doctype that is not the prolog's
+        # first construct) literalizes the immediately-following '<'
+        # unless it opens a start tag, comment, or PI
+        self._doctype_seen = False
+        self._decl_quirk = False
+        self._prolog = True
 
     # -- helpers -------------------------------------------------------
     def _cur(self) -> Node:
         return self.stack[-1]
+
+    def _emit_literal_lt(self) -> None:
+        """A literalized '<' (the opener of a bogus '<!' construct, or
+        the one a misplaced-doctype quirk eats) is emitted with the
+        IGNORABLE-flush classing (like a blank run): dropped at
+        document level, kept VERBATIM at html/head level (no p
+        implication), ordinary text inside content — all probed live
+        ('<p>a</body><![if !IE]>z' keeps the bare '<' at html level
+        while the remainder opens the implied p)."""
+        if self._cur().tag != "#root":
+            self._add_text("<")
+
+    def _take_quirk(self) -> bool:
+        q = self._decl_quirk
+        self._decl_quirk = False
+        return q
 
     def _depth_stop(self) -> bool:
         """libxml2 htmlParserMaxDepth (256): a start tag reaching its
@@ -748,7 +773,12 @@ class _TreeBuilder(HTMLParser):
         # probes: '<html><body>x</body></html><p>late</p>' puts the
         # late <p> in <html><p/></html> inside the root html, and
         # repeated reopens become SIBLINGS there, not a nested
-        # chain); the stack is [#root] whenever the html is closed
+        # chain); the stack is [#root] whenever the html is closed.
+        # With a doctype seen (any position), libxml2 instead DROPS
+        # everything after the closed root — no reopen, input over.
+        if self._doctype_seen:
+            self._stopped = True
+            return
         node = Node("html", ad)
         self._html0.append(node)
         self.stack.append(node)
@@ -792,6 +822,7 @@ class _TreeBuilder(HTMLParser):
             if not selfclose and tag not in VOID_TAGS:
                 stack.append(node)
             return
+        self._prolog = False
         if tag == "html":
             if len(self.stack) > 1:
                 self._depth += 1
@@ -806,6 +837,8 @@ class _TreeBuilder(HTMLParser):
                 self._reopen_html(ad)
             return
         self._ensure_html()
+        if self._stopped:
+            return
         if tag in ("head", "body"):
             # htmlStartClose pairs (head,p)/(body,p)/(body,head):
             # top-only pops that run even when the start tag is then
@@ -897,6 +930,7 @@ class _TreeBuilder(HTMLParser):
         # only, trusting html.parser's dispatch (``xml_slash``).
         if self._stopped:
             return
+        self._decl_quirk = False  # start tags parse normally
         tag = _libxml_tag_name(tag)
         if tag is None:
             return
@@ -927,6 +961,7 @@ class _TreeBuilder(HTMLParser):
     def handle_endtag(self, tag):
         if self._stopped:
             return
+        self._prolog = False  # any end tag (even stray) ends the prolog
         tag = self._name(tag)
         if tag is None or tag in VOID_TAGS:
             return
@@ -970,6 +1005,8 @@ class _TreeBuilder(HTMLParser):
                 self._add_text(seg)
             return
         self._insert("p", {})
+        if self._stopped:
+            return
         self._add_text(seg)
 
     def _structural_text_with_refs(self, data):
@@ -987,17 +1024,24 @@ class _TreeBuilder(HTMLParser):
             if seg:
                 if self._cur().tag in self._STRUCTURAL:
                     self._insert("p", {})
+                    if self._stopped:
+                        return
                 self._add_text(seg)
             val = _resolve_ref(m)
             if val:
                 if self._cur().tag in self._STRUCTURAL:
                     self._insert("p", {})
+                    if self._stopped:
+                        return
                 self._add_text(val)
         self._structural_text_final(data[pos:])
 
     def handle_data(self, data):
         if self._stopped or not data:
             return
+        self._decl_quirk = False  # any intervening data disarms
+        if self._prolog and data.strip(" \t\n\r"):
+            self._prolog = False
         cur = self._cur().tag
         if self._hide_refs and _AMP_SENTINEL in data:
             if cur in _RAW_TEXT_TAGS:
@@ -1017,7 +1061,9 @@ class _TreeBuilder(HTMLParser):
     # clean_attributes strips comments from the serialized retry
     # measure, so parse-time drop is observationally equivalent)
     def handle_comment(self, data):
-        pass
+        if self._stopped:
+            return
+        self._decl_quirk = False
 
     def updatepos(self, i, j):
         # stdlib bookkeeping for error positions: counts newlines over
@@ -1028,10 +1074,26 @@ class _TreeBuilder(HTMLParser):
         return j
 
     def handle_decl(self, decl):
-        pass
+        # only '<!doctype...' forms reach here (parse_html_declaration
+        # routes everything else). The node is dropped either way
+        # (cleaner semantics), but the STATE matters: a prolog doctype
+        # (first construct, only blanks/comments/PIs before it) is
+        # legitimate; any other — mid-content, after content, or a
+        # second doctype — is misplaced and arms the one-shot
+        # literalization quirk. Both suppress the after-</html>
+        # reopen.
+        if self._stopped:
+            return
+        if self._prolog and not self._doctype_seen:
+            self._prolog = False
+        else:
+            self._decl_quirk = True
+        self._doctype_seen = True
 
     def handle_pi(self, data):
-        pass
+        if self._stopped:
+            return
+        self._decl_quirk = False
 
     def parse_html_declaration(self, i):
         # libxml2 treats '<!' that opens neither a comment nor a
@@ -1042,12 +1104,21 @@ class _TreeBuilder(HTMLParser):
         # re-parses the inner '<b' as a start tag).  stdlib
         # html.parser would instead swallow these as bogus comments /
         # marked sections.
+        if self._stopped:
+            return len(self.rawdata)
         rawdata = self.rawdata
         if rawdata[i:i + 4] == "<!--":
+            self._decl_quirk = False
             return self.parse_comment(i)
+        if self._take_quirk():
+            # armed misplaced-doctype quirk: this '<!' construct
+            # (doctype or bogus) is literalized — '<' as ignorable
+            # char data, scan resumes after it
+            self._emit_literal_lt()
+            return i + 1
         if rawdata[i:i + 9].lower() == "<!doctype":
             return super().parse_html_declaration(i)
-        self.handle_data("<")
+        self._emit_literal_lt()
         return i + 1
 
     def parse_comment(self, i, report=1):
@@ -1076,6 +1147,8 @@ class _TreeBuilder(HTMLParser):
             r"</%s" % self.cdata_elem, re.IGNORECASE)
 
     def parse_endtag(self, i):
+        if self._stopped:
+            return len(self.rawdata)
         rawdata = self.rawdata
         if self.cdata_elem is not None:
             # reached only at a '</name'-prefix match of the scan
@@ -1090,6 +1163,12 @@ class _TreeBuilder(HTMLParser):
             self.clear_cdata_mode()
             self.handle_endtag(elem)
             return len(rawdata) if k == -1 else k + 1
+        if self._take_quirk():
+            # armed misplaced-doctype quirk: the whole end tag is
+            # literalized — '<' as ignorable char data, '/name>' (and
+            # anything else up to the next '<') rejoins ordinary text
+            self._emit_literal_lt()
+            return i + 1
         # libxml2's '</' recovery: when the next char cannot START an
         # end-tag name (not [a-zA-Z_:.]) the two chars '</' are
         # DROPPED and tokenization resumes as character data ('a </>

@@ -381,3 +381,78 @@ def test_adversarial_html_shapes_bounded():
         out = extract_html(doc)
         assert time.perf_counter() - t0 < 10.0
         assert out.startswith("[no-title]\n")
+
+
+# ---------------------------------------------------------------------
+# DOCTYPE machinery (probed live): a doctype ANYWHERE suppresses the
+# after-</html> reopen (content after the closed root is dropped), and
+# a MISPLACED doctype — any doctype that is not the prolog's first
+# construct (only blanks/comments may precede it; a stray end tag ends
+# the prolog) — literalizes the '<' of the immediately-following
+# construct unless it opens a start tag, comment, or PI.  The eaten
+# '<' takes the ignorable-flush classing: dropped at document level,
+# verbatim at html/head level, text in content.
+
+DOCTYPE_GOLDENS = [
+    # reopen suppression: any prior doctype drops post-root content
+    ("<!DOCTYPE html><html><body><p>a</p></body></html>trailing",
+     "<html><body><p>a</p></body></html>"),
+    ("<!doctype html><p>a</html>x</html>y",
+     "<html><body><p>a</p></body></html>"),
+    ("<html><p>a</html><!doctype html>x",
+     "<html><body><p>a</p></body></html>"),
+    # ...but only at the root: </body> is unaffected
+    ("<!doctype html><p>a</body>x",
+     "<html><body><p>a</p></body><p>x</p></html>"),
+    # no doctype: the reopen artifact stands
+    ("<p>a</html>x</html>y",
+     "<html><body><p>a</p></body><html><p>x</p></html>"
+     "<html><p>y</p></html></html>"),
+    # the one-shot quirk: '</...' and '<!...' literalize, start
+    # tags/comments parse normally, any intervening text disarms
+    ("<html><p>a<!doctype html></html>x",
+     "<html><body><p>a&lt;/html&gt;x</p></body></html>"),
+    ("<html><p>a<!doctype html></b id=2>x",
+     "<html><body><p>a&lt;/b id=2&gt;x</p></body></html>"),
+    ("<html><p>a<!doctype x><!doctype y></b>x",
+     "<html><body><p>a&lt;!doctype y&gt;x</p></body></html>"),
+    ("<html><p>a<!doctype html><b>c</b>x",
+     "<html><body><p>a<b>c</b>x</p></body></html>"),
+    ("<html><p>a<!doctype html> </html>x",
+     "<html><body><p>a </p></body></html>"),
+    ("<p>a<!doctype html>b</html>x",
+     "<html><body><p>ab</p></body></html>"),
+    # quirk-eaten '<' classing: dropped at document level, verbatim at
+    # html level
+    ("<!doctype a><!doctype b></html>x",
+     "<html><body><p>/html&gt;x</p></body></html>"),
+    ("<p>a</body><!doctype h></b>x",
+     "<html><body><p>a</p></body>&lt;<p>/b&gt;x</p></html>"),
+    # prolog boundaries: blanks/comments before stay legit; a stray
+    # end tag or any content makes the doctype misplaced
+    ("  <!doctype html></b>x",
+     "<html><body><p>x</p></body></html>"),
+    ("<!-- c --><!doctype html></b>x",
+     "<html><body><p>x</p></body></html>"),
+    ("x<!doctype a></b>y",
+     "<html><body><p>x&lt;/b&gt;y</p></body></html>"),
+    ("</html><!doctype html><!doctypejunk><u>z</u>",
+     "<html><body><p>!doctypejunk&gt;<u>z</u></p></body></html>"),
+    # bogus '<!' constructs share the ignorable '<' classing
+    ("<p>a</body><![if !IE]>z",
+     "<html><body><p>a</p></body>&lt;<p>![if !IE]&gt;z</p></html>"),
+]
+
+
+@pytest.mark.parametrize("html,want", DOCTYPE_GOLDENS,
+                         ids=[f"dt{i}" for i in
+                              range(len(DOCTYPE_GOLDENS))])
+def test_doctype_goldens(html, want):
+    assert _dump(html) == want
+
+
+def test_doctype_goldens_against_live_library():
+    _lib_or_skip()
+    from tools.libxml_oracle import serialize_root
+    for html, want in DOCTYPE_GOLDENS:
+        assert serialize_root(html) == want, html

@@ -18,10 +18,12 @@ the libxml2 dump has its comment nodes stripped before comparison.
 Deliberately NOT generated (documented parse-time divergences):
   * UNTERMINATED comments — both sides swallow to EOF (pinned by
     goldens); generating them would blank most of the document;
-  * PIs / doctypes — libxml2 keeps PI nodes in its serialization while
-    dom.py drops them at parse time; their text contribution is zero
-    and the pipeline's Cleaner removes them, so extraction is
-    equivalent (goldens pin the consumed span);
+  * PIs — libxml2 keeps PI nodes in its serialization while dom.py
+    drops them at parse time; their text contribution is zero and the
+    pipeline's Cleaner removes them, so extraction is equivalent
+    (goldens pin the consumed span).  DOCTYPES *are* generated
+    (STRUCT_JUNK): both sides drop the node, and the misplaced-doctype
+    quirk + reopen suppression are modeled in dom.py;
   * raw-text elements as containers (script/style/title/textarea) —
     their content models are pinned by explicit goldens instead.
 
@@ -146,6 +148,11 @@ def gen_doc(rng: random.Random) -> str:
                 parts.append(f"<{c}>{content}</{c}>")
         elif r < 0.70:  # tokenizer junk
             parts.append(rng.choice(TOKEN_JUNK))
+        elif r < 0.74:  # structural junk inside a shelled body
+            # (duplicate html/head/body starts, structural ends — the
+            # phantom counter and end-priority rules under a full
+            # shell; fragments cover the shell-less variants)
+            parts.append(rng.choice(STRUCT_JUNK))
         else:  # text
             parts.append(" ".join(rng.choice(WORDS)
                                   for _ in range(rng.randint(1, 4))))
@@ -165,7 +172,11 @@ HEADY = ['<title>t1</title>', '<meta charset="u">', '<link href="l">',
 STRUCT_JUNK = ["</head>", "</body>", "<body>", '<body class="z">',
                "<head>", "</p>", "</html>trail", "<frame>",
                "<noframes>alt</noframes>", "<isindex>",
-               "<html>dup", "</html>", "<html lang=\"x\">"]
+               "<html>dup", "</html>", "<html lang=\"x\">",
+               # misplaced doctypes: the one-shot literalization quirk
+               # on the next '</'/'<!' construct, and the reopen
+               # suppression after the root closes (dom.py)
+               "<!doctype html>", "<!DOCTYPE html>", "<!doctypejunk>"]
 
 
 def gen_fragment(rng: random.Random) -> str:
@@ -195,16 +206,48 @@ def gen_fragment(rng: random.Random) -> str:
     return "".join(parts)
 
 
+# freely-nesting inline tags (no htmlStartClose pair among them):
+# chains of these reliably reach the htmlParserMaxDepth region
+_NESTERS = ["span", "b", "i", "u", "s", "em", "strong", "big", "small",
+            "font", "code", "q", "sub", "sup", "tt", "var", "kbd"]
+
+
+def gen_deep(rng: random.Random) -> str:
+    """A document whose element stack sits at/around libxml2's depth
+    cap (256 open), with random tokens emitted in the boundary region:
+    start tags (at the cap: fatal input drop), voids, end tags
+    (matching ones free a slot), structural junk, text/entities."""
+    depth = rng.randint(248, 262)
+    chain = [rng.choice(_NESTERS) for _ in range(depth)]
+    parts = ["<html><body>"] + [f"<{t}>" for t in chain]
+    open_tags = ["html", "body", *chain]
+    for _ in range(rng.randint(2, 8)):
+        r = rng.random()
+        if r < 0.30:
+            parts.append(f"<{rng.choice(_NESTERS + TAGS[:20])}>")
+            # (tracking pushes is pointless past the cap; end-tag
+            # choices below use the original chain which stays valid)
+        elif r < 0.45:
+            parts.append(f"<{rng.choice(VOIDS)}>")
+        elif r < 0.70 and open_tags:
+            parts.append(f"</{open_tags.pop()}>")
+        elif r < 0.80:
+            parts.append(rng.choice(STRUCT_JUNK))
+        else:
+            parts.append(" ".join(rng.choice(WORDS)
+                                  for _ in range(rng.randint(1, 3))))
+    parts.append("tail text")
+    return "".join(parts)
+
+
 def _check(doc: str, frag: bool) -> tuple:
+    # full-root comparison for every kind: shelled documents can carry
+    # structural junk that restructures above (or duplicates) <body>,
+    # so a body-subtree compare would miss divergences there
     from tools.libxml_oracle import serialize_root
-    if frag:
-        lx = _COMMENT_NODE_RE.sub("", serialize_root(doc))
-        root = parse_html(doc)
-        ours = "".join(serialize_html(ch) for ch in root.children)
-    else:
-        lx = _COMMENT_NODE_RE.sub("", serialize_subtree(doc, "body"))
-        node = find_first(parse_html(doc), "body")
-        ours = serialize_html(node) if node is not None else "<NO BODY>"
+    lx = _COMMENT_NODE_RE.sub("", serialize_root(doc))
+    root = parse_html(doc)
+    ours = "".join(serialize_html(ch) for ch in root.children)
     return lx, ours
 
 
@@ -214,8 +257,15 @@ def run(n: int, seed: int, verbose: bool = True,
     fails = 0
     for i in range(n):
         frag = fragments and (i % 3 == 0)
-        doc = gen_fragment(rng) if frag else gen_doc(rng)
-        lx, ours = _check(doc, frag)
+        deep = fragments and (i % 7 == 1)
+        if deep:
+            doc = gen_deep(rng)
+        elif frag:
+            doc = gen_fragment(rng)
+        else:
+            doc = gen_doc(rng)
+        # deep docs restructure above <body>: compare the full root
+        lx, ours = _check(doc, frag or deep)
         if lx != ours:
             fails += 1
             if verbose and fails <= 10:
