@@ -68,6 +68,26 @@ derived from the system library 2.9.14 by observation:
 If the input already contains the U+E000 sentinel, resolution falls
 back to convert_charrefs semantics (documented divergence; U+E000 is
 a private-use codepoint with no legitimate occurrence in web text).
+
+Invalid characters and NUL (all probed live):
+  * characters failing xmlIsChar (C0 minus tab/LF/CR, U+FFFE/FFFF)
+    are DELETED from character data and quoted attribute values, but
+    TERMINATE token scans: a reference stops resolving at one
+    ('&#X41f' + FF + 'f' is U+041F then 'f', not U+41FF) and inside a
+    start tag one ends the attribute list (implemented via a second
+    PUA sentinel, U+E001, stripped at the text/value sinks; unquoted
+    attr values truncate where the library merges — documented
+    approximation);
+  * NUL is end-of-input in MARKUP scans (the scanned tag prefix still
+    takes effect) and at data DISPATCH positions — run start, right
+    after a resolved reference, or during a pending '&name' scan
+    (xmlIsNameChar is Unicode-wide) — while a NUL midway through a
+    chardata scan becomes a SPACE; unresolved NAMED refs ('&nGt;')
+    emit literally and keep scanning.
+  * with a doctype seen, content after the closed root html is
+    DROPPED (no reopen artifact); a misplaced doctype additionally
+    literalizes the immediately-following '</'/'<!' construct (see
+    handle_decl).
 """
 
 from __future__ import annotations
@@ -299,6 +319,15 @@ HTML4_ENTITIES = {
 # The sentinel every literal '&' hides behind during tokenization, so
 # stdlib html.parser's HTML5-style charref conversion never runs.
 _AMP_SENTINEL = "\ue000"
+# invalid characters (xmlIsChar failures minus NUL) are replaced with a
+# SECOND private-use sentinel instead of deleted outright: libxml2
+# deletes them from character data and attribute VALUES but they still
+# TERMINATE token scans — a reference stops resolving at one
+# ('&#X41f\x0cf' is U+041F + 'f', not U+41FF), and inside a start tag
+# one ends the attribute list.  The sentinel survives through
+# tokenization (breaking ref matches naturally) and is stripped at the
+# text/value sinks.
+_INV_SENTINEL = "\ue001"
 
 # Reference forms after the sentinel swap: numeric (hex / decimal, the
 # ';' consumed when present even after zero digits) or named (';'
@@ -702,6 +731,58 @@ class _TreeBuilder(HTMLParser):
     def _cur(self) -> Node:
         return self.stack[-1]
 
+    def _nul_rules(self, data: str) -> str:
+        """libxml2's NUL handling in character data, probed live: a
+        NUL at a DISPATCH position — run start, immediately after a
+        character reference, or during a reference attempt — is end
+        of input ('\x00<p>t' and 'y&#x;\x00z' and '&a\x00z' all drop
+        everything from the NUL on), while a NUL encountered midway
+        through a chardata scan becomes a SPACE ('a\x00b' -> 'a b').
+        Raw-text content (script/style) has no reference dispatch;
+        only the run-start case stops there.  Returns (processed
+        prefix, stop?) — the caller processes the prefix first, THEN
+        stops, so the already-scanned text keeps its effect."""
+        raw_text = self._cur().tag in _RAW_TEXT_TAGS
+        res: list = []
+        pos = 0
+        while True:
+            k = data.find("\x00", pos)
+            if k == -1:
+                res.append(data[pos:])
+                return "".join(res), False
+            if k == 0:
+                stop = True
+            elif raw_text or not self._hide_refs:
+                stop = False
+            else:
+                window = data[:k]
+                e = 0
+                bare = False
+                last = None
+                for m in _REF_RE.finditer(window):
+                    e = m.end()
+                    bare = m.end() - m.start() == 1  # lone '&'
+                    last = m
+                if e == k:
+                    # NUL right after a reference: stop — EXCEPT after
+                    # an unresolved NAMED ref ('&nGt;'), which libxml2
+                    # emits literally and keeps scanning (probed:
+                    # 'q&nGt;\x00r' -> 'q&nGt; r' but 'q&amp;\x00r'
+                    # and every numeric form stop)
+                    name = last.group(3) if last is not None else None
+                    stop = not (name is not None
+                                and name not in HTML4_ENTITIES)
+                elif bare and _is_name_run(window[e:]):
+                    stop = True  # NUL during a pending '&name' scan
+                else:
+                    stop = False
+            if stop:
+                res.append(data[pos:k])
+                return "".join(res), True
+            res.append(data[pos:k])
+            res.append(" ")
+            pos = k + 1
+
     def _emit_literal_lt(self) -> None:
         """A literalized '<' (the opener of a bogus '<!' construct, or
         the one a misplaced-doctype quirk eats) is emitted with the
@@ -736,6 +817,10 @@ class _TreeBuilder(HTMLParser):
         return False
 
     def _add_text(self, data: str) -> None:
+        if _INV_SENTINEL in data:
+            data = data.replace(_INV_SENTINEL, "")
+            if not data:
+                return
         cur = self._cur()
         if cur.children:
             last = cur.children[-1]
@@ -935,6 +1020,30 @@ class _TreeBuilder(HTMLParser):
         if tag is None:
             return
         raw = self.get_starttag_text()
+        if raw is not None and _INV_SENTINEL in raw:
+            pruned = _inv_markup_prefix(raw)
+            m = _STARTNAME_NUL_RE.match(pruned)
+            if m is not None:
+                tag2 = _libxml_tag_name(m.group(1))
+                if tag2 is not None:
+                    if not pruned.endswith(">"):
+                        pruned += ">"
+                    ad, selfclose = _parse_attrs_libxml(
+                        pruned, self._hide_refs)
+                    self._insert(tag2, ad, selfclose)
+            return
+        if raw is not None and "\x00" in raw:
+            # libxml2 treats NUL inside MARKUP as end of input: the
+            # scanned prefix of the tag still takes effect ('<p\x00
+            # class="x">t' keeps an attributeless <p>, '<p class=x\x00
+            # y>' keeps class="x"), then parsing stops and the rest of
+            # the document is dropped — probed live
+            prefix = _inv_markup_prefix(raw[:raw.index("\x00")])
+            ad, selfclose = _parse_attrs_libxml(prefix + ">",
+                                                self._hide_refs)
+            self._insert(tag, ad, selfclose)
+            self._stopped = True
+            return
         if raw is not None:
             ad, selfclose = _parse_attrs_libxml(raw, self._hide_refs)
         else:
@@ -994,6 +1103,8 @@ class _TreeBuilder(HTMLParser):
         # html/head level, dropped at document level — while
         # non-blank text opens the implied paragraph
         # (htmlCheckParagraph; the p then STAYS open)
+        if _INV_SENTINEL in seg:
+            seg = seg.replace(_INV_SENTINEL, "")
         if not seg:
             return
         if self._cur().tag not in self._STRUCTURAL:
@@ -1021,6 +1132,8 @@ class _TreeBuilder(HTMLParser):
         for m in _REF_RE.finditer(data):
             seg = data[pos:m.start()]
             pos = m.end()
+            if _INV_SENTINEL in seg:
+                seg = seg.replace(_INV_SENTINEL, "")
             if seg:
                 if self._cur().tag in self._STRUCTURAL:
                     self._insert("p", {})
@@ -1039,8 +1152,15 @@ class _TreeBuilder(HTMLParser):
     def handle_data(self, data):
         if self._stopped or not data:
             return
+        if "\x00" in data:
+            data, stop = self._nul_rules(data)
+            if data:
+                self.handle_data(data)  # now NUL-free
+            if stop:
+                self._stopped = True
+            return
         self._decl_quirk = False  # any intervening data disarms
-        if self._prolog and data.strip(" \t\n\r"):
+        if self._prolog and data.strip(" \t\n\r" + _INV_SENTINEL):
             self._prolog = False
         cur = self._cur().tag
         if self._hide_refs and _AMP_SENTINEL in data:
@@ -1146,6 +1266,32 @@ class _TreeBuilder(HTMLParser):
         self.interesting = re.compile(
             r"</%s" % self.cdata_elem, re.IGNORECASE)
 
+    def parse_starttag(self, i):
+        if self._stopped:
+            return len(self.rawdata)
+        rawdata = self.rawdata
+        nul = rawdata.find("\x00", i)
+        if nul != -1:
+            gt = rawdata.find(">", i)
+            if gt == -1 or nul < gt:
+                # NUL inside the start tag (markup = end of input,
+                # libxml2): the scanned prefix still takes effect —
+                # '<p\x00 class="x">t' keeps an attributeless <p>,
+                # '<scr\x00ipt>' keeps an empty <scr> — then parsing
+                # stops (stdlib would reject the tag and re-emit it
+                # as text instead)
+                prefix = _inv_markup_prefix(rawdata[i:nul])
+                m = _STARTNAME_NUL_RE.match(prefix)
+                if m is not None:
+                    tag = _libxml_tag_name(m.group(1))
+                    if tag is not None:
+                        ad, selfclose = _parse_attrs_libxml(
+                            prefix + ">", self._hide_refs)
+                        self._insert(tag, ad, selfclose)
+                self._stopped = True
+                return len(rawdata)
+        return super().parse_starttag(i)
+
     def parse_endtag(self, i):
         if self._stopped:
             return len(self.rawdata)
@@ -1169,6 +1315,26 @@ class _TreeBuilder(HTMLParser):
             # anything else up to the next '<') rejoins ordinary text
             self._emit_literal_lt()
             return i + 1
+        gt0 = rawdata.find(">", i)
+        span_end = gt0 if gt0 != -1 else len(rawdata)
+        if _INV_SENTINEL in rawdata[i:span_end]:
+            # invalid char inside an end tag: the scanned name prefix
+            # still closes; junk consumed through '>'
+            m = _ENDNAME_NUL_RE.match(rawdata, i)
+            if m:
+                self.handle_endtag(m.group(1))
+            return span_end + 1 if gt0 != -1 else len(rawdata)
+        nul = rawdata.find("\x00", i)
+        gt = rawdata.find(">", i)
+        if nul != -1 and (gt == -1 or nul < gt):
+            # NUL inside the end tag (markup = end of input): the
+            # scanned name prefix still closes its element, then
+            # parsing stops ('</p\x00>u' closes the p, drops u)
+            m = _ENDNAME_NUL_RE.match(rawdata, i)
+            if m:
+                self.handle_endtag(m.group(1))
+            self._stopped = True
+            return len(rawdata)
         # libxml2's '</' recovery: when the next char cannot START an
         # end-tag name (not [a-zA-Z_:.]) the two chars '</' are
         # DROPPED and tokenization resumes as character data ('a </>
@@ -1192,6 +1358,56 @@ class _TreeBuilder(HTMLParser):
             self.rawdata = ""
 
 
+# characters libxml2's xmlCurrentChar refuses outside the NUL special
+# case: C0 controls minus tab/LF/CR, plus the two non-characters it
+# checks explicitly.  (0x7F and C1 0x80-0x9F PASS xmlIsChar and are
+# kept.)
+_INVALID_CHAR_RE = re.compile("[\x01-\x08\x0b\x0c\x0e-\x1f\ufffe\uffff]")
+
+
+_ENDNAME_NUL_RE = re.compile(
+    "</([a-zA-Z_:.][^\t\n\r\f />\x00\ue001]*)")
+def _is_name_run(seg: str) -> bool:
+    """Would libxml2's reference-name scan still be consuming this
+    text?  xmlIsNameChar is Unicode-wide (CJK continues an entity-name
+    scan), approximated as unicode-alphanumeric plus the XML name
+    puncts."""
+    return bool(seg) and all(c.isalnum() or c in "._-:\u00b7"
+                             for c in seg)
+
+
+def _inv_markup_prefix(raw: str) -> str:
+    """Invalid characters inside a start tag (probed live): deleted
+    from QUOTED attribute values, but an occurrence in the name /
+    attribute area TERMINATES the tag scan — the remaining attributes
+    are dropped ('<p\x0cclass=x>' keeps an attributeless <p>,
+    '<p class="x\x0cy">' keeps class="xy").  Unquoted-value
+    occurrences also truncate here (the library merges; documented
+    approximation)."""
+    out = []
+    quote = None
+    eq = False  # saw '=', awaiting a value (only there quotes open)
+    for ch in raw:
+        if ch == _INV_SENTINEL:
+            if quote:
+                continue
+            break
+        if quote:
+            if ch == quote:
+                quote = None
+        elif eq:
+            if ch not in " \t\n\r\f":
+                if ch in "\"'":
+                    quote = ch
+                eq = False
+        elif ch == "=":
+            eq = True
+        out.append(ch)
+    return "".join(out)
+_STARTNAME_NUL_RE = re.compile(
+    "<([a-zA-Z][^\t\n\r\f />\x00\ue001]*)")
+
+
 def parse_html(text: str) -> Node:
     """Parse an HTML string into a tree; returns the synthetic ``#root``.
 
@@ -1205,6 +1421,20 @@ def parse_html(text: str) -> Node:
     already contains the sentinel codepoint falls back to
     convert_charrefs semantics.
     """
+    # libxml2's xmlCurrentChar skips characters failing xmlIsChar
+    # wherever they appear (content, attributes, comments): C0
+    # controls except tab/LF/CR, and U+FFFE/U+FFFF, are DELETED from
+    # the input (probed live on every position class).  NUL is
+    # different — space in character-data scans, EOF in markup scans —
+    # and is handled downstream (_TreeBuilder NUL rules).
+    if _INVALID_CHAR_RE.search(text):
+        if _INV_SENTINEL in text:
+            # input already uses the PUA codepoint: fall back to plain
+            # deletion (documented approximation, like the AMP
+            # sentinel fallback)
+            text = _INVALID_CHAR_RE.sub("", text)
+        else:
+            text = _INVALID_CHAR_RE.sub(_INV_SENTINEL, text)
     hide = _AMP_SENTINEL not in text
     if hide:
         text = text.replace("&", _AMP_SENTINEL)

@@ -456,3 +456,69 @@ def test_doctype_goldens_against_live_library():
     from tools.libxml_oracle import serialize_root
     for html, want in DOCTYPE_GOLDENS:
         assert serialize_root(html) == want, html
+
+
+# ---------------------------------------------------------------------
+# NUL and invalid-character semantics (probed live): characters failing
+# xmlIsChar (C0 minus tab/LF/CR, U+FFFE/FFFF) are DELETED from
+# character data and quoted attribute values but TERMINATE token scans
+# (a reference stops resolving at one; inside a start tag one ends the
+# attribute list).  NUL is end-of-input in markup scans and at data
+# dispatch positions (run start, right after a resolved reference, or
+# during a pending '&name' scan), a SPACE mid-scan; unresolved NAMED
+# refs keep scanning.
+
+NUL_GOLDENS = [
+    ("<html><body><p>a\x00b</p></body></html>",
+     "<html><body><p>a b</p></body></html>"),
+    ("<html><body><p>\x00</p></body></html>",
+     "<html><body><p></p></body></html>"),
+    ("<html><body>\x00<p>t</p></body></html>",
+     "<html><body></body></html>"),
+    ("<html><body><p>q&#65;\x00r</p>s</body></html>",
+     "<html><body><p>qA</p></body></html>"),
+    ("<html><body><p>q&amp;\x00r</p>s</body></html>",
+     "<html><body><p>q&amp;</p></body></html>"),
+    ("<html><body><p>q&nGt;\x00r</p>s</body></html>",
+     "<html><body><p>q&amp;nGt; r</p>s</body></html>"),
+    ("<html><body><p>q&#x;\x00r</p>s</body></html>",
+     "<html><body><p>q</p></body></html>"),
+    ("<html><body><p>a</p\x00>u</body></html>",
+     "<html><body><p>a</p></body></html>"),
+    ('<html><body><p\x00 class="x">t</p>u</body></html>',
+     "<html><body><p></p></body></html>"),
+    ("<html><body><p class=x\x00y>t</p>u</body></html>",
+     '<html><body><p class="x"></p></body></html>'),
+    # invalid chars: deleted in data/quoted values, scan terminators
+    ("<html><body><p>tab\tvt\x0bff\x0c.</p></body></html>",
+     "<html><body><p>tab\tvtff.</p></body></html>"),
+    ("<html><body><p>q&am\x0cp;r</p></body></html>",
+     "<html><body><p>q&amp;amp;r</p></body></html>"),
+    ("<html><body><p>q&#6\x0c5;r</p></body></html>",
+     "<html><body><p>q5;r</p></body></html>"),
+    ('<html><body><p class="x\x0cy">t</p></body></html>',
+     '<html><body><p class="xy">t</p></body></html>'),
+    ("<html><body><p\x0cclass=x>t</p></body></html>",
+     "<html><body><p>t</p></body></html>"),
+    ("<html><body><p cl\x0cass=x>t</p></body></html>",
+     "<html><body><p cl>t</p></body></html>"),
+    ("<html><body><scri\x0cpt>v</script>u</body></html>",
+     "<html><body><scri>vu</scri></body></html>"),
+    ("<html><body><p>x<\x0cb>y</p></body></html>",
+     "<html><body><p>x&lt;b&gt;y</p></body></html>"),
+    ("<html><body><p>n￾n</p></body></html>",
+     "<html><body><p>nn</p></body></html>"),
+]
+
+
+@pytest.mark.parametrize("html,want", NUL_GOLDENS,
+                         ids=[f"nul{i}" for i in range(len(NUL_GOLDENS))])
+def test_nul_invalid_char_goldens(html, want):
+    assert _dump(html) == want
+
+
+def test_nul_invalid_char_goldens_against_live_library():
+    _lib_or_skip()
+    from tools.libxml_oracle import serialize_root
+    for html, want in NUL_GOLDENS:
+        assert serialize_root(html) == want, repr(html)

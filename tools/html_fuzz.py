@@ -62,7 +62,12 @@ WORDS = ["alpha", "beta", "gamma", "delta", "text", "word", "x", "y",
          "&amp", "&copy;", "&copy", "&COPY;", "&unknown;", "&dollar;",
          "&#65", "&#x41;", "&#X41", "&#0;", "&#xD800;", "&#1114112;",
          "&#151;", "&#abc", "&#x;", "&#", "&;", "&", "&lang;", "&nGt;",
-         "a&&b", "&#9;tab"]
+         "a&&b", "&#9;tab",
+         # NUL / invalid-char handling (dom.py parse_html + NUL rules):
+         # run-initial NUL ends the input, mid-run NUL -> space,
+         # C0-minus-tab/LF/CR and U+FFFE/FFFF are deleted everywhere
+         "a\x00b", "\x00dropped", "v\x0bt", "f\x0cf.", "e\x01\x1fe",
+         "n\ufffen"]
 ATTR_NAMES = ["class", "id", "title", "data-x", "href", "src", "name",
               "checked", "align", "width"]
 ATTR_VALS = ["main", "x y", 'say "hi"', "it's", "a&b", "http://e.com/a b",
@@ -76,7 +81,7 @@ ATTR_JUNK = [' ]]x="1"', ']] x="1"', ' x=a"b', ' x = "1"', " x=",
              " X=1", " /junk x=1", " x=1/", ' "junk"', " @foo=1",
              " x==1", ' ]x="a b"', " x= =1", " =1", " x=&copy;",
              ' x."y=1', " 9x=1", " x=a/b", " x=1//", " x/ y=2",
-             " a.b-c_d:e=1"]
+             " a.b-c_d:e=1", ' x="a\x0cb"', ' x="a\x00b"', " y\x00=2"]
 RAW_CONTAINERS = ["script", "style", "textarea", "title"]
 RAW_CONTENT = ["var a = 1;", "if (a<b && c>d) {}", ".x > .y { }",
                "a &amp; b &#65; &copy; &copy plain", "<p>not a tag</p>"]
@@ -87,7 +92,8 @@ TOKEN_JUNK = ["a < b", "a <3 b", "a <$x b", "a <<b>x</b>", "a <&copy; b",
               "</ p> b", "</> b", "</3> b", "</$> b", "</_q>x", "</.q>x",
               "</:q>x", "</q:r>x", "<!-- a -->y", "<!---->y",
               "<!-- a --->y", "<!--a--b-->y", "<!-- a --!y -->z",
-              "<!-- c --!>y", "x<!doctype html>y"]
+              "<!-- c --!>y", "x<!doctype html>y",
+              "a<p\x00 q>b", "a</p\x00>b", "<td\x00>z"]
 # libxml2 serializes kept comment nodes; dom.py drops them at parse
 # time — strip them from the libxml2 dump before comparing
 _COMMENT_NODE_RE = re.compile(r"<!--.*?--!?>", re.S)
