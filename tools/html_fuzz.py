@@ -150,7 +150,13 @@ def gen_doc(rng: random.Random) -> str:
                      f"</{c.upper()}>", f"</{c}foo></{c}>",
                      f"</ {c}></{c}>"])
                 parts.append(f"<{c}>{content}{close}")
-            elif "<" not in content:
+            else:
+                # title/textarea are ordinary containers to libxml2
+                # (markup inside parses as ELEMENTS; only charrefs
+                # behave RCDATA-ish) — generate nested markup too
+                if "<" in content:
+                    content = rng.choice(
+                        ["a<b>c</b>d", "a<p>b", "x</b>y", "q<br>r"])
                 parts.append(f"<{c}>{content}</{c}>")
         elif r < 0.70:  # tokenizer junk
             parts.append(rng.choice(TOKEN_JUNK))
