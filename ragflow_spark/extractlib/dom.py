@@ -702,8 +702,13 @@ class _TreeBuilder(HTMLParser):
     across dropped tokens and corrupt references like ``&#X41</u>caf``)
     and attribute values resolve with the truncating attr rule."""
 
-    def __init__(self, hide_refs: bool = False):
+    def __init__(self, hide_refs: bool = False,
+                 hide_inv: bool = False):
         super().__init__(convert_charrefs=True)
+        # when True, U+E001 chars in the input are the invalid-char
+        # sentinel (stripped at sinks, scan terminators in markup);
+        # when False the codepoint is ordinary text (fallback mode)
+        self._hide_inv = hide_inv
         self.root = Node("#root")
         self.stack = [self.root]
         self._hide_refs = hide_refs
@@ -817,7 +822,7 @@ class _TreeBuilder(HTMLParser):
         return False
 
     def _add_text(self, data: str) -> None:
-        if _INV_SENTINEL in data:
+        if self._hide_inv and _INV_SENTINEL in data:
             data = data.replace(_INV_SENTINEL, "")
             if not data:
                 return
@@ -1020,7 +1025,7 @@ class _TreeBuilder(HTMLParser):
         if tag is None:
             return
         raw = self.get_starttag_text()
-        if raw is not None and _INV_SENTINEL in raw:
+        if self._hide_inv and raw is not None and _INV_SENTINEL in raw:
             pruned = _inv_markup_prefix(raw)
             m = _STARTNAME_NUL_RE.match(pruned)
             if m is not None:
@@ -1103,7 +1108,7 @@ class _TreeBuilder(HTMLParser):
         # html/head level, dropped at document level — while
         # non-blank text opens the implied paragraph
         # (htmlCheckParagraph; the p then STAYS open)
-        if _INV_SENTINEL in seg:
+        if self._hide_inv and _INV_SENTINEL in seg:
             seg = seg.replace(_INV_SENTINEL, "")
         if not seg:
             return
@@ -1132,7 +1137,7 @@ class _TreeBuilder(HTMLParser):
         for m in _REF_RE.finditer(data):
             seg = data[pos:m.start()]
             pos = m.end()
-            if _INV_SENTINEL in seg:
+            if self._hide_inv and _INV_SENTINEL in seg:
                 seg = seg.replace(_INV_SENTINEL, "")
             if seg:
                 if self._cur().tag in self._STRUCTURAL:
@@ -1160,7 +1165,8 @@ class _TreeBuilder(HTMLParser):
                 self._stopped = True
             return
         self._decl_quirk = False  # any intervening data disarms
-        if self._prolog and data.strip(" \t\n\r" + _INV_SENTINEL):
+        if self._prolog and data.strip(
+                " \t\n\r" + (_INV_SENTINEL if self._hide_inv else "")):
             self._prolog = False
         cur = self._cur().tag
         if self._hide_refs and _AMP_SENTINEL in data:
@@ -1317,7 +1323,7 @@ class _TreeBuilder(HTMLParser):
             return i + 1
         gt0 = rawdata.find(">", i)
         span_end = gt0 if gt0 != -1 else len(rawdata)
-        if _INV_SENTINEL in rawdata[i:span_end]:
+        if self._hide_inv and _INV_SENTINEL in rawdata[i:span_end]:
             # invalid char inside an end tag: the scanned name prefix
             # still closes; junk consumed through '>'
             m = _ENDNAME_NUL_RE.match(rawdata, i)
@@ -1427,6 +1433,7 @@ def parse_html(text: str) -> Node:
     # the input (probed live on every position class).  NUL is
     # different — space in character-data scans, EOF in markup scans —
     # and is handled downstream (_TreeBuilder NUL rules).
+    hide_inv = False
     if _INVALID_CHAR_RE.search(text):
         if _INV_SENTINEL in text:
             # input already uses the PUA codepoint: fall back to plain
@@ -1435,10 +1442,11 @@ def parse_html(text: str) -> Node:
             text = _INVALID_CHAR_RE.sub("", text)
         else:
             text = _INVALID_CHAR_RE.sub(_INV_SENTINEL, text)
+            hide_inv = True
     hide = _AMP_SENTINEL not in text
     if hide:
         text = text.replace("&", _AMP_SENTINEL)
-    tb = _TreeBuilder(hide_refs=hide)
+    tb = _TreeBuilder(hide_refs=hide, hide_inv=hide_inv)
     tb.feed(text)
     tb.close()
     return tb.root

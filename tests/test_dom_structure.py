@@ -522,3 +522,33 @@ def test_nul_invalid_char_goldens_against_live_library():
     from tools.libxml_oracle import serialize_root
     for html, want in NUL_GOLDENS:
         assert serialize_root(html) == want, repr(html)
+
+
+def test_nul_invalid_residual_branches():
+    """Branch pins the golden table misses: NUL after a QUOTED '>'
+    (routes through the raw-span path, not the tokenizer intercept),
+    an invalid char inside an end tag, and the U+E001-already-present
+    fallback (plain deletion)."""
+    cases = [
+        ('<html><body><p class="a>b\x00c">t</p>u</body></html>',
+         '<html><body><p class="a&gt;b"></p></body></html>'),
+        ("<html><body><p>a</p\x0c>z</body></html>",
+         "<html><body><p>a</p>z</body></html>"),
+        ("<html><body><p>a</p\x0c",
+         "<html><body><p>a</p></body></html>"),
+    ]
+    for html, want in cases:
+        assert _dump(html) == want, repr(html)
+    # input already carrying the PUA sentinel: invalid chars fall back
+    # to plain deletion and the PUA char itself stays text
+    out = _dump("<html><body><p>ab\x0cc</p></body></html>")
+    assert out == "<html><body><p>abc</p></body></html>"
+
+
+def test_nul_invalid_residual_against_live_library():
+    _lib_or_skip()
+    from tools.libxml_oracle import serialize_root
+    for html in ['<html><body><p class="a>b\x00c">t</p>u</body></html>',
+                 "<html><body><p>a</p\x0c>z</body></html>",
+                 "<html><body><p>a</p\x0c"]:
+        assert serialize_root(html) == _dump(html), repr(html)
