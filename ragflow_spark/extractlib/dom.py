@@ -587,12 +587,6 @@ class Node:
             if n.children:
                 stack.extend(reversed(n.children))
 
-    def iter_tags(self, tags) -> Iterator["Node"]:
-        tags = frozenset(tags)
-        for n in self.iter():
-            if n.tag in tags:
-                yield n
-
     def iter_list(self, tag: Optional[str] = None) -> list["Node"]:
         """Materialized ``.iter()`` — identical to ``list(self.iter(tag))``
         (the walk is one atomic snapshot; no caller mutation can
