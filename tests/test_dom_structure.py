@@ -552,3 +552,73 @@ def test_nul_invalid_residual_against_live_library():
                  "<html><body><p>a</p\x0c>z</body></html>",
                  "<html><body><p>a</p\x0c"]:
         assert serialize_root(html) == _dump(html), repr(html)
+
+
+def _messy_pages():
+    art = "".join(
+        f"<p>Paragraph {i} of the article body, with commas, long "
+        "enough prose to score well in the candidate race.</p>"
+        for i in range(8))
+    nav = ("<div class='nav menu'>"
+           + "".join(f"<a href='/s{i}'>section {i}</a>"
+                     for i in range(25)) + "</div>")
+    return {
+        # leading doctype + conditional comment + trailing junk after
+        # </html> (dropped per the doctype reopen suppression)
+        "doctype_trailing": (
+            "<!DOCTYPE html>\n<html>\n<head><title>Messy page one"
+            "</title>\n<!--[if lt IE 9]><script src='shim.js'>"
+            "</script><![endif]-->\n</head><body>" + nav
+            + "<div class='article-content'>" + art
+            + "</div><div class='footer'>copyright</div></body>"
+            "</html>\n<script>trailing.junk()</script>"
+            "<p>never rendered</p>"),
+        # control chars in title and content (deleted per xmlIsChar)
+        "nul_controls": (
+            "<html><head><title>Messy two\x0c</title></head><body>"
+            + nav + "<div id='main'>" + art
+            + "<p>mid\x0bline</p></div></body></html>"),
+        # unclosed everything + nested table
+        "unclosed_deep": (
+            "<html><body><div class='content'>" + "<div>" * 40 + art
+            + "<table><tr><td>cell</table>" + art + "</body>"),
+    }
+
+
+def test_messy_page_extraction_end_to_end():
+    """Capstone: realistic messy-web pages through the FULL chain
+    (codec -> recovery DOM -> readability -> html-text).  Pins the
+    session's combined semantics at the extraction level: boilerplate
+    stripped, trailing-junk-after-</html> dropped when a doctype was
+    seen, control characters cleaned, unclosed structures recovered —
+    and byte-determinism across runs."""
+    from ragflow_spark.extractlib.htmlparse import extract_html
+    pages = _messy_pages()
+    out1 = {k: extract_html(v.encode()) for k, v in pages.items()}
+    out2 = {k: extract_html(v.encode()) for k, v in pages.items()}
+    assert out1 == out2  # deterministic
+    a = out1["doctype_trailing"]
+    assert a.startswith("Messy page one\n")
+    assert "Paragraph 7 of the article" in a
+    assert "section 0" not in a and "copyright" not in a
+    assert "never rendered" not in a and "trailing.junk" not in a
+    b = out1["nul_controls"]
+    assert b.startswith("Messy two\n")          # FF deleted from title
+    assert "midline" in b                        # VT deleted mid-word
+    assert "section 3" not in b
+    c = out1["unclosed_deep"]
+    assert c.startswith("[no-title]\n")
+    assert c.count("Paragraph 0 of the article") == 2
+
+
+def test_messy_page_dom_stage_against_live_library():
+    """The DOM stage of the capstone pages matches libxml2 live
+    (comments stripped from the library dump, as everywhere)."""
+    _lib_or_skip()
+    import re
+    from tools.libxml_oracle import serialize_root
+    cre = re.compile(r"<!--.*?--!?>", re.S)
+    for name, page in _messy_pages().items():
+        lx = cre.sub("", serialize_root(page))
+        ours = _dump(page)
+        assert lx == ours, name
